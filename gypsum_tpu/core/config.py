@@ -1,0 +1,153 @@
+"""Receiver configuration as an immutable dataclass tree.
+
+The reference keeps tunables as module-level globals (reference:
+gypsum/config.py:4-50); here they are a frozen dataclass tree so that a
+receiver instance is fully parameterized by one value, configs can be
+overridden per-run (CLI / tests), and device-side code can treat fields as
+static jit constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class AcquisitionConfig:
+    """One-shot batched acquisition over [sat x Doppler x code phase].
+
+    Replaces the reference's data-dependent coarse-to-fine halving loop
+    (reference: gypsum/acquisition.py:77-108) with static grid stages that
+    compile to a single device program.
+    """
+
+    # Milliseconds of antenna data integrated per attempt
+    # (reference: gypsum/config.py:4).
+    integration_period_ms: int = 10
+    # Detection threshold: peak / mean-of-rest of the non-coherent profile
+    # (reference: gypsum/config.py:7).
+    detection_threshold: float = 3.0
+    # Seconds of signal time between acquisition scans
+    # (reference: gypsum/config.py:9).
+    scan_period_s: float = 10.0
+    # Coarse stage: non-coherent search over +/- doppler_max at coarse_step.
+    doppler_max_hz: float = 7000.0
+    coarse_step_hz: float = 500.0
+    # Fine stage: coherent search around the coarse peak.
+    fine_span_hz: float = 400.0
+    fine_step_hz: float = 25.0
+    # Final refinement: estimate residual Doppler from the phase slope of the
+    # per-ms coherent prompts (squared to cancel BPSK flips).
+    phase_slope_refinement: bool = True
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Scan-based Costas PLL + early/prompt/late DLL (device side)."""
+
+    # Milliseconds of signal processed per device dispatch. The tracker's
+    # sequential loop-filter state is carried through a lax.scan of this length.
+    block_size_ms: int = 1000
+    # Costas loop bandwidths (Hz): wide for pull-in, narrow once locked
+    # (reference: gypsum/tracker.py:251-256).
+    pll_bandwidth_locked_hz: float = 3.0
+    pll_bandwidth_pullin_hz: float = 6.0
+    pll_damping_factor: float = 0.7071067811865476  # 1/sqrt(2)
+    # DLL discriminator gain: code phase += disc * gain (samples)
+    # (reference: gypsum/tracker.py:297-298).
+    dll_gain: float = 0.002
+    # Half-width (in samples) of the correlation lag window searched around the
+    # prompt each millisecond. Replaces the reference's full 2046-point FFT
+    # correlation per ms (reference: gypsum/tracker.py:307-313) with a small
+    # batched matmul over 2*K+1 lags.
+    lag_window_half_width: int = 4
+    # Lock-state heuristics (EMA analogues of the reference's 250 ms sliding
+    # windows, reference: gypsum/tracker.py:157-203, gypsum/config.py:25-27).
+    lock_window_ms: int = 250
+    max_phase_error_variance_for_lock: float = 900.0
+    max_i_peak_variance_for_lock: float = 2.0
+    max_constellation_rotation_deg_for_lock: float = 6.0
+    # Health watchdog cadence + thresholds
+    # (reference: gypsum/tracker.py:370-388).
+    watchdog_period_s: float = 6.0
+    circularity_drop_threshold: float = 0.2
+    circularity_nudge_threshold: float = 0.93
+    doppler_nudge_hz: float = 5.0
+
+
+@dataclass(frozen=True)
+class NavConfig:
+    """Host-side navigation-bit / subframe decode."""
+
+    # Bit-phase resync triggers (reference: gypsum/config.py:40-45,
+    # gypsum/navigation_bit_intergrator.py:210-239).
+    resync_bit_phase_period_s: float = 1.0
+    resync_bit_health_memory_bits: int = 10
+    resync_bit_health_threshold_pct: float = 50.0
+    # Pseudosymbols examined when choosing a bit phase (last <=16 bits,
+    # reference: gypsum/navigation_bit_intergrator.py:134).
+    bit_phase_history_bits: int = 16
+    bit_phase_min_history_bits: int = 4
+    # A bit whose |sum of 20 pseudosymbols| / 20 <= this is UNKNOWN
+    # (reference: gypsum/navigation_bit_intergrator.py:156-158).
+    unknown_bit_confidence_pct: float = 50.0
+    # Consecutive UNKNOWN bits before the bit phase resets
+    # (reference: gypsum/navigation_bit_intergrator.py:164-171).
+    max_sequential_unknown_bits: int = 30
+    # Stop resyncing bit phase after this much receiver time; mirrors the
+    # reference's stabilization band-aid
+    # (reference: gypsum/navigation_bit_intergrator.py:278-282).
+    bit_phase_resync_cutoff_s: float = 40.0
+    # Give up on subframe phase after this many subframes' worth of bits
+    # (reference: gypsum/navigation_message_decoder.py:155).
+    max_subframes_of_bits_without_phase: int = 12
+    # If True, a failed word-parity check rejects the subframe. The reference
+    # only logs failures (reference: gypsum/navigation_message_parser.py:384-391),
+    # so False preserves its behavior.
+    strict_parity: bool = False
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Position/time solver (host side)."""
+
+    # Week-number disambiguation base (reference: gypsum/config.py:16).
+    gps_epoch_base_week_number: int = 2048
+    utc_leap_seconds: int = 27
+    # Iteration counts (reference: gypsum/world_model.py:404,540,606,684).
+    kepler_iterations: int = 10
+    newton_iterations: int = 20
+    outer_rounds: int = 5
+    clock_correction_iterations: int = 10
+    # A satellite's time base is stale for a fix after this many PRN ticks
+    # without a handover word (reference: gypsum/world_model.py:582-587).
+    max_prn_ticks_since_handover: int = 6000
+
+
+@dataclass(frozen=True)
+class ObservabilityConfig:
+    dashboard_url: str = "http://127.0.0.1:8080/"
+    dashboard_scan_period_s: float = 3.0
+    dashboard_update_period_s: float = 1.0
+    render_tracker_figures: bool = False
+
+
+@dataclass(frozen=True)
+class ReceiverConfig:
+    """Top-level receiver configuration."""
+
+    acquisition: AcquisitionConfig = field(default_factory=AcquisitionConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    nav: NavConfig = field(default_factory=NavConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    obs: ObservabilityConfig = field(default_factory=ObservabilityConfig)
+    # Maximum number of simultaneously tracked satellite channels. Static so
+    # device buffers have fixed shapes; inactive channels are masked.
+    max_channels: int = 12
+
+    def replace(self, **kwargs) -> "ReceiverConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+DEFAULT_CONFIG = ReceiverConfig()

@@ -1,0 +1,8 @@
+"""Device compute kernels: batched correlation, DFT-as-matmul, decimation."""
+
+from gypsum_tpu.ops.correlate import (  # noqa: F401
+    circular_correlate,
+    doppler_wipeoff,
+    lag_window_correlate,
+    noncoherent_acquisition_sweep,
+)

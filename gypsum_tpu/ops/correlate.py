@@ -1,0 +1,152 @@
+"""Circular-correlation kernels for acquisition and tracking.
+
+These are the compute core of the receiver (the analogue of reference:
+gypsum/utils.py:59-108), re-designed for XLA/TPU:
+
+- Everything is *batched*: one traced program evaluates the whole
+  [satellite x Doppler x millisecond] grid instead of the reference's
+  per-PRN/per-bin Python loops (~2,000 sequential numpy FFT pairs per PRN,
+  reference: gypsum/acquisition.py:77-108).
+- Sample FFTs are computed once per (Doppler, ms) and reused across all 32
+  satellites; replica FFTs are precomputed constants (the reference recomputes
+  the replica FFT on every call, reference: gypsum/utils.py:66).
+- The tracking path avoids FFTs entirely: it evaluates the correlation only in
+  a small lag window around the prompt as a batched matmul
+  (`lag_window_correlate`), replacing the reference's full 2046-point FFT
+  correlation per millisecond per satellite (reference: gypsum/tracker.py:307).
+- Phase/time numerics are f32-safe: wipeoff phasors are built from
+  per-millisecond phase offsets reduced mod 2*pi rather than absolute stream
+  time (float32 cannot represent 2*pi*f*t for minutes of stream at kHz
+  Dopplers; the reference leans on numpy float64,
+  reference: gypsum/utils.py:93-96).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def circular_correlate(samples: jax.Array, replica_fft_conj: jax.Array) -> jax.Array:
+    """Circular cross-correlation via the frequency domain.
+
+    corr[s] = sum_l samples[l] * replica[(l - s) mod L]: the peak index gives
+    the code phase (in samples) that aligns the replica with the signal.
+    Batched over any leading dims of either argument (normal broadcasting).
+
+    ``replica_fft_conj`` must be conj(fft(replica)) — precompute it once.
+    """
+    return jnp.fft.ifft(jnp.fft.fft(samples) * replica_fft_conj)
+
+
+def replica_fft_conj_table(replica_table: np.ndarray) -> np.ndarray:
+    """conj(FFT) of each replica row: the constant multiplied into sample FFTs."""
+    return np.conj(np.fft.fft(replica_table, axis=-1)).astype(np.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
+def doppler_wipeoff(
+    samples_ms: jax.Array,  # [M, L] complex64 — M milliseconds of IQ
+    dopplers: jax.Array,  # [D] float32 Hz
+    sample_rate: float | jax.Array,
+) -> jax.Array:
+    """Multiply each 1 ms chunk by e^{-j 2 pi f (t_ms + l/fs)} for every Doppler.
+
+    Returns [D, M, L]. The phase is continuous across the M chunks (the
+    reference offsets each chunk's time base the same way,
+    reference: gypsum/utils.py:93-97) but is accumulated per-ms mod 2*pi so
+    float32 never sees large absolute phases.
+    """
+    m_count, length = samples_ms.shape
+    # Phase advance within one chunk: 2 pi f l / fs  (max ~ 2 pi * 7e3 * 1e-3
+    # ~ 44 rad: comfortably exact in f32).
+    l_idx = jnp.arange(length, dtype=jnp.float32)
+    intra = dopplers[:, None, None] * (l_idx / sample_rate)[None, None, :]  # [D,1,L]
+    # Phase at each chunk start: 2 pi f * (m / 1000), reduced mod 1 cycle.
+    ms_per_chunk = length / sample_rate
+    chunk_cycles = dopplers[:, None, None] * (jnp.arange(m_count, dtype=jnp.float32) * ms_per_chunk)[None, :, None]
+    chunk_cycles = chunk_cycles - jnp.round(chunk_cycles)
+    phase = -2.0 * jnp.pi * (intra + chunk_cycles)
+    return samples_ms[None, :, :] * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
+def noncoherent_acquisition_sweep(
+    samples_ms: jax.Array,  # [M, L] complex64
+    dopplers: jax.Array,  # [D] float32
+    prn_fft_conj: jax.Array,  # [S, L] complex64
+    sample_rate: float,
+) -> jax.Array:
+    """Non-coherently integrated correlation power over the full grid.
+
+    Returns [S, D, L] float32: for each satellite and Doppler bin, the sum over
+    the M millisecond chunks of |circular correlation| at every code phase.
+
+    One device program replaces the reference's nested Python loops
+    (sats x Doppler rounds x ms chunks of tiny numpy FFTs,
+    reference: gypsum/acquisition.py:59-64,163-177 + gypsum/utils.py:77-108).
+    The sample FFT for each (Doppler, ms) is shared across satellites; the scan
+    over milliseconds keeps peak live memory at [S, D, L] + [D, L] instead of
+    materializing [S, D, M, L].
+    """
+    shifted = doppler_wipeoff(samples_ms, dopplers, sample_rate)  # [D, M, L]
+    sample_ffts = jnp.fft.fft(shifted, axis=-1)  # [D, M, L]
+    sample_ffts = jnp.moveaxis(sample_ffts, 1, 0)  # [M, D, L] — scan over ms
+
+    s_count = prn_fft_conj.shape[0]
+    d_count = dopplers.shape[0]
+    length = samples_ms.shape[-1]
+
+    def accumulate(acc, x_dl):
+        corr = jnp.fft.ifft(x_dl[None, :, :] * prn_fft_conj[:, None, :])  # [S, D, L]
+        return acc + jnp.abs(corr), None
+
+    init = jnp.zeros((s_count, d_count, length), dtype=jnp.float32)
+    total, _ = jax.lax.scan(accumulate, init, sample_ffts)
+    return total
+
+
+def peak_strength(profile: jax.Array) -> jax.Array:
+    """Normalized peak strength of a correlation profile: peak / mean-of-rest
+    (reference: gypsum/utils.py:111-116). Batched over leading dims."""
+    peak = jnp.max(profile, axis=-1)
+    n = profile.shape[-1]
+    mean_rest = (jnp.sum(profile, axis=-1) - peak) / (n - 1)
+    return peak / mean_rest
+
+
+def rolled_lag_window(
+    replica_tiled: jax.Array,  # [2L] — the replica concatenated with itself
+    code_phase: jax.Array,  # scalar int32: prompt roll, in samples
+    half_width: int,
+    length: int,
+) -> jax.Array:
+    """The [2K+1, L] matrix whose row k is the replica circularly rolled by
+    (code_phase + k - K) samples — i.e. lags prompt-K .. prompt+K.
+
+    roll(r, s)[l] = r[(l - s) mod L] = tiled[((L - s) mod L) + l], so each row
+    is a dynamic slice of the tiled replica: no gathers, no FFT.
+    """
+    k = jnp.arange(-half_width, half_width + 1, dtype=jnp.int32)
+    starts = jnp.mod(length - code_phase - k, length)  # [2K+1]
+    return jax.vmap(lambda s: jax.lax.dynamic_slice(replica_tiled, (s,), (length,)))(starts)
+
+
+def lag_window_correlate(
+    samples: jax.Array,  # [L] complex64 — one ms, carrier already wiped off
+    replica_tiled: jax.Array,  # [2L] float32
+    code_phase: jax.Array,  # scalar int32
+    half_width: int,
+) -> jax.Array:
+    """Correlations at the 2K+1 integer lags around the prompt code phase.
+
+    Returns [2K+1] complex64 where index K is the prompt, K-1 early, K+1 late.
+    Equivalent to sampling the full circular correlation at those lags
+    (reference computes the full profile by FFT and its early/late by explicit
+    rolls + np.correlate, reference: gypsum/tracker.py:286-313).
+    """
+    length = samples.shape[-1]
+    window = rolled_lag_window(replica_tiled, code_phase, half_width, length)  # [2K+1, L]
+    return window @ samples

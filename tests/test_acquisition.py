@@ -1,0 +1,96 @@
+"""Acquisition engine tests on synthetic signals with known ground truth."""
+
+import numpy as np
+import pytest
+
+from gypsum_tpu.acquire.engine import AcquisitionEngine
+from gypsum_tpu.core.config import AcquisitionConfig
+from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+
+FS = 2.046e6
+L = 2046
+M = 10
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return AcquisitionEngine(sample_rate=FS, samples_per_prn=L)
+
+
+def _capture(sats, noise=0.5, seed=1):
+    return synthesize_iq(sats, M * L, FS, noise_sigma=noise, seed=seed).reshape(M, L)
+
+
+def test_single_satellite_parameters_recovered(engine):
+    truth = SyntheticSatellite(prn=25, doppler_hz=1234.0, delay_samples=701, amplitude=0.25)
+    results = engine.detect(_capture([truth]))
+    assert [r.prn for r in results] == [25]
+    r = results[0]
+    assert abs(r.doppler_hz - truth.doppler_hz) < 10.0
+    assert r.code_phase_samples == 701
+    assert r.strength > 3.0
+
+
+def test_phase_slope_refinement_beats_grid(engine):
+    # An off-grid Doppler: the fine grid is 25 Hz, the refinement should land
+    # within a few Hz.
+    truth = SyntheticSatellite(prn=4, doppler_hz=-3456.7, delay_samples=123, amplitude=0.3)
+    r = engine.detect(_capture([truth], noise=0.3))[0]
+    assert r.prn == 4
+    assert abs(r.doppler_hz - truth.doppler_hz) < 5.0
+
+
+def test_multi_satellite_acquisition(engine):
+    sats = [
+        SyntheticSatellite(prn=25, doppler_hz=2500.0, delay_samples=100, amplitude=0.22),
+        SyntheticSatellite(prn=28, doppler_hz=-4000.0, delay_samples=1500, amplitude=0.22,
+                           carrier_phase_rad=1.0),
+        SyntheticSatellite(prn=31, doppler_hz=300.0, delay_samples=2000, amplitude=0.22,
+                           carrier_phase_rad=-2.0),
+        SyntheticSatellite(prn=32, doppler_hz=6800.0, delay_samples=47, amplitude=0.22),
+    ]
+    results = engine.detect(_capture(sats, noise=0.4))
+    found = {r.prn: r for r in results}
+    assert set(found) == {25, 28, 31, 32}
+    for truth in sats:
+        r = found[truth.prn]
+        assert abs(r.doppler_hz - truth.doppler_hz) < 10.0
+        assert abs(r.code_phase_samples - truth.delay_samples % L) <= 1
+
+
+def test_absent_satellites_rejected(engine):
+    sats = [SyntheticSatellite(prn=10, doppler_hz=1000.0, delay_samples=500, amplitude=0.25)]
+    results = engine.detect(_capture(sats, noise=0.5))
+    assert {r.prn for r in results} == {10}
+
+
+def test_noise_only_detects_nothing(engine):
+    noise = (0.7 * (np.random.default_rng(7).standard_normal((M, L))
+                    + 1j * np.random.default_rng(8).standard_normal((M, L)))).astype(np.complex64)
+    assert engine.detect(noise) == []
+
+
+def test_eligibility_filter(engine):
+    sats = [
+        SyntheticSatellite(prn=25, doppler_hz=2500.0, delay_samples=100, amplitude=0.25),
+        SyntheticSatellite(prn=28, doppler_hz=-1000.0, delay_samples=900, amplitude=0.25),
+    ]
+    results = engine.detect(_capture(sats), eligible_prns={28})
+    assert [r.prn for r in results] == [28]
+
+
+def test_weak_signal_detected_at_threshold(engine):
+    # ~3x weaker than the comfortable cases: still above the 3.0 threshold with
+    # 10 ms of integration.
+    truth = SyntheticSatellite(prn=17, doppler_hz=-2222.0, delay_samples=1024, amplitude=0.08)
+    results = engine.detect(_capture([truth], noise=0.5, seed=3))
+    assert any(r.prn == 17 for r in results)
+
+
+def test_config_grid_shapes():
+    cfg = AcquisitionConfig(doppler_max_hz=1000.0, coarse_step_hz=250.0, fine_span_hz=100.0)
+    eng = AcquisitionEngine(FS, L, cfg)
+    assert eng._coarse_dopplers.shape[0] == 9
+    truth = SyntheticSatellite(prn=2, doppler_hz=432.0, delay_samples=10, amplitude=0.3)
+    r = eng.detect(_capture([truth]))[0]
+    assert r.prn == 2 and abs(r.doppler_hz - 432.0) < 10.0

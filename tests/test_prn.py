@@ -1,0 +1,96 @@
+"""C/A PRN code generation tests.
+
+The octal watermark values are the ICD-published test vectors the reference
+validates against at startup (reference: gypsum/gps_ca_prn_codes.py:190-248);
+here they are explicit unit tests (SURVEY.md §4 item 1).
+"""
+
+import numpy as np
+import pytest
+
+from gypsum_tpu.core.constants import PRN_CHIP_COUNT
+from gypsum_tpu.signal.prn import (
+    ALL_PRN_IDS,
+    ca_code,
+    ca_code_table,
+    replica_table,
+    sampled_replica,
+)
+
+
+def test_table_shape_and_dtype():
+    table = ca_code_table()
+    assert table.shape == (32, PRN_CHIP_COUNT)
+    assert table.dtype == np.int8
+    assert set(np.unique(table)) == {0, 1}
+
+
+def test_all_codes_pass_icd_watermark():
+    # ca_code_table() itself raises on watermark mismatch; additionally verify
+    # a handful of the published first-10-chip octal values independently.
+    expected = {1: 0o1440, 2: 0o1620, 25: 0o1743, 28: 0o1774, 31: 0o1625, 32: 0o1712}
+    for prn, want in expected.items():
+        bits = ca_code(prn)[:10]
+        got = int("".join(str(int(b)) for b in bits), 2)
+        assert got == want, f"PRN {prn}: 0o{got:o} != 0o{want:o}"
+
+
+def test_codes_are_balanced_and_distinct():
+    table = ca_code_table()
+    # Gold codes of length 1023 have 512 ones and 511 zeros.
+    assert (table.sum(axis=1) == 512).all()
+    # All 32 codes are distinct.
+    assert len({bytes(row) for row in table}) == 32
+
+
+def test_gold_code_cross_correlation_bounds():
+    # C/A cross-correlations only take values {-65, -1, 63} (in +/-1 chips).
+    a = ca_code(1).astype(np.int32) * 2 - 1
+    b = ca_code(2).astype(np.int32) * 2 - 1
+    xc = np.fft.ifft(np.fft.fft(a) * np.conj(np.fft.fft(b))).real
+    vals = set(np.round(xc).astype(int))
+    assert vals <= {-65, -1, 63}
+    # And autocorrelation peaks at 1023.
+    ac = np.fft.ifft(np.abs(np.fft.fft(a)) ** 2).real
+    assert round(ac[0]) == PRN_CHIP_COUNT
+
+
+def test_sampled_replica_matches_repeat_at_integer_ratio():
+    # At an integer samples-per-chip ratio, fractional resampling must agree
+    # with chip repetition (the reference's behavior, gypsum/satellite.py:26).
+    for prn in (1, 17, 32):
+        code = ca_code(prn).astype(np.float32) * 2 - 1
+        by_repeat = np.repeat(code, 2)
+        by_resample = sampled_replica(prn, 2046).real
+        np.testing.assert_array_equal(by_repeat, by_resample)
+
+
+def test_sampled_replica_fractional_rate():
+    # A non-integer ratio (e.g. 2.5 Msps) must produce the right chip at each
+    # sample time: chip index = floor(sample * chips_per_sample).
+    spp = 2500
+    rep = sampled_replica(7, spp).real
+    code = ca_code(7).astype(np.float32) * 2 - 1
+    k = np.arange(spp)
+    expected = code[(k * PRN_CHIP_COUNT // spp) % PRN_CHIP_COUNT]
+    np.testing.assert_array_equal(rep, expected)
+
+
+def test_replica_table_consistent_with_single():
+    table = replica_table(2046)
+    assert table.shape == (32, 2046)
+    for prn in ALL_PRN_IDS[:3]:
+        np.testing.assert_array_equal(table[prn - 1], sampled_replica(prn, 2046).real)
+
+
+def test_code_phase_offset_rolls_code():
+    base = sampled_replica(9, 2046).real
+    shifted = sampled_replica(9, 2046, code_phase_chips=3.0).real
+    np.testing.assert_array_equal(shifted, np.roll(base, -6))
+
+
+def test_invalid_prn_rejected():
+    with pytest.raises(ValueError):
+        ca_code(0)
+    with pytest.raises(ValueError):
+        ca_code(33)
