@@ -44,7 +44,27 @@ class AcquisitionConfig:
 
 @dataclass(frozen=True)
 class TrackingConfig:
-    """Scan-based Costas PLL + early/prompt/late DLL (device side)."""
+    """Scan-based Costas PLL + early/prompt/late DLL (device side).
+
+    Deliberate departures from the reference, documented here because they
+    change the numerics (behavior is validated by simulation tests instead of
+    bit-compare):
+
+    - *Normalized* discriminators: Costas error I*Q/(I^2+Q^2) and early-late
+      power (E^2-L^2)/(E^2+L^2), making loop gains independent of signal
+      amplitude. The reference's raw I*Q / (E^2-L^2)/2 discriminators
+      (gypsum/tracker.py:249,297) implicitly assume its recordings' sample
+      levels.
+    - Incremental NCO phase (mod 2*pi per ms) instead of absolute stream time,
+      so float32 device math stays exact over arbitrarily long streams.
+    - Carrier-aided code tracking: the code phase is advanced by the Doppler-
+      implied code rate each ms, leaving the DLL only the residual.
+    - A single normalized lock/quality metric EMA[(I^2-Q^2)/(I^2+Q^2)]
+      replaces the reference's I-pole-variance + covariance-eigenvalue
+      circularity heuristics (gypsum/tracker.py:178-197, utils.py:134-144):
+      it approaches 1 for a locked BPSK constellation and 0 for an unlocked /
+      circular one.
+    """
 
     # Milliseconds of signal processed per device dispatch. The tracker's
     # sequential loop-filter state is carried through a lax.scan of this length.
@@ -54,26 +74,26 @@ class TrackingConfig:
     pll_bandwidth_locked_hz: float = 3.0
     pll_bandwidth_pullin_hz: float = 6.0
     pll_damping_factor: float = 0.7071067811865476  # 1/sqrt(2)
-    # DLL discriminator gain: code phase += disc * gain (samples)
-    # (reference: gypsum/tracker.py:297-298).
-    dll_gain: float = 0.002
-    # Half-width (in samples) of the correlation lag window searched around the
-    # prompt each millisecond. Replaces the reference's full 2046-point FFT
+    # DLL gain: code phase (samples) += gain * normalized early-late disc.
+    dll_gain_samples: float = 0.05
+    # Advance the code phase by -doppler/f_L1 * samples_per_prn each ms.
+    carrier_aiding: bool = True
+    # Half-width (in samples) of the correlation lag window evaluated around
+    # the prompt each millisecond. Replaces the reference's full-length FFT
     # correlation per ms (reference: gypsum/tracker.py:307-313) with a small
     # batched matmul over 2*K+1 lags.
     lag_window_half_width: int = 4
-    # Lock-state heuristics (EMA analogues of the reference's 250 ms sliding
-    # windows, reference: gypsum/tracker.py:157-203, gypsum/config.py:25-27).
+    # Lock-state heuristics: EMA analogues of the reference's 250 ms sliding
+    # windows (reference: gypsum/tracker.py:157-203, gypsum/config.py:25-27),
+    # with thresholds in normalized-discriminator units.
     lock_window_ms: int = 250
-    max_phase_error_variance_for_lock: float = 900.0
-    max_i_peak_variance_for_lock: float = 2.0
-    max_constellation_rotation_deg_for_lock: float = 6.0
-    # Health watchdog cadence + thresholds
-    # (reference: gypsum/tracker.py:370-388).
-    watchdog_period_s: float = 6.0
-    circularity_drop_threshold: float = 0.2
-    circularity_nudge_threshold: float = 0.93
-    doppler_nudge_hz: float = 5.0
+    max_phase_error_variance_for_lock: float = 0.02
+    quality_window_ms: int = 1000
+    min_quality_for_lock: float = 0.5
+    # Health watchdog (reference: gypsum/tracker.py:370-388): after warmup,
+    # quality below the drop threshold flags the channel lost.
+    watchdog_warmup_ms: int = 6000
+    quality_drop_threshold: float = 0.2
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,368 @@
+"""Per-satellite tracking loops as one jitted scan over milliseconds.
+
+Reference behavior being reproduced (gypsum/tracker.py): each millisecond,
+wipe off the carrier with the current Doppler/phase estimate, correlate
+early/prompt/late replicas, update the code phase from an early-late power
+discriminator, update carrier phase and Doppler with a second-order Costas
+loop whose bandwidth depends on lock state, emit the prompt correlation peak
+as a +/-1 pseudosymbol, and watch constellation health to detect lost lock.
+
+TPU-first re-design (see TrackingConfig for the documented numerics changes):
+
+- The 1 kHz Python loop (reference: gypsum/tracker.py:331-389, one satellite
+  at a time) becomes ``lax.scan`` over milliseconds with the loop-filter state
+  as the carry, evaluated for *all* channels simultaneously ([S]-vectorized
+  inside the scan step). One device dispatch processes a whole block
+  (default 1000 ms) for every tracked satellite.
+- No FFTs in the hot path: the correlation is evaluated only on a
+  (2K+1)-sample lag window around the prompt as a batched matmul
+  (the reference computes a full 2046-point FFT correlation per ms per
+  satellite just to read off its peak, gypsum/tracker.py:307-313).
+- All rolling-deque statistics (reference: gypsum/tracker.py:146-155) become
+  exponential moving averages carried through the scan.
+- Lost-lock detection is a flag in the carry (sticky), consumed by the host
+  at block boundaries — the device program never raises.
+
+The host-side ``TrackerBank`` owns channel assignment (satellite <-> slot),
+converts device outputs into timestamped pseudosymbol streams, and mirrors
+the reference's drop/reacquire semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gypsum_tpu.core.config import TrackingConfig
+from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
+from gypsum_tpu.signal.prn import replica_table
+
+_EPS = 1e-12
+
+
+class TrackState(NamedTuple):
+    """Loop-filter carry, one entry per channel ([S]-shaped leaves)."""
+
+    code_phase: jax.Array  # f32, fractional samples in [0, L)
+    carrier_phase: jax.Array  # f32, NCO phase mod 2*pi
+    doppler: jax.Array  # f32 Hz
+    ema_err: jax.Array  # f32 — EMA of the Costas error
+    ema_err_sq: jax.Array  # f32 — EMA of its square (for variance)
+    ema_quality: jax.Array  # f32 — EMA of (I^2-Q^2)/(I^2+Q^2)
+    step_count: jax.Array  # i32 — ms processed since (re)init
+    lost: jax.Array  # bool — sticky lost-lock flag
+
+
+class TrackBlockOutputs(NamedTuple):
+    """Per-millisecond observables, [S, B]-shaped after a block."""
+
+    prompt: jax.Array  # c64 — prompt correlation peak
+    code_phase: jax.Array  # f32 — code phase used for this ms
+    doppler: jax.Array  # f32
+    carrier_phase: jax.Array  # f32
+    pll_error: jax.Array  # f32 — normalized Costas error
+    dll_error: jax.Array  # f32 — normalized early-late discriminator
+    locked: jax.Array  # bool
+    quality: jax.Array  # f32 — EMA lock quality at this ms
+    lost: jax.Array  # bool — sticky
+
+
+def fresh_state(n_channels: int) -> TrackState:
+    z = jnp.zeros((n_channels,), dtype=jnp.float32)
+    return TrackState(
+        code_phase=z,
+        carrier_phase=z,
+        doppler=z,
+        ema_err=z,
+        ema_err_sq=z,
+        ema_quality=z,
+        step_count=jnp.zeros((n_channels,), dtype=jnp.int32),
+        lost=jnp.zeros((n_channels,), dtype=bool),
+    )
+
+
+def make_track_block_fn(
+    config: TrackingConfig,
+    samples_per_prn: int,
+    sample_rate: float,
+    n_channels: int,
+):
+    """Build the jitted block-tracking function.
+
+    Returns ``f(state, samples_block [B, L] c64, replicas_tiled [S, 2L+2K] f32)
+    -> (state', TrackBlockOutputs [S, B])``. B is fixed by
+    ``config.block_size_ms`` at trace time.
+    """
+    cfg = config
+    length = samples_per_prn
+    fs = float(sample_rate)
+    k_half = cfg.lag_window_half_width
+    n_lags = 2 * k_half + 1
+    t_ms = length / fs  # chunk duration (1 ms when fs = 1000 * L)
+
+    zeta = cfg.pll_damping_factor
+
+    def gains(bw):
+        # Second-order loop, update period = one chunk: proportional gain on
+        # the (normalized, ~radian) error, integral gain in Hz per error unit.
+        return 4.0 * zeta * bw * t_ms, 4.0 * (bw**2) * t_ms
+
+    kp_locked, ki_locked = gains(cfg.pll_bandwidth_locked_hz)
+    kp_pullin, ki_pullin = gains(cfg.pll_bandwidth_pullin_hz)
+
+    lam_err = 1.0 / cfg.lock_window_ms
+    lam_q = 1.0 / cfg.quality_window_ms
+    # Code-phase advance per ms implied by carrier Doppler (carrier aiding):
+    # the received code rate scales by (1 + fd/fL1), so the code arrives
+    # earlier by fd/fL1 * L samples each ms.
+    aiding_scale = (length / GPS_L1_FREQUENCY_HZ) if cfg.carrier_aiding else 0.0
+
+    l_over_fs = jnp.arange(length, dtype=jnp.float32) / fs  # [L]
+
+    def window_slices(replicas_wide: jax.Array, base: jax.Array) -> jax.Array:
+        # replicas_wide: [S, 2L + 2K]; base: [S] int32 in [0, L).
+        # One dynamic slice of length L + 2K per channel, then n_lags static
+        # sub-slices (XLA fuses these into views).
+        win = jax.vmap(
+            lambda t, b: jax.lax.dynamic_slice(t, (b,), (length + 2 * k_half,))
+        )(replicas_wide, base)  # [S, L + 2K]
+        return jnp.stack([win[:, k : k + length] for k in range(n_lags)], axis=1)
+
+    def step(replicas_wide: jax.Array, state: TrackState, chunk: jax.Array):
+        # chunk: [L] complex64 — shared by all channels this millisecond.
+        cp_int = jnp.floor(state.code_phase).astype(jnp.int32) % length  # [S]
+
+        # --- carrier wipeoff: x = chunk * e^{-j(theta + 2 pi f l / fs)}
+        phase = state.carrier_phase[:, None] + (
+            2.0 * jnp.pi * state.doppler[:, None] * l_over_fs[None, :]
+        )  # [S, L]
+        wipe = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
+        x = chunk[None, :] * wipe  # [S, L]
+
+        # --- lag-window correlation around the prompt (batched matmul).
+        base = jnp.mod(length - cp_int - k_half, length)  # [S]
+        wide = window_slices(replicas_wide, base)  # [S, n_lags, L]
+        corr = jnp.einsum("skl,sl->sk", wide, x)  # [S, n_lags] c64
+
+        power = jnp.abs(corr) ** 2  # [S, n_lags]
+        early = power[:, k_half - 1]
+        late = power[:, k_half + 1]
+        peak_idx = jnp.argmax(power, axis=-1)
+        prompt = jnp.take_along_axis(corr, peak_idx[:, None], axis=-1)[:, 0]  # [S]
+
+        # --- DLL: normalized early-late power discriminator. Positive means
+        # the true peak sits earlier than the prompt -> decrease code phase.
+        dll_err = (early - late) / (early + late + _EPS)
+        code_phase = state.code_phase - cfg.dll_gain_samples * dll_err
+        code_phase = code_phase - aiding_scale * state.doppler
+        code_phase = jnp.mod(code_phase, jnp.float32(length))
+
+        # --- Costas PLL on the prompt peak (insensitive to BPSK flips).
+        i, q = jnp.real(prompt), jnp.imag(prompt)
+        pll_err = (i * q) / (i * i + q * q + _EPS)  # ~ 0.5 sin(2 theta)
+
+        # Lock metrics: bias-corrected EMAs (the raw EMA starts at zero, so
+        # dividing by 1-(1-lambda)^n removes the warm-up bias — the corrected
+        # value estimates the true windowed mean from the first step).
+        n = (state.step_count + 1).astype(jnp.float32)
+        corr_err = 1.0 - jnp.exp(n * np.log1p(-lam_err))
+        corr_q = 1.0 - jnp.exp(n * np.log1p(-lam_q))
+        ema_err = state.ema_err + lam_err * (pll_err - state.ema_err)
+        ema_err_sq = state.ema_err_sq + lam_err * (pll_err**2 - state.ema_err_sq)
+        err_var = ema_err_sq / corr_err - (ema_err / corr_err) ** 2
+        quality_inst = (i * i - q * q) / (i * i + q * q + _EPS)
+        ema_quality_raw = state.ema_quality + lam_q * (quality_inst - state.ema_quality)
+        ema_quality = ema_quality_raw / corr_q
+
+        warmed = state.step_count >= cfg.lock_window_ms
+        locked = warmed & (err_var < cfg.max_phase_error_variance_for_lock) & (
+            ema_quality > cfg.min_quality_for_lock
+        )
+
+        kp = jnp.where(locked, kp_locked, kp_pullin)
+        ki = jnp.where(locked, ki_locked, ki_pullin)
+        # NCO advance for the elapsed chunk (using the Doppler the chunk was
+        # wiped with), then the loop correction.
+        two_pi = 2.0 * jnp.pi
+        carrier_phase = jnp.mod(
+            state.carrier_phase + two_pi * state.doppler * t_ms + kp * pll_err, two_pi
+        )
+        doppler = state.doppler + ki * pll_err
+
+        # Watchdog (reference: gypsum/tracker.py:370-388): sticky lost flag
+        # once the quality EMA collapses after warmup.
+        watchdog_armed = state.step_count >= cfg.watchdog_warmup_ms
+        lost = state.lost | (watchdog_armed & (ema_quality < cfg.quality_drop_threshold))
+
+        new_state = TrackState(
+            code_phase=code_phase,
+            carrier_phase=carrier_phase,
+            doppler=doppler,
+            ema_err=ema_err,
+            ema_err_sq=ema_err_sq,
+            ema_quality=ema_quality_raw,
+            step_count=state.step_count + 1,
+            lost=lost,
+        )
+        outputs = TrackBlockOutputs(
+            prompt=prompt,
+            code_phase=state.code_phase,
+            doppler=state.doppler,
+            carrier_phase=state.carrier_phase,
+            pll_error=pll_err,
+            dll_error=dll_err,
+            locked=locked,
+            quality=ema_quality,
+            lost=lost,
+        )
+        return new_state, outputs
+
+    def track_block(state: TrackState, samples_block: jax.Array, replicas_wide: jax.Array):
+        new_state, outs = jax.lax.scan(
+            lambda st, chunk: step(replicas_wide, st, chunk), state, samples_block
+        )
+        # scan stacks along the leading (ms) axis: [B, S, ...] -> [S, B, ...].
+        outs = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, 1), outs)
+        return new_state, outs
+
+    return jax.jit(track_block)
+
+
+@dataclass
+class ChannelObservation:
+    """Host-side view of one channel's block outputs, timestamped."""
+
+    prn: int
+    slot: int
+    # Arrays of length B (block size in ms):
+    pseudosymbol_signs: np.ndarray  # int8 +/-1
+    start_times: np.ndarray  # f64 — code-phase-corrected leading edges
+    end_times: np.ndarray  # f64
+    prompts: np.ndarray  # c64
+    code_phases: np.ndarray  # f32
+    dopplers: np.ndarray  # f32
+    locked: np.ndarray  # bool
+    quality: np.ndarray  # f32
+    lost: bool  # sticky lost-lock flag at block end
+
+
+class TrackerBank:
+    """Host orchestration of a fixed bank of tracking channels.
+
+    Channels are static slots (device arrays have fixed [S] shapes); a slot is
+    bound to a PRN at acquisition and freed on lost lock — the analogue of the
+    reference's per-satellite pipeline dict
+    (reference: gypsum/receiver.py:70-72,225-256).
+    """
+
+    def __init__(
+        self,
+        sample_rate: float,
+        samples_per_prn: int,
+        config: TrackingConfig | None = None,
+        n_channels: int = 12,
+    ) -> None:
+        self.config = config or TrackingConfig()
+        self.sample_rate = float(sample_rate)
+        self.samples_per_prn = int(samples_per_prn)
+        self.n_channels = n_channels
+        self._fn = make_track_block_fn(
+            self.config, self.samples_per_prn, self.sample_rate, n_channels
+        )
+        k = self.config.lag_window_half_width
+        reps = replica_table(self.samples_per_prn)  # [32, L]
+        self._replicas_wide = np.concatenate(
+            [reps, reps, reps[:, : 2 * k]], axis=1
+        ).astype(np.float32)  # [32, 2L + 2K]
+        self.state = fresh_state(n_channels)
+        self.slot_prn: list[int | None] = [None] * n_channels
+
+    # ----------------------------------------------------------- assignment
+
+    def assign(
+        self,
+        prn: int,
+        doppler_hz: float,
+        code_phase_samples: float,
+        carrier_phase_rad: float,
+    ) -> int:
+        """Bind a free slot to a newly acquired satellite; returns the slot."""
+        try:
+            slot = self.slot_prn.index(None)
+        except ValueError:
+            raise RuntimeError("no free tracking channels") from None
+        self.slot_prn[slot] = prn
+        s = self.state
+        self.state = TrackState(
+            code_phase=s.code_phase.at[slot].set(code_phase_samples),
+            carrier_phase=s.carrier_phase.at[slot].set(carrier_phase_rad % (2 * np.pi)),
+            doppler=s.doppler.at[slot].set(doppler_hz),
+            ema_err=s.ema_err.at[slot].set(0.0),
+            ema_err_sq=s.ema_err_sq.at[slot].set(0.0),
+            ema_quality=s.ema_quality.at[slot].set(0.0),
+            step_count=s.step_count.at[slot].set(0),
+            lost=s.lost.at[slot].set(False),
+        )
+        return slot
+
+    def release(self, slot: int) -> None:
+        self.slot_prn[slot] = None
+        self.state = self.state._replace(lost=self.state.lost.at[slot].set(False))
+
+    @property
+    def active_slots(self) -> list[int]:
+        return [i for i, p in enumerate(self.slot_prn) if p is not None]
+
+    @property
+    def tracked_prns(self) -> list[int]:
+        return [p for p in self.slot_prn if p is not None]
+
+    # ------------------------------------------------------------ processing
+
+    def process_block(self, samples_block: np.ndarray, block_start_time: float) -> list[ChannelObservation]:
+        """Track one [B, L] block; returns observations for active channels.
+
+        ``block_start_time`` is the receiver timestamp (s) of the block's first
+        sample; pseudosymbol timestamps are code-phase corrected exactly like
+        the reference (gypsum/tracker.py:319-328).
+        """
+        b = samples_block.shape[0]
+        prn_idx = np.array(
+            [(p - 1) if p is not None else 0 for p in self.slot_prn], dtype=np.int32
+        )
+        replicas = jnp.asarray(self._replicas_wide[prn_idx])
+        self.state, outs = self._fn(
+            self.state, jnp.asarray(samples_block, dtype=jnp.complex64), replicas
+        )
+        outs = jax.device_get(outs)
+
+        observations = []
+        ms = np.arange(b, dtype=np.float64) * (self.samples_per_prn / self.sample_rate)
+        for slot in self.active_slots:
+            delay = (
+                outs.code_phase[slot].astype(np.float64) / self.samples_per_prn
+            ) * (self.samples_per_prn / self.sample_rate)
+            starts = block_start_time + ms + delay
+            ends = starts + (self.samples_per_prn / self.sample_rate)
+            signs = np.sign(outs.prompt[slot].real).astype(np.int8)
+            signs[signs == 0] = 1
+            observations.append(
+                ChannelObservation(
+                    prn=self.slot_prn[slot],
+                    slot=slot,
+                    pseudosymbol_signs=signs,
+                    start_times=starts,
+                    end_times=ends,
+                    prompts=outs.prompt[slot],
+                    code_phases=outs.code_phase[slot],
+                    dopplers=outs.doppler[slot],
+                    locked=outs.locked[slot],
+                    quality=outs.quality[slot],
+                    lost=bool(outs.lost[slot][-1]),
+                )
+            )
+        return observations
