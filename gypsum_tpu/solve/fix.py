@@ -1,0 +1,48 @@
+"""Position/time solve: Newton's method on squared-range residuals.
+
+Same mathematical formulation as the reference (squared-distance residuals
+with analytic Jacobian over (x, y, z, clock bias),
+gypsum/world_model.py:489-551) with one robustness upgrade: the linear step
+uses least squares, so any number >= 4 of satellites contributes (the
+reference's np.linalg.solve requires exactly four).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gypsum_tpu.core.constants import SPEED_OF_LIGHT_M_PER_S as C
+
+
+def solve_position(
+    sat_positions: np.ndarray,  # [N, 3] ECEF meters
+    pseudo_transit_times: np.ndarray,  # [N] seconds (includes receiver bias)
+    initial_position: np.ndarray | None = None,
+    initial_bias: float = 0.0,
+    iterations: int = 20,
+) -> tuple[np.ndarray, float]:
+    """Returns (receiver_ecef [3], clock_bias_seconds).
+
+    Residual_i = |p - s_i|^2 - (c (t_i - b))^2 — driving all residuals to zero
+    places the receiver on every satellite's range sphere simultaneously.
+    """
+    sats = np.asarray(sat_positions, dtype=np.float64)
+    times = np.asarray(pseudo_transit_times, dtype=np.float64)
+    if sats.shape[0] < 4:
+        raise ValueError(f"need >= 4 satellites, got {sats.shape[0]}")
+
+    pos = np.zeros(3) if initial_position is None else np.asarray(initial_position, dtype=np.float64).copy()
+    bias = float(initial_bias)
+
+    for _ in range(iterations):
+        diff = pos[None, :] - sats  # [N, 3]
+        ranges_sq = np.sum(diff * diff, axis=1)
+        light = C * (times - bias)
+        residuals = ranges_sq - light * light
+        jacobian = np.concatenate(
+            [2.0 * diff, (2.0 * C * C * (times - bias))[:, None]], axis=1
+        )  # [N, 4]
+        step, *_ = np.linalg.lstsq(jacobian, -residuals, rcond=None)
+        pos += step[:3]
+        bias += step[3]
+    return pos, bias

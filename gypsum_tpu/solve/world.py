@@ -1,0 +1,228 @@
+"""The receiver's world model: satellite time bases, ephemerides, fixes.
+
+Behavioral mirror of the reference's GpsWorldModel (gypsum/world_model.py):
+
+- each tracked SV's sub-20 ms time base is a count of observed PRN ticks
+  since its last handover word (1 tick = 1 ms), reset on every subframe
+  (reference :297-312, :716-718);
+- the receiver clock slide (receiver time -> GPS time-of-week offset) is
+  re-estimated from every subframe: slide = TOW - trailing-edge receiver
+  timestamp (reference :749-766), then refined by each fix round;
+- a fix needs >= 4 SVs with complete ephemerides whose handover word is at
+  most 6000 PRN ticks old (reference :567-589);
+- the solve runs ``outer_rounds`` rounds, updating the clock slide by the
+  solved bias each round (reference :591-633).
+
+Ephemeris completion is per-(IODE-consistent) subframes 1+2+3 rather than the
+reference's 27-parameter progressive dict.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from gypsum_tpu.core.config import SolverConfig
+from gypsum_tpu.core.constants import ONE_MILLISECOND
+from gypsum_tpu.core.events import Event
+from gypsum_tpu.nav.frames import EmitSubframeEvent
+from gypsum_tpu.nav.subframes import (
+    GpsSubframeId,
+    Subframe1,
+    Subframe2,
+    Subframe3,
+)
+from gypsum_tpu.solve.ephemeris import (
+    Ephemeris,
+    clock_correction,
+    ephemeris_from_subframes,
+    satellite_position,
+)
+from gypsum_tpu.solve.fix import solve_position
+from gypsum_tpu.solve.geodesy import ecef_to_lla
+
+_logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class ReceiverSolution:
+    """reference: gypsum/world_model.py:91-94."""
+
+    clock_bias_s: float
+    ecef: np.ndarray  # [3] meters
+    lat_deg: float
+    lon_deg: float
+    alt_m: float
+    satellites_used: tuple[int, ...]
+    receiver_timestamp: float
+
+
+@dataclass(frozen=True)
+class DeterminedSatelliteOrbitEvent(Event):
+    """reference: gypsum/world_model.py:263-270."""
+
+    prn: int
+    ephemeris: Ephemeris
+
+
+@dataclass
+class _SatelliteRecord:
+    sf1: Subframe1 | None = None
+    sf2: Subframe2 | None = None
+    sf3: Subframe3 | None = None
+    ephemeris: Ephemeris | None = None
+    # Time base
+    tow_at_last_subframe: float | None = None  # s of week (next-subframe edge)
+    prn_ticks_since_subframe: int = 0
+    counting: bool = False
+    code_phase_delay_s: float = 0.0  # sub-ms arrival offset of the PRN edge
+
+    def try_complete(self) -> Ephemeris | None:
+        if self.sf1 is None or self.sf2 is None or self.sf3 is None:
+            return None
+        was = self.ephemeris
+        self.ephemeris = ephemeris_from_subframes(self.sf1, self.sf2, self.sf3)
+        return self.ephemeris if was is None else None
+
+
+class WorldModel:
+    def __init__(self, config: SolverConfig | None = None) -> None:
+        self.config = config or SolverConfig()
+        self._sats: dict[int, _SatelliteRecord] = {}
+        self.receiver_clock_slide: float | None = None
+        self.position_fixes: list[ReceiverSolution] = []
+
+    def _record(self, prn: int) -> _SatelliteRecord:
+        if prn not in self._sats:
+            self._sats[prn] = _SatelliteRecord()
+        return self._sats[prn]
+
+    # ------------------------------------------------------------ ingestion
+
+    def handle_prn_observed(self, prn: int, code_phase_delay_s: float, count: int = 1) -> None:
+        """Record ``count`` observed PRN ticks (1 ms each) for a satellite
+        (reference: gypsum/world_model.py:297-312). ``code_phase_delay_s`` is
+        the tracker's current code phase expressed as a sub-millisecond
+        arrival delay (code_phase_samples / sample_rate)."""
+        rec = self._record(prn)
+        if rec.counting:
+            rec.prn_ticks_since_subframe += count
+        rec.code_phase_delay_s = code_phase_delay_s
+
+    def handle_subframe_emitted(self, prn: int, event: EmitSubframeEvent) -> list[Event]:
+        """A decoded subframe resets the SV's PRN-tick time base and updates
+        the clock slide (reference: gypsum/world_model.py:707-807)."""
+        rec = self._record(prn)
+        decoded = event.decoded
+        # The HOW holds the TOW of the *next* subframe's leading edge; having
+        # just consumed this subframe, we are at that edge (reference
+        # :726-732).
+        tow_s = decoded.handover.time_of_week_seconds
+        rec.tow_at_last_subframe = tow_s
+        rec.prn_ticks_since_subframe = 0
+        rec.counting = True
+        # Re-synchronize the receiver clock slide on every subframe
+        # (reference :749-752 — the `or True` makes it every subframe).
+        self.receiver_clock_slide = tow_s - event.trailing_edge_receiver_timestamp
+
+        sf = decoded.subframe
+        if decoded.handover.subframe_id == GpsSubframeId.ONE:
+            rec.sf1 = sf
+        elif decoded.handover.subframe_id == GpsSubframeId.TWO:
+            rec.sf2 = sf
+        elif decoded.handover.subframe_id == GpsSubframeId.THREE:
+            rec.sf3 = sf
+        newly_complete = rec.try_complete()
+        if newly_complete is not None:
+            _logger.info("determined orbit of PRN %d", prn)
+            return [DeterminedSatelliteOrbitEvent(prn=prn, ephemeris=newly_complete)]
+        return []
+
+    def handle_lost_satellite_lock(self, prn: int) -> None:
+        """PRN counting is no longer reliable; invalidate the SV's time base
+        but keep its ephemeris (reference: gypsum/world_model.py:314-328)."""
+        rec = self._record(prn)
+        rec.counting = False
+        rec.prn_ticks_since_subframe = 0
+        rec.tow_at_last_subframe = None
+
+    # ------------------------------------------------------------- queries
+
+    def satellites_with_ephemeris(self) -> list[int]:
+        return [p for p, r in self._sats.items() if r.ephemeris is not None]
+
+    def _fix_ready_satellites(self) -> list[int]:
+        cfg = self.config
+        out = []
+        for prn, rec in self._sats.items():
+            if (
+                rec.ephemeris is not None
+                and rec.counting
+                and rec.tow_at_last_subframe is not None
+                and rec.prn_ticks_since_subframe <= cfg.max_prn_ticks_since_handover
+            ):
+                out.append(prn)
+        return out
+
+    def observed_sv_time_of_week(self, prn: int) -> float:
+        """The SV's emitted time at the receiver's current stream position:
+        TOW at the last handover + 1 ms per PRN tick since, minus the SV clock
+        error (reference: gypsum/world_model.py:635-705)."""
+        rec = self._sats[prn]
+        t = rec.tow_at_last_subframe + ONE_MILLISECOND * rec.prn_ticks_since_subframe
+        delta = clock_correction(
+            rec.ephemeris, t, iterations=self.config.clock_correction_iterations
+        )
+        return t - float(delta)
+
+    # ---------------------------------------------------------------- solve
+
+    def attempt_position_fix(self, receiver_timestamp: float) -> ReceiverSolution | None:
+        prns = self._fix_ready_satellites()
+        if len(prns) < 4 or self.receiver_clock_slide is None:
+            return None
+        return self._compute_position(receiver_timestamp, prns)
+
+    def _compute_position(self, receiver_timestamp: float, prns: list[int]) -> ReceiverSolution:
+        cfg = self.config
+        pos = np.zeros(3)
+        bias = 0.0
+        for _ in range(cfg.outer_rounds):
+            sat_pos = np.empty((len(prns), 3))
+            transit = np.empty(len(prns))
+            for i, prn in enumerate(prns):
+                rec = self._sats[prn]
+                sv_tow = self.observed_sv_time_of_week(prn)
+                # Pseudo transit time = receiver's GPS-frame arrival time of
+                # the current PRN edge minus the SV's emitted time (reference:
+                # gypsum/world_model.py:362-377). Unlike the reference, the
+                # per-SV sub-millisecond code-phase delay is included — in the
+                # reference's formulation it cancels out of the tick/slide
+                # arithmetic, quantizing inter-satellite pseudorange
+                # differences to whole milliseconds (~300 km of range).
+                arrival = receiver_timestamp + rec.code_phase_delay_s
+                transit[i] = (self.receiver_clock_slide + arrival) - sv_tow
+                sat_pos[i] = satellite_position(
+                    rec.ephemeris, sv_tow, kepler_iterations=cfg.kepler_iterations
+                )
+            pos, bias = solve_position(
+                sat_pos, transit, initial_position=pos, initial_bias=bias,
+                iterations=cfg.newton_iterations,
+            )
+            # Each round folds the solved bias back into the clock slide
+            # (reference: gypsum/world_model.py:631).
+            self.receiver_clock_slide -= bias
+        lat, lon, alt = ecef_to_lla(pos)
+        solution = ReceiverSolution(
+            clock_bias_s=bias,
+            ecef=pos,
+            lat_deg=lat,
+            lon_deg=lon,
+            alt_m=alt,
+            satellites_used=tuple(prns),
+            receiver_timestamp=receiver_timestamp,
+        )
+        self.position_fixes.append(solution)
+        return solution

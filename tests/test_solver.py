@@ -1,0 +1,207 @@
+"""Solver-layer tests: Kepler/ECEF propagation vs an analytic oracle, clock
+correction, Newton fix on synthetic geometry, geodesy, and a full world-model
+fix through the real ingestion path (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from gypsum_tpu.core.config import SolverConfig
+from gypsum_tpu.core.constants import (
+    EARTH_GRAVITATIONAL_PARAM,
+    EARTH_ROTATION_RATE_RAD_PER_S,
+    SPEED_OF_LIGHT_M_PER_S as C,
+)
+from gypsum_tpu.nav.frames import EmitSubframeEvent
+from gypsum_tpu.nav.subframes import decode_subframe, encode_subframe
+from gypsum_tpu.solve.ephemeris import (
+    Ephemeris,
+    clock_correction,
+    eccentric_anomaly,
+    satellite_position,
+)
+from gypsum_tpu.solve.fix import solve_position
+from gypsum_tpu.solve.geodesy import ecef_to_lla, lla_to_ecef
+from gypsum_tpu.solve.world import WorldModel
+from tests.ephemeris_fixtures import TEST_EPHEMERIDES, subframes_for_ephemeris
+
+
+def _circular_ephemeris(omega0=0.3, m0=1.1, i0=0.96) -> Ephemeris:
+    return Ephemeris(
+        sqrt_a=np.sqrt(26_560_000.0), eccentricity=0.0, i0=i0, omega0=omega0,
+        omega=0.0, m0=m0, delta_n=0.0, idot=0.0, omega_dot=0.0,
+        cuc=0.0, cus=0.0, crc=0.0, crs=0.0, cic=0.0, cis=0.0, t_oe=0.0,
+        a_f0=0.0, a_f1=0.0, a_f2=0.0, t_oc=0.0, t_gd=0.0,
+    )
+
+
+def test_satellite_position_matches_analytic_circular_orbit():
+    """For e=0 with no perturbations the ICD algorithm reduces to a circle
+    rotated into the orbital plane — checkable in closed form."""
+    eph = _circular_ephemeris()
+    a = eph.semi_major_axis
+    n = np.sqrt(EARTH_GRAVITATIONAL_PARAM / a**3)
+    for t in (0.0, 1234.5, 40000.0):
+        u = eph.m0 + n * t  # argument of latitude (e=0, omega=0)
+        omega_k = eph.omega0 - EARTH_ROTATION_RATE_RAD_PER_S * t  # t_oe = 0
+        xo, yo = a * np.cos(u), a * np.sin(u)
+        want = np.array([
+            xo * np.cos(omega_k) - yo * np.cos(eph.i0) * np.sin(omega_k),
+            xo * np.sin(omega_k) + yo * np.cos(eph.i0) * np.cos(omega_k),
+            yo * np.sin(eph.i0),
+        ])
+        got = satellite_position(eph, t)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_orbit_radius_and_period():
+    eph = TEST_EPHEMERIDES[0]
+    t = np.linspace(0, 86400, 500)
+    pos = satellite_position(eph, t)
+    r = np.linalg.norm(pos, axis=-1)
+    a, e = eph.semi_major_axis, eph.eccentricity
+    assert r.min() > a * (1 - e) - 50e3
+    assert r.max() < a * (1 + e) + 50e3
+
+
+def test_eccentric_anomaly_solves_kepler():
+    eph = TEST_EPHEMERIDES[0]
+    tk = 5000.0
+    ek = eccentric_anomaly(eph, tk, iterations=20)
+    n = np.sqrt(EARTH_GRAVITATIONAL_PARAM / eph.semi_major_axis**3) + eph.delta_n
+    m = eph.m0 + n * tk
+    np.testing.assert_allclose(ek - eph.eccentricity * np.sin(ek), m, atol=1e-10)
+
+
+def test_clock_correction_polynomial_and_tgd():
+    eph = _circular_ephemeris()
+    eph = Ephemeris(**{**eph.__dict__, "a_f0": 1e-4, "a_f1": 1e-11,
+                       "t_oc": 1000.0, "t_gd": 5e-9})
+    t = 4000.0
+    # e = 0 -> no relativistic term.
+    want = 1e-4 + 1e-11 * (t - 1000.0) - 5e-9
+    np.testing.assert_allclose(float(clock_correction(eph, t)), want, atol=1e-15)
+
+
+def test_clock_correction_af2_is_icd_correct():
+    # delta = af2 * (t-toc)^2, NOT (af2*(t-toc))^2 (reference bug,
+    # gypsum/world_model.py:701).
+    eph = _circular_ephemeris()
+    eph = Ephemeris(**{**eph.__dict__, "a_f2": 1e-12, "t_oc": 0.0})
+    t = 100.0
+    np.testing.assert_allclose(float(clock_correction(eph, t)), 1e-12 * t * t, atol=1e-18)
+
+
+def test_relativistic_term_sign_and_magnitude():
+    eph = TEST_EPHEMERIDES[0]
+    t = np.linspace(0, 43200, 100)
+    delta = clock_correction(eph, t) - clock_correction(
+        Ephemeris(**{**eph.__dict__, "eccentricity": 0.0}), t
+    )
+    # |dt_rel| <= F * e * sqrt(A): a few tens of ns for typical e.
+    bound = abs(-4.442807633e-10 * eph.eccentricity * eph.sqrt_a)
+    assert np.abs(delta).max() <= bound * 1.01
+    assert np.abs(delta).max() > bound * 0.5  # sin sweeps near +/-1
+
+
+# ------------------------------------------------------------------- Newton
+
+
+def test_newton_recovers_known_position(rng):
+    truth = lla_to_ecef(51.5, -0.1, 80.0)
+    bias = 0.0023
+    sats = np.array([
+        lla_to_ecef(60.0, 10.0, 20_200e3),
+        lla_to_ecef(30.0, -40.0, 20_200e3),
+        lla_to_ecef(45.0, 30.0, 20_200e3),
+        lla_to_ecef(70.0, -60.0, 20_200e3),
+        lla_to_ecef(20.0, 5.0, 20_200e3),
+    ])
+    transit = np.linalg.norm(sats - truth, axis=1) / C + bias
+    pos, b = solve_position(sats, transit)
+    np.testing.assert_allclose(pos, truth, atol=1e-3)
+    np.testing.assert_allclose(b, bias, atol=1e-12)
+
+
+def test_newton_requires_four_satellites():
+    with pytest.raises(ValueError):
+        solve_position(np.zeros((3, 3)), np.zeros(3))
+
+
+def test_geodesy_roundtrip():
+    for lat, lon, alt in [(51.5, -0.1, 80.0), (-33.9, 151.2, 10.0), (0.0, 0.0, 0.0),
+                          (89.0, 45.0, 1000.0)]:
+        ecef = lla_to_ecef(lat, lon, alt)
+        lat2, lon2, alt2 = ecef_to_lla(ecef)
+        np.testing.assert_allclose([lat2, lon2], [lat, lon], atol=1e-9)
+        np.testing.assert_allclose(alt2, alt, atol=1e-6)
+
+
+# ------------------------------------------------------ world-model fix
+
+
+def test_world_model_full_fix_from_constructed_observations():
+    """Feed the world model real decoded subframes + PRN ticks constructed to
+    be geometrically consistent with a known receiver position, through the
+    same ingestion path the live receiver uses; the fix must recover the
+    position."""
+    truth = lla_to_ecef(51.5, -0.1, 80.0)
+    t_gps = 3600.0 * 6  # GPS time-of-week "now"
+    r_ts = 50.0  # receiver stream timestamp "now"
+    delta_frames = t_gps - r_ts
+
+    world = WorldModel(SolverConfig())
+    used_ephs = TEST_EPHEMERIDES[:4]
+    for sv_idx, eph in enumerate(used_ephs):
+        prn = sv_idx + 1
+        # Emission time of the signal arriving at t_gps (fixed point).
+        t_em = t_gps
+        for _ in range(4):
+            tau = np.linalg.norm(satellite_position(eph, t_em) - truth) / C
+            t_em = t_gps - tau
+        dtsv = float(clock_correction(eph, t_em))
+        # SV-clock time of the PRN edge that arrived 1 ms before "now":
+        v = t_gps - 1e-3 - tau + dtsv
+        tow = 6.0 * np.floor(v / 6.0)
+        cpd = (-v) % 1e-3  # sub-ms arrival offset making the tick count whole
+        ticks = int(round((v + cpd - tow) / 1e-3))
+        assert 0 <= ticks <= 6000
+
+        # Ingest subframes 1..3 through the real path; each ends at a
+        # receiver timestamp consistent with slide = delta_frames.
+        sf1, sf2, sf3 = subframes_for_ephemeris(eph)
+        for k, payload in enumerate([sf1, sf2, sf3]):
+            sub_tow = tow - 6.0 * (2 - k)
+            bits = encode_subframe(payload, tow_count=int(sub_tow / 6))
+            event = EmitSubframeEvent(
+                receiver_timestamp=sub_tow - delta_frames - 6.0,
+                trailing_edge_receiver_timestamp=sub_tow - delta_frames,
+                decoded=decode_subframe(bits),
+            )
+            world.handle_subframe_emitted(prn, event)
+        world.handle_prn_observed(prn, cpd, count=ticks)
+
+    solution = world.attempt_position_fix(r_ts)
+    assert solution is not None
+    err = np.linalg.norm(solution.ecef - truth)
+    assert err < 30.0, f"position error {err:.1f} m"
+    assert solution.lat_deg == pytest.approx(51.5, abs=0.001)
+    assert solution.lon_deg == pytest.approx(-0.1, abs=0.001)
+
+
+def test_world_model_gates():
+    world = WorldModel()
+    assert world.attempt_position_fix(1.0) is None  # nothing tracked
+    # Lost lock invalidates the time base but keeps the ephemeris.
+    eph = TEST_EPHEMERIDES[0]
+    sf1, sf2, sf3 = subframes_for_ephemeris(eph)
+    for k, payload in enumerate([sf1, sf2, sf3]):
+        bits = encode_subframe(payload, tow_count=100 + k)
+        ev = EmitSubframeEvent(6.0 * k, 6.0 * (k + 1),
+                               decoded=decode_subframe(bits))
+        events = world.handle_subframe_emitted(1, ev)
+    assert world.satellites_with_ephemeris() == [1]
+    assert events, "completing subframes 1-3 should emit a determined-orbit event"
+    world.handle_lost_satellite_lock(1)
+    assert world._sats[1].ephemeris is not None
+    assert not world._sats[1].counting
+    assert world.attempt_position_fix(20.0) is None
