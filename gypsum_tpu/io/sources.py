@@ -1,0 +1,197 @@
+"""Streaming IQ sample sources.
+
+Reference parity: gypsum/antenna_sample_provider.py + gypsum/radio_input.py,
+re-designed for block-based device dispatch:
+
+- sources deliver whole [n_ms, samples_per_prn] blocks (one tracker dispatch),
+  not 1 ms python ticks;
+- recordings are described by a JSON sidecar (``<capture>.json``) instead of a
+  hard-coded in-code registry (the reference requires editing
+  radio_input.py:101-111 to add an input);
+- the file reader memory-maps the capture and deinterleaves I/Q lazily; a
+  native C++ fast path (io/native) is used when built, with this numpy
+  implementation as the fallback;
+- non-integer-multiple sample rates are accepted when a decimating front end
+  is configured (the reference rejects them,
+  antenna_sample_provider.py:27,134-135).
+"""
+
+from __future__ import annotations
+
+import json
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from gypsum_tpu.core.constants import PRN_REPETITIONS_PER_SECOND
+from gypsum_tpu.core.events import NoMoreSamplesError
+
+_DTYPE_NAMES = {
+    "float32": np.float32,
+    "int16": np.int16,
+    "int8": np.int8,
+    "uint8": np.uint8,
+}
+
+
+@dataclass(frozen=True)
+class StreamAttributes:
+    """reference: gypsum/antenna_sample_provider.py:24-28."""
+
+    sample_rate: float
+    samples_per_prn: int
+
+
+@dataclass(frozen=True)
+class RecordingInfo:
+    """Metadata describing a raw interleaved-IQ capture."""
+
+    path: Path
+    sample_rate: float
+    component_dtype: type = np.float32  # per I/Q component
+    # DC offset applied to integer formats (e.g. 127.5 for rtl-sdr uint8).
+    component_offset: float = 0.0
+    utc_start_time: float = 0.0
+
+    @classmethod
+    def from_sidecar(cls, capture_path: str | Path) -> "RecordingInfo":
+        """Load ``<capture>.json`` written next to the capture file:
+        {"sample_rate": 2046000.0, "dtype": "float32", "offset": 0.0}."""
+        capture_path = Path(capture_path)
+        sidecar = capture_path.with_suffix(capture_path.suffix + ".json")
+        if not sidecar.exists():
+            raise FileNotFoundError(
+                f"no metadata sidecar {sidecar}; describe the capture with "
+                '{"sample_rate": ..., "dtype": "float32|int16|int8|uint8"}'
+            )
+        meta = json.loads(sidecar.read_text())
+        return cls(
+            path=capture_path,
+            sample_rate=float(meta["sample_rate"]),
+            component_dtype=_DTYPE_NAMES[meta.get("dtype", "float32")],
+            component_offset=float(meta.get("offset", 0.0)),
+            utc_start_time=float(meta.get("utc_start_time", 0.0)),
+        )
+
+    @classmethod
+    def gnu_radio_2x(cls, path: str | Path) -> "RecordingInfo":
+        """GNU Radio float32 recording at 2.046 Msps (the reference's primary
+        format, gypsum/radio_input.py:45-60)."""
+        return cls(path=Path(path), sample_rate=2.046e6)
+
+
+class SampleSource(ABC):
+    """Block-oriented IQ stream (reference ABC:
+    gypsum/antenna_sample_provider.py:38-53)."""
+
+    @property
+    @abstractmethod
+    def attributes(self) -> StreamAttributes: ...
+
+    @abstractmethod
+    def read_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        """Consume ``n_ms`` milliseconds; returns (start_timestamp_s,
+        [n_ms, samples_per_prn] complex64). Raises NoMoreSamplesError when
+        the stream cannot fill a whole block."""
+
+    @abstractmethod
+    def peek_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        """Like read_block without consuming."""
+
+    @property
+    @abstractmethod
+    def seconds_consumed(self) -> float: ...
+
+
+class ArraySampleSource(SampleSource):
+    """In-memory IQ (synthetic captures, tests)."""
+
+    def __init__(self, iq: np.ndarray, sample_rate: float) -> None:
+        self._iq = np.ascontiguousarray(iq, dtype=np.complex64)
+        self._rate = float(sample_rate)
+        self._spp = int(round(sample_rate / PRN_REPETITIONS_PER_SECOND))
+        self._cursor = 0
+
+    @property
+    def attributes(self) -> StreamAttributes:
+        return StreamAttributes(self._rate, self._spp)
+
+    @property
+    def seconds_consumed(self) -> float:
+        return self._cursor / self._rate
+
+    def peek_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        n = n_ms * self._spp
+        if self._cursor + n > len(self._iq):
+            raise NoMoreSamplesError(
+                f"exhausted at {self.seconds_consumed:.3f}s"
+            )
+        ts = self._cursor / self._rate
+        return ts, self._iq[self._cursor : self._cursor + n].reshape(n_ms, self._spp)
+
+    def read_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        ts, block = self.peek_block(n_ms)
+        self._cursor += n_ms * self._spp
+        return ts, block
+
+
+class FileSampleSource(SampleSource):
+    """Memory-mapped interleaved-IQ capture file.
+
+    The capture holds interleaved I/Q components (2 words per complex sample,
+    reference: gypsum/antenna_sample_provider.py:100-119). Deinterleaving and
+    dtype conversion happen per block; when the native C++ reader is built it
+    takes over this conversion (see io/native.py).
+    """
+
+    def __init__(self, info: RecordingInfo) -> None:
+        self.info = info
+        self._rate = float(info.sample_rate)
+        self._spp = int(round(self._rate / PRN_REPETITIONS_PER_SECOND))
+        self._words = np.memmap(info.path, dtype=info.component_dtype, mode="r")
+        self._n_samples = len(self._words) // 2
+        self._cursor = 0
+        self._native = None
+        try:
+            from gypsum_tpu.io.native import NativeIqReader
+
+            self._native = NativeIqReader(info)
+        except Exception:  # pragma: no cover - native build unavailable
+            self._native = None
+
+    @property
+    def attributes(self) -> StreamAttributes:
+        return StreamAttributes(self._rate, self._spp)
+
+    @property
+    def seconds_consumed(self) -> float:
+        return self._cursor / self._rate
+
+    def _convert(self, start: int, count: int) -> np.ndarray:
+        if self._native is not None:
+            return self._native.read(start, count)
+        words = self._words[2 * start : 2 * (start + count)]
+        f = words.astype(np.float32)
+        if self.info.component_offset:
+            f = f - np.float32(self.info.component_offset)
+        out = np.empty(count, dtype=np.complex64)
+        out.real = f[0::2]
+        out.imag = f[1::2]
+        return out
+
+    def peek_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        n = n_ms * self._spp
+        if self._cursor + n > self._n_samples:
+            raise NoMoreSamplesError(
+                f"capture exhausted at {self.seconds_consumed:.2f}s "
+                f"({self._n_samples / self._rate:.2f}s total)"
+            )
+        ts = self._cursor / self._rate
+        return ts, self._convert(self._cursor, n).reshape(n_ms, self._spp)
+
+    def read_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        ts, block = self.peek_block(n_ms)
+        self._cursor += n_ms * self._spp
+        return ts, block

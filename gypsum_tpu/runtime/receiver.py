@@ -1,0 +1,245 @@
+"""The receiver master loop.
+
+Reference behavior being reproduced (gypsum/receiver.py): maintain an
+acquisition pool and per-satellite pipelines; scan for new satellites every
+10 s of signal time over 10 ms of buffered samples; track acquired
+satellites; feed pseudosymbols through bit integration, subframe decode and
+the world model; drop satellites on lost lock and return them to the pool;
+attempt a position fix continuously.
+
+TPU-first re-design: the loop advances one *block* (default 1000 ms) per
+iteration instead of the reference's 1 ms Python tick (gypsum/receiver.py:85).
+Each iteration is one device dispatch for tracking (all channels at once) and
+at most one for acquisition; all navigation layers then run on the host over
+the block's outputs. Satellite add/drop happens at block boundaries.
+
+PRN-tick bookkeeping across a block: the world model's per-SV time base
+counts 1 ms PRN observations since the last handover word and must be reset
+*between* ticks when a subframe lands mid-block. Subframe trailing-edge
+timestamps are code-phase corrected, so the completion chunk index within the
+block is ``floor((t_edge - block_start) / 1ms) - 1``; ticks are credited
+around each subframe event in order (the reference does the same accounting
+implicitly by interleaving 1 ms steps, gypsum/receiver.py:106-117).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from gypsum_tpu.acquire.engine import AcquisitionEngine, AcquisitionResult
+from gypsum_tpu.core.config import ReceiverConfig
+from gypsum_tpu.core.events import (
+    CannotDetermineBitPhaseEvent,
+    CannotDetermineSubframePhaseEvent,
+    EmitNavigationBitEvent,
+    Event,
+    LostBitCoherenceEvent,
+    NoMoreSamplesError,
+)
+from gypsum_tpu.io.sources import SampleSource
+from gypsum_tpu.nav.bits import BitIntegrator
+from gypsum_tpu.nav.frames import EmitSubframeEvent, SubframeDecoder
+from gypsum_tpu.signal.prn import ALL_PRN_IDS
+from gypsum_tpu.solve.world import ReceiverSolution, WorldModel
+from gypsum_tpu.track.loop import ChannelObservation, TrackerBank
+
+_logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _ChannelPipeline:
+    """Host-side per-satellite decode state (analogue of the reference's
+    GpsSatelliteSignalProcessingPipeline,
+    gypsum/satellite_signal_processing_pipeline.py:35-102)."""
+
+    prn: int
+    slot: int
+    integrator: BitIntegrator
+    decoder: SubframeDecoder
+    acquired_at: float = 0.0
+
+
+@dataclass
+class BlockReport:
+    """What happened during one block iteration."""
+
+    block_start: float
+    block_end: float
+    tracked_prns: list[int] = field(default_factory=list)
+    newly_acquired: list[AcquisitionResult] = field(default_factory=list)
+    dropped_prns: list[int] = field(default_factory=list)
+    subframes: list[tuple[int, EmitSubframeEvent]] = field(default_factory=list)
+    fix: ReceiverSolution | None = None
+    observations: list[ChannelObservation] = field(default_factory=list)
+
+
+class Receiver:
+    def __init__(
+        self,
+        source: SampleSource,
+        config: ReceiverConfig | None = None,
+        eligible_prns: list[int] | None = None,
+    ) -> None:
+        self.config = config or ReceiverConfig()
+        self.source = source
+        attrs = source.attributes
+        self.sample_rate = attrs.sample_rate
+        self.samples_per_prn = attrs.samples_per_prn
+
+        self.acquisition = AcquisitionEngine(
+            self.sample_rate, self.samples_per_prn, self.config.acquisition
+        )
+        self.bank = TrackerBank(
+            self.sample_rate,
+            self.samples_per_prn,
+            self.config.tracking,
+            n_channels=self.config.max_channels,
+        )
+        self.world = WorldModel(self.config.solver)
+        # reference: gypsum/receiver.py:61-64.
+        self.eligible_prns: set[int] = set(eligible_prns or ALL_PRN_IDS)
+        self.pipelines: dict[int, _ChannelPipeline] = {}
+        self._last_scan_time: float | None = None
+        self.block_reports: list[BlockReport] = []
+        self.subframe_count = 0
+        self._block_listeners = []
+
+    # ------------------------------------------------------------ lifecycle
+
+    def add_block_listener(self, fn) -> None:
+        """fn(receiver, BlockReport) called after every block (metrics/UI)."""
+        self._block_listeners.append(fn)
+
+    def run(self, max_seconds: float | None = None, until_fix: bool = False) -> list[BlockReport]:
+        """Process the stream until exhaustion / ``max_seconds`` / first fix."""
+        start = self.source.seconds_consumed
+        while True:
+            if max_seconds is not None and self.source.seconds_consumed - start >= max_seconds:
+                break
+            try:
+                report = self.step_block()
+            except NoMoreSamplesError:
+                break
+            if until_fix and report.fix is not None:
+                break
+        return self.block_reports
+
+    # ------------------------------------------------------------- the loop
+
+    def step_block(self) -> BlockReport:
+        block_ms = self.config.tracking.block_size_ms
+        block_start, block = self.source.read_block(block_ms)
+        block_end = block_start + block_ms * 1e-3
+        report = BlockReport(block_start=block_start, block_end=block_end)
+
+        # --- acquisition scan (reference: gypsum/receiver.py:148-174) over
+        # the first 10 ms of this block; tracker state then starts at the
+        # window it was measured on.
+        if self._should_scan(block_start):
+            self._last_scan_time = block_start
+            self._acquire(block, block_start, report)
+
+        # --- one device dispatch tracks every channel for the whole block.
+        observations = self.bank.process_block(block, block_start)
+        report.observations = observations
+        report.tracked_prns = [o.prn for o in observations]
+
+        for obs in observations:
+            self._process_channel(obs, block_start, block_ms, report)
+
+        # --- position fix attempt (reference: gypsum/receiver.py:137).
+        report.fix = self.world.attempt_position_fix(block_end)
+        self.block_reports.append(report)
+        for fn in self._block_listeners:
+            fn(self, report)
+        return report
+
+    def _should_scan(self, now: float) -> bool:
+        if not self.eligible_prns or not self.bank.free_slots:
+            return False
+        if self._last_scan_time is None:
+            return True
+        return now - self._last_scan_time >= self.config.acquisition.scan_period_s
+
+    def _acquire(self, block: np.ndarray, block_start: float, report: BlockReport) -> None:
+        n_ms = self.config.acquisition.integration_period_ms
+        if block.shape[0] < n_ms:
+            return
+        hits = self.acquisition.detect(block[:n_ms], eligible_prns=self.eligible_prns)
+        for hit in hits:
+            if not self.bank.free_slots:
+                break
+            slot = self.bank.assign(
+                prn=hit.prn,
+                doppler_hz=hit.doppler_hz,
+                code_phase_samples=hit.code_phase_samples,
+                carrier_phase_rad=hit.carrier_phase_rad,
+            )
+            self.pipelines[hit.prn] = _ChannelPipeline(
+                prn=hit.prn,
+                slot=slot,
+                integrator=BitIntegrator(self.config.nav),
+                decoder=SubframeDecoder(self.config.nav),
+                acquired_at=block_start,
+            )
+            self.eligible_prns.discard(hit.prn)
+            report.newly_acquired.append(hit)
+            _logger.info(
+                "acquired PRN %d: doppler %.1f Hz, code phase %d, strength %.1f",
+                hit.prn, hit.doppler_hz, hit.code_phase_samples, hit.strength,
+            )
+
+    # --------------------------------------------------------- per channel
+
+    def _process_channel(
+        self, obs: ChannelObservation, block_start: float, block_ms: int, report: BlockReport
+    ) -> None:
+        pipe = self.pipelines[obs.prn]
+        lost = obs.lost
+        subframe_edges: list[tuple[float, EmitSubframeEvent]] = []
+
+        events = pipe.integrator.process_block(
+            obs.pseudosymbol_signs, obs.start_times, obs.end_times
+        )
+        for event in events:
+            if isinstance(event, EmitNavigationBitEvent):
+                for dec_event in pipe.decoder.process_bit(event):
+                    if isinstance(dec_event, EmitSubframeEvent):
+                        subframe_edges.append(
+                            (dec_event.trailing_edge_receiver_timestamp, dec_event)
+                        )
+                    elif isinstance(dec_event, CannotDetermineSubframePhaseEvent):
+                        # reference: satellite_signal_processing_pipeline.py:142-147.
+                        lost = True
+            elif isinstance(event, (CannotDetermineBitPhaseEvent, LostBitCoherenceEvent)):
+                lost = True
+
+        # --- PRN-tick accounting around mid-block subframe resets.
+        cp_delay = float(obs.code_phases[-1]) / self.sample_rate
+        consumed = 0
+        for t_edge, sf_event in sorted(subframe_edges, key=lambda x: x[0]):
+            k_done = int(np.floor((t_edge - block_start) / 1e-3))  # chunks completed
+            k_done = max(0, min(k_done, block_ms))
+            if k_done > consumed:
+                self.world.handle_prn_observed(obs.prn, cp_delay, count=k_done - consumed)
+                consumed = k_done
+            self.world.handle_subframe_emitted(obs.prn, sf_event)
+            self.subframe_count += 1
+            report.subframes.append((obs.prn, sf_event))
+        if block_ms > consumed:
+            self.world.handle_prn_observed(obs.prn, cp_delay, count=block_ms - consumed)
+
+        if lost:
+            self._drop_satellite(obs.prn, report)
+
+    def _drop_satellite(self, prn: int, report: BlockReport) -> None:
+        """reference: gypsum/receiver.py:259-267."""
+        pipe = self.pipelines.pop(prn)
+        self.bank.release(pipe.slot)
+        self.world.handle_lost_satellite_lock(prn)
+        self.eligible_prns.add(prn)
+        report.dropped_prns.append(prn)
+        _logger.info("dropped PRN %d (lost lock); returned to acquisition pool", prn)

@@ -95,6 +95,35 @@ def ephemeris_from_subframes(sf1: Subframe1, sf2: Subframe2, sf3: Subframe3) -> 
     )
 
 
+def subframes_from_ephemeris(
+    eph: Ephemeris, iode: int = 87
+) -> tuple[Subframe1, Subframe2, Subframe3]:
+    """Inverse of ``ephemeris_from_subframes``: subframe payloads carrying
+    this ephemeris in ICD units, quantized to transmitted precision. Used by
+    the constellation synthesizer and test fixtures."""
+    from gypsum_tpu.nav.subframes import roundtrip_fields
+
+    sf1 = Subframe1(
+        week_number_mod_1024=eph.week_number or 0, ca_or_p_on_l2=1, ura_index=0,
+        sv_health=0, issue_of_data_clock=iode, l2_p_data_flag=0,
+        t_gd=eph.t_gd, t_oc=eph.t_oc, a_f2=eph.a_f2, a_f1=eph.a_f1, a_f0=eph.a_f0,
+    )
+    sf2 = Subframe2(
+        issue_of_data_ephemeris=iode, crs=eph.crs,
+        delta_n=eph.delta_n / GPS_PI, m0=eph.m0 / GPS_PI,
+        cuc=eph.cuc, eccentricity=eph.eccentricity, cus=eph.cus,
+        sqrt_a=eph.sqrt_a, t_oe=eph.t_oe, fit_interval_flag=0,
+        age_of_data_offset=0,
+    )
+    sf3 = Subframe3(
+        cic=eph.cic, omega0=eph.omega0 / GPS_PI, cis=eph.cis,
+        i0=eph.i0 / GPS_PI, crc=eph.crc, omega=eph.omega / GPS_PI,
+        omega_dot=eph.omega_dot / GPS_PI, issue_of_data_ephemeris=iode,
+        idot=eph.idot / GPS_PI,
+    )
+    return roundtrip_fields(sf1), roundtrip_fields(sf2), roundtrip_fields(sf3)
+
+
 def time_from_epoch(t_sow, epoch: float):
     """tk = t - t_epoch, wrapped into +/- half a week
     (IS-GPS-200 §20.3.3.4.3; reference: gypsum/world_model.py:433-441)."""

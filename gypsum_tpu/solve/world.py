@@ -202,7 +202,17 @@ class WorldModel:
                 # reference's formulation it cancels out of the tick/slide
                 # arithmetic, quantizing inter-satellite pseudorange
                 # differences to whole milliseconds (~300 km of range).
-                arrival = receiver_timestamp + rec.code_phase_delay_s
+                #
+                # The delay is wrapped to [-0.5, +0.5) ms: a chunk whose code
+                # phase exceeds half a millisecond is dominated by the PRN
+                # that *started in the previous chunk*, and the tick counter
+                # (anchored by the bit integrator's chunk-aligned timestamps)
+                # numbers PRN edges under exactly that convention — using the
+                # raw delay would bias those satellites' pseudoranges by a
+                # full code period (~300 km).
+                delay = rec.code_phase_delay_s
+                delay = ((delay + 0.5e-3) % 1e-3) - 0.5e-3
+                arrival = receiver_timestamp + delay
                 transit[i] = (self.receiver_clock_slide + arrival) - sv_tow
                 sat_pos[i] = satellite_position(
                     rec.ephemeris, sv_tow, kepler_iterations=cfg.kepler_iterations

@@ -126,11 +126,15 @@ def make_track_block_fn(
     def window_slices(replicas_wide: jax.Array, base: jax.Array) -> jax.Array:
         # replicas_wide: [S, 2L + 2K]; base: [S] int32 in [0, L).
         # One dynamic slice of length L + 2K per channel, then n_lags static
-        # sub-slices (XLA fuses these into views).
+        # sub-slices (XLA fuses these into views). Sub-slice k starts at
+        # base + k and equals the replica rolled by (cp + K - k) — a
+        # *descending* lag order — so flip to make row j correspond to lag
+        # cp - K + j (ascending: row K-1 early, row K prompt, row K+1 late).
         win = jax.vmap(
             lambda t, b: jax.lax.dynamic_slice(t, (b,), (length + 2 * k_half,))
         )(replicas_wide, base)  # [S, L + 2K]
-        return jnp.stack([win[:, k : k + length] for k in range(n_lags)], axis=1)
+        rows = jnp.stack([win[:, k : k + length] for k in range(n_lags)], axis=1)
+        return rows[:, ::-1, :]
 
     def step(replicas_wide: jax.Array, state: TrackState, chunk: jax.Array):
         # chunk: [L] complex64 — shared by all channels this millisecond.
@@ -316,6 +320,10 @@ class TrackerBank:
     @property
     def active_slots(self) -> list[int]:
         return [i for i, p in enumerate(self.slot_prn) if p is not None]
+
+    @property
+    def free_slots(self) -> list[int]:
+        return [i for i, p in enumerate(self.slot_prn) if p is None]
 
     @property
     def tracked_prns(self) -> list[int]:

@@ -1,0 +1,105 @@
+"""Flagship end-to-end test: cold start to position fix on a synthetic
+constellation, through the complete receiver chain — batched acquisition,
+scan-based tracking, bit sync, subframe decode, ephemeris assembly, Newton
+fix (the framework's analogue of the reference's nov_3-recording replay,
+SURVEY.md §4 item 3, with ground truth instead of a vendored capture)."""
+
+import numpy as np
+import pytest
+
+from gypsum_tpu.core.config import ReceiverConfig
+from gypsum_tpu.io.sources import ArraySampleSource
+from gypsum_tpu.runtime.receiver import Receiver
+from gypsum_tpu.signal.constellation import (
+    ConstellationSatellite,
+    synthesize_constellation,
+)
+from gypsum_tpu.solve.geodesy import lla_to_ecef
+from tests.ephemeris_fixtures import TEST_EPHEMERIDES
+
+FS = 2.046e6
+TRUTH_LLA = (51.5, -0.1, 80.0)
+GPS_T0 = 21600.0
+PRNS = [25, 28, 31, 32]
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rx = lla_to_ecef(*TRUTH_LLA)
+    sats = [
+        ConstellationSatellite(prn=p, ephemeris=TEST_EPHEMERIDES[i], amplitude=0.22)
+        for i, p in enumerate(PRNS)
+    ]
+    iq, truth = synthesize_constellation(
+        sats, rx, gps_start_time_sow=GPS_T0, duration_s=23.0,
+        sample_rate=FS, noise_sigma=0.35, subframe_pattern="123",
+    )
+    return rx, iq, truth
+
+
+@pytest.fixture(scope="module")
+def completed_receiver(scene):
+    rx, iq, truth = scene
+    recv = Receiver(ArraySampleSource(iq, FS), ReceiverConfig())
+    recv.run()
+    return recv
+
+
+def test_acquires_all_satellites(completed_receiver):
+    first = completed_receiver.block_reports[0]
+    assert {h.prn for h in first.newly_acquired} >= set(PRNS)
+
+
+def test_acquisition_matches_truth(scene, completed_receiver):
+    _, _, truth = scene
+    for hit in completed_receiver.block_reports[0].newly_acquired:
+        if hit.prn not in truth.doppler_hz:
+            continue
+        assert abs(hit.doppler_hz - truth.doppler_hz[hit.prn]) < 10.0
+        cp_err = abs(hit.code_phase_samples - truth.code_phase_samples[hit.prn])
+        assert min(cp_err, 2046 - cp_err) <= 1.5
+
+
+def test_tracks_all_satellites_to_the_end(completed_receiver):
+    last = completed_receiver.block_reports[-1]
+    assert set(last.tracked_prns) >= set(PRNS)
+
+
+def test_subframes_decoded_with_consistent_tow(completed_receiver):
+    per_prn_tows: dict[int, list[int]] = {}
+    for report in completed_receiver.block_reports:
+        for prn, ev in report.subframes:
+            per_prn_tows.setdefault(prn, []).append(ev.decoded.handover.tow_count)
+    assert set(per_prn_tows) >= set(PRNS)
+    for prn, tows in per_prn_tows.items():
+        # Consecutive subframes carry consecutive TOW counts.
+        assert tows == list(range(tows[0], tows[0] + len(tows))), (prn, tows)
+        # TOWs land in the synthesized window (HOW = next subframe's TOW).
+        assert GPS_T0 / 6 - 1 <= tows[0] <= (GPS_T0 + 30) / 6 + 1
+
+
+def test_ephemeris_assembled_for_all(completed_receiver):
+    assert set(completed_receiver.world.satellites_with_ephemeris()) >= set(PRNS)
+
+
+def test_position_fix_accuracy(scene, completed_receiver):
+    rx, _, _ = scene
+    fixes = [r.fix for r in completed_receiver.block_reports if r.fix is not None]
+    assert fixes, "no position fix achieved in 23 s of signal"
+    errors = [float(np.linalg.norm(f.ecef - rx)) for f in fixes]
+    # Cold start to first fix < 60 s of signal is the reference's headline
+    # (README.md:5); this chain fixes within ~20 s and a few hundred meters
+    # on 4 SVs (the DLL's +/-0.5-sample quantization bounds range accuracy).
+    assert min(errors) < 300.0, f"best fix error {min(errors):.0f} m"
+    assert errors[-1] < 500.0
+    last = fixes[-1]
+    assert last.lat_deg == pytest.approx(TRUTH_LLA[0], abs=0.01)
+    assert last.lon_deg == pytest.approx(TRUTH_LLA[1], abs=0.01)
+
+
+def test_receiver_clock_slide_converges(scene, completed_receiver):
+    # The clock slide maps stream time to GPS time-of-week: must approach
+    # GPS_T0 (the synthesis mapping) within a few ms.
+    slide = completed_receiver.world.receiver_clock_slide
+    assert slide is not None
+    assert abs(slide - GPS_T0) < 0.1

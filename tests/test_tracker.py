@@ -58,9 +58,17 @@ def test_reports_doppler_and_code_phase():
     dop = _concat(obs, "dopplers")
     cp = _concat(obs, "code_phases")
     assert abs(np.mean(dop[-200:]) - sat.doppler_hz) < 2.0
-    # Code phase holds near the true delay (code Doppler makes it drift by
-    # fd/fL1 * L per ms; carrier aiding + DLL must track it).
-    assert np.abs((cp[-200:] - sat.delay_samples + L / 2) % L - L / 2).max() < 2.0
+    # Code phase tracks the *drifting* truth: code Doppler moves the arrival
+    # by -fd/fL1 samples per sample, i.e. -fd/fL1 * fs per second. The
+    # +/-0.5-chip early/late discriminator has a 1-sample dead zone at
+    # 2 samples/chip, so the loop parks within ~1.5 samples of truth. The
+    # bound also guards the early/late lag orientation: an inverted DLL
+    # settles 2-3 samples off (regression: the lag window was once built in
+    # descending order, swapping E and L).
+    t = np.arange(len(cp)) * 1e-3
+    true_cp = sat.delay_samples + (-sat.doppler_hz / 1.57542e9) * 2.046e6 * t
+    err = (cp - true_cp + L / 2) % L - L / 2
+    assert np.abs(err[-200:]).max() < 1.6
 
 
 def test_achieves_lock_state():
