@@ -162,7 +162,9 @@ def test_world_model_full_fix_from_constructed_observations():
         # SV-clock time of the PRN edge that arrived 1 ms before "now":
         v = t_gps - 1e-3 - tau + dtsv
         tow = 6.0 * np.floor(v / 6.0)
-        cpd = (-v) % 1e-3  # sub-ms arrival offset making the tick count whole
+        # Sub-ms arrival offset making the tick count whole, in the world
+        # model's dominant-PRN convention (wrapped to [-0.5, +0.5) ms).
+        cpd = (((-v) % 1e-3) + 0.5e-3) % 1e-3 - 0.5e-3
         ticks = int(round((v + cpd - tow) / 1e-3))
         assert 0 <= ticks <= 6000
 
