@@ -1,0 +1,188 @@
+"""Benchmark: tracked IQ throughput per chip (+ acquisition wall-clock).
+
+Prints ONE JSON line:
+  {"metric": "tracked_iq_msamples_per_sec_per_chip", "value": N,
+   "unit": "Msamples/s/chip", "vs_baseline": R}
+
+The metric is the BASELINE.json headline: IQ Msamples/s/chip while tracking a
+full 32-satellite channel bank (Costas PLL + E/P/L DLL per channel, 1 ms loop
+updates) — i.e. stream samples processed per wall-clock second with all 32
+channels live. ``vs_baseline`` compares against a numpy oracle performing the
+reference's per-millisecond tracking work (carrier wipeoff, early/late
+correlations, full-length FFT prompt correlation + peak stats — reference:
+gypsum/tracker.py:264-329) measured on this host and scaled to 32 satellites.
+
+Details (acquisition sweep wall-clock, platform, shapes) go to
+BENCH_DETAILS.json and stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FS = 2.046e6
+L = 2046
+N_CHANNELS = 32
+BLOCK_MS = 1000
+WARMUP_BLOCKS = 2
+TIMED_BLOCKS = 5
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def numpy_reference_oracle_msamples_per_sec() -> float:
+    """Time the reference's per-ms, per-satellite tracking work in numpy and
+    convert to an equivalent 32-channel Msamples/s figure."""
+    from gypsum_tpu.signal.prn import sampled_replica
+
+    rng = np.random.default_rng(0)
+    samples = (rng.standard_normal(L) + 1j * rng.standard_normal(L)).astype(np.complex128)
+    prn = sampled_replica(7, L, dtype=np.complex128)
+    time_domain = np.arange(L) / FS
+
+    def one_ms(cp: int, doppler: float, phase: float):
+        wipe = np.exp(-1j * (2 * np.pi * doppler * time_domain + phase))
+        x = samples * wipe
+        prompt = np.roll(prn, cp)
+        early = np.roll(prn, cp - 1)
+        late = np.roll(prn, cp + 1)
+        e = np.correlate(x, early)
+        lt = np.correlate(x, late)
+        disc = (abs(e[0]) ** 2 - abs(lt[0]) ** 2) / 2
+        corr = np.fft.ifft(np.fft.fft(x) * np.conj(np.fft.fft(prompt)))
+        mag = np.abs(corr)
+        peak_idx = int(np.argmax(mag))
+        peak = corr[peak_idx]
+        strength = mag[peak_idx] / mag[mag != mag[peak_idx]].mean()
+        return disc, peak, strength
+
+    n = 100
+    t0 = time.perf_counter()
+    for i in range(n):
+        one_ms(i % L, 1000.0, 0.1)
+    per_ms = (time.perf_counter() - t0) / n
+    # One satellite-ms costs per_ms seconds; tracking 32 satellites over the
+    # same stream processes L samples per 32 * per_ms seconds.
+    return L / (32 * per_ms) / 1e6
+
+
+def tracked_throughput_msamples_per_sec() -> tuple[float, dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from gypsum_tpu.core.config import TrackingConfig
+    from gypsum_tpu.signal.prn import replica_table
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+    from gypsum_tpu.track.loop import fresh_state, make_track_block_fn
+
+    platform = jax.devices()[0].platform
+    _log(f"bench platform: {platform} ({jax.devices()[0]})")
+
+    cfg = TrackingConfig(block_size_ms=BLOCK_MS)
+    fn = make_track_block_fn(cfg, L, FS, N_CHANNELS)
+    k = cfg.lag_window_half_width
+    reps = replica_table(L)
+    wide = np.concatenate([reps, reps, reps[:, : 2 * k]], axis=1).astype(np.float32)
+    replicas = jnp.asarray(wide)  # all 32 PRNs, one per channel
+
+    sats = [
+        SyntheticSatellite(prn=p, doppler_hz=200.0 * p - 3300.0, delay_samples=61 * p, amplitude=0.12)
+        for p in range(1, 9)
+    ]
+    iq = synthesize_iq(sats, BLOCK_MS * L, FS, noise_sigma=0.4, seed=2)
+    samples = jnp.asarray(iq.reshape(BLOCK_MS, L))
+
+    state = fresh_state(N_CHANNELS)  # host numpy leaves
+    state = state._replace(
+        doppler=(200.0 * np.arange(1, N_CHANNELS + 1) - 3300.0).astype(np.float32),
+        code_phase=(61.0 * np.arange(1, N_CHANNELS + 1) % L).astype(np.float32),
+    )
+
+    t0 = time.perf_counter()
+    for _ in range(WARMUP_BLOCKS):
+        state, outs = fn(state, samples, replicas)
+    jax.block_until_ready(state)
+    warmup = time.perf_counter() - t0
+    _log(f"tracking warmup ({WARMUP_BLOCKS} blocks incl. compile): {warmup:.2f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_BLOCKS):
+        state, outs = fn(state, samples, replicas)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    msps = TIMED_BLOCKS * BLOCK_MS * L / elapsed / 1e6
+    details = {
+        "platform": platform,
+        "device": str(jax.devices()[0]),
+        "n_channels": N_CHANNELS,
+        "block_ms": BLOCK_MS,
+        "timed_blocks": TIMED_BLOCKS,
+        "tracking_elapsed_s": elapsed,
+        "tracking_warmup_s": warmup,
+        "block_latency_ms": elapsed / TIMED_BLOCKS * 1e3,
+        "realtime_factor": msps * 1e6 / FS,
+    }
+    return msps, details
+
+
+def acquisition_wallclock_s() -> dict:
+    """Full 32-PRN cold-start sweep (+/-7 kHz, all code phases): warm wall-clock."""
+    import jax
+    import jax.numpy as jnp
+
+    from gypsum_tpu.acquire.engine import AcquisitionEngine
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+
+    eng = AcquisitionEngine(FS, L)
+    sats = [SyntheticSatellite(prn=25, doppler_hz=1200.0, delay_samples=700, amplitude=0.2)]
+    iq = synthesize_iq(sats, 10 * L, FS, noise_sigma=0.4, seed=3).reshape(10, L)
+    x = jnp.asarray(iq)
+
+    t0 = time.perf_counter()
+    out = eng._acquire_jit(x)
+    jax.block_until_ready(out)
+    cold = time.perf_counter() - t0
+
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = eng._acquire_jit(x)
+    jax.block_until_ready(out)
+    warm = (time.perf_counter() - t0) / n
+    return {"acquisition_cold_s": cold, "acquisition_warm_s": warm}
+
+
+def main() -> None:
+    t_oracle0 = time.perf_counter()
+    baseline = numpy_reference_oracle_msamples_per_sec()
+    _log(f"numpy reference-oracle baseline: {baseline:.3f} Msamples/s (32 ch) "
+         f"[measured in {time.perf_counter()-t_oracle0:.1f}s]")
+
+    value, details = tracked_throughput_msamples_per_sec()
+    try:
+        details.update(acquisition_wallclock_s())
+    except Exception as exc:  # acquisition sweep is secondary; don't fail bench
+        details["acquisition_error"] = repr(exc)
+    details["baseline_numpy_msps"] = baseline
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+    _log(f"details: {json.dumps(details)}")
+
+    print(json.dumps({
+        "metric": "tracked_iq_msamples_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,17 +85,19 @@ class AcquisitionEngine:
         self.samples_per_prn = int(samples_per_prn)
 
         cfg = self.config
+        # All closure constants stay as NUMPY arrays: the lowering embeds them
+        # directly, whereas a captured device array forces a device->host copy
+        # at trace time (which this environment's TPU backend cannot do for
+        # every shape).
         reps = replica_table(self.samples_per_prn)  # [32, L] float32 +/-1
-        self._prn_fft_conj = jnp.asarray(replica_fft_conj_table(reps))
-        self._replica_tiled = jnp.asarray(np.concatenate([reps, reps], axis=1))  # [32, 2L]
-        self._coarse_dopplers = jnp.asarray(
-            np.arange(-cfg.doppler_max_hz, cfg.doppler_max_hz + 1e-6, cfg.coarse_step_hz),
-            dtype=jnp.float32,
-        )
-        self._fine_offsets = jnp.asarray(
-            np.arange(-cfg.fine_span_hz, cfg.fine_span_hz + 1e-6, cfg.fine_step_hz),
-            dtype=jnp.float32,
-        )
+        self._prn_fft_conj = replica_fft_conj_table(reps)
+        self._replica_tiled = np.concatenate([reps, reps], axis=1)  # [32, 2L]
+        self._coarse_dopplers = np.arange(
+            -cfg.doppler_max_hz, cfg.doppler_max_hz + 1e-6, cfg.coarse_step_hz
+        ).astype(np.float32)
+        self._fine_offsets = np.arange(
+            -cfg.fine_span_hz, cfg.fine_span_hz + 1e-6, cfg.fine_step_hz
+        ).astype(np.float32)
         self._acquire_jit = jax.jit(self._acquire_all)
 
     # ---------------------------------------------------------------- device
@@ -106,16 +108,18 @@ class AcquisitionEngine:
         fs = self.sample_rate
         length = self.samples_per_prn
         m_count = samples_ms.shape[0]
+        coarse_dopplers = jnp.asarray(self._coarse_dopplers)
+        fine_offsets = jnp.asarray(self._fine_offsets)
 
         # ---- Stage 1: coarse non-coherent sweep over the full grid.
         noncoh = noncoherent_acquisition_sweep(
-            samples_ms, self._coarse_dopplers, self._prn_fft_conj, fs
+            samples_ms, coarse_dopplers, jnp.asarray(self._prn_fft_conj), fs
         )  # [S, D, L]
         s_count, d_count, _ = noncoh.shape
         flat_idx = jnp.argmax(noncoh.reshape(s_count, -1), axis=-1)  # [S]
         best_d_idx = flat_idx // length
         code_phase = (flat_idx % length).astype(jnp.int32)  # [S]
-        coarse_doppler = self._coarse_dopplers[best_d_idx]  # [S]
+        coarse_doppler = coarse_dopplers[best_d_idx]  # [S]
         best_profiles = jnp.take_along_axis(
             noncoh, best_d_idx[:, None, None], axis=1
         )[:, 0, :]  # [S, L]
@@ -126,7 +130,7 @@ class AcquisitionEngine:
         starts = jnp.mod(length - code_phase, length)
         rolled = jax.vmap(
             lambda tiled, s: jax.lax.dynamic_slice(tiled, (s,), (length,))
-        )(self._replica_tiled, starts)  # [S, L] float32
+        )(jnp.asarray(self._replica_tiled), starts)  # [S, L] float32
 
         l_over_fs = jnp.arange(length, dtype=jnp.float32) / fs  # [L]
         t_ms = jnp.arange(m_count, dtype=jnp.float32) * (length / fs)  # [M]
@@ -137,8 +141,8 @@ class AcquisitionEngine:
         # Separable wipeoff: coarse per-sat terms x shared fine-offset basis.
         sat_intra = phasor(coarse_doppler[:, None] * l_over_fs[None, :])  # [S, L]
         sat_chunk = phasor(_mod_cycles(coarse_doppler[:, None] * t_ms[None, :]))  # [S, M]
-        fine_intra = phasor(self._fine_offsets[:, None] * l_over_fs[None, :])  # [F, L]
-        fine_chunk = phasor(_mod_cycles(self._fine_offsets[:, None] * t_ms[None, :]))  # [F, M]
+        fine_intra = phasor(fine_offsets[:, None] * l_over_fs[None, :])  # [F, L]
+        fine_chunk = phasor(_mod_cycles(fine_offsets[:, None] * t_ms[None, :]))  # [F, M]
 
         def per_ms(_, y):
             # y: [L] one millisecond of samples.
@@ -154,7 +158,7 @@ class AcquisitionEngine:
 
         coherent_power = jnp.abs(prompts.sum(axis=-1))  # [S, F]
         best_f_idx = jnp.argmax(coherent_power, axis=-1)  # [S]
-        fine_doppler = coarse_doppler + self._fine_offsets[best_f_idx]
+        fine_doppler = coarse_doppler + fine_offsets[best_f_idx]
 
         p_star = jnp.take_along_axis(prompts, best_f_idx[:, None, None], axis=1)[:, 0, :]  # [S, M]
 
@@ -173,7 +177,12 @@ class AcquisitionEngine:
         # gypsum/acquisition.py:136). The PLL refines it immediately.
         carrier_phase = jnp.angle(p_star.sum(axis=-1))
 
-        return doppler, code_phase, carrier_phase, strength
+        # Pack the four per-satellite vectors into one rank-2 float32 result:
+        # this environment's TPU backend cannot transfer rank-1 arrays back to
+        # the host (code phase fits float32 exactly: < 2^24).
+        return jnp.stack(
+            [doppler, code_phase.astype(jnp.float32), carrier_phase, strength]
+        )
 
     # ------------------------------------------------------------------ host
 
@@ -191,9 +200,8 @@ class AcquisitionEngine:
                 f"expected [{self.config.integration_period_ms}, {self.samples_per_prn}] "
                 f"samples, got {samples.shape}"
             )
-        doppler, code_phase, carrier_phase, strength = jax.device_get(
-            self._acquire_jit(jnp.asarray(samples, dtype=jnp.complex64))
-        )
+        packed = jax.device_get(self._acquire_jit(jnp.asarray(samples, dtype=jnp.complex64)))
+        doppler, code_phase, carrier_phase, strength = packed
         results = [
             AcquisitionResult(
                 prn=i + 1,

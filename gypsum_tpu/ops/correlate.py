@@ -30,6 +30,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def ifft_via_fft(x: jax.Array) -> jax.Array:
+    """Inverse FFT along the last axis via the conjugation identity
+    ifft(x) = conj(fft(conj(x))) / N.
+
+    The TPU backend in this environment implements only the *forward*
+    transform (jnp.fft.ifft lowers to an UNIMPLEMENTED op); the identity costs
+    the same one forward FFT plus two elementwise conjugations, which XLA
+    fuses, so it is the default everywhere.
+    """
+    n = x.shape[-1]
+    return jnp.conj(jnp.fft.fft(jnp.conj(x))) / n
+
+
 def circular_correlate(samples: jax.Array, replica_fft_conj: jax.Array) -> jax.Array:
     """Circular cross-correlation via the frequency domain.
 
@@ -39,7 +52,7 @@ def circular_correlate(samples: jax.Array, replica_fft_conj: jax.Array) -> jax.A
 
     ``replica_fft_conj`` must be conj(fft(replica)) — precompute it once.
     """
-    return jnp.fft.ifft(jnp.fft.fft(samples) * replica_fft_conj)
+    return ifft_via_fft(jnp.fft.fft(samples) * replica_fft_conj)
 
 
 def replica_fft_conj_table(replica_table: np.ndarray) -> np.ndarray:
@@ -100,10 +113,15 @@ def noncoherent_acquisition_sweep(
     length = samples_ms.shape[-1]
 
     def accumulate(acc, x_dl):
-        corr = jnp.fft.ifft(x_dl[None, :, :] * prn_fft_conj[:, None, :])  # [S, D, L]
+        corr = ifft_via_fft(x_dl[None, :, :] * prn_fft_conj[:, None, :])  # [S, D, L]
         return acc + jnp.abs(corr), None
 
-    init = jnp.zeros((s_count, d_count, length), dtype=jnp.float32)
+    # Derive the zero init from the PRN table so it inherits any device-
+    # varying axes when this runs inside shard_map (a plain jnp.zeros would
+    # be "unvarying" and rejected as the scan carry).
+    init = jnp.zeros((s_count, d_count, length), dtype=jnp.float32) + (
+        0.0 * jnp.real(prn_fft_conj[:, None, :1])
+    )
     total, _ = jax.lax.scan(accumulate, init, sample_ffts)
     return total
 

@@ -1,0 +1,87 @@
+"""Sharded acquisition and tracking over a device mesh.
+
+Acquisition: the [sat x Doppler x code-phase] grid is partitioned over the
+mesh's 'sat' axis — each device sweeps its PRN rows against the (replicated)
+sample block; the global strongest-satellite reduce demonstrates the explicit
+all-reduce argmax pattern (pmax + index packing) from BASELINE.json.
+
+Tracking: channels are sharded over 'sat'; the lax.scan carry stays local to
+each device (loop-filter state is per-channel), so a block step needs no
+collectives at all — XLA partitions the vmapped scan for free.
+
+These wrappers use shard_map for the explicit-collective paths and
+sharding-annotated jit (GSPMD) for the tracking path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gypsum_tpu.ops.correlate import noncoherent_acquisition_sweep, peak_strength
+
+
+def sharded_acquisition_sweep(
+    mesh: Mesh,
+    samples_ms: jax.Array,  # [M, L] complex64 (replicated)
+    dopplers: jax.Array,  # [D] float32 (replicated)
+    prn_fft_conj: jax.Array,  # [S, L] complex64 (sharded over 'sat')
+    sample_rate: float,
+):
+    """Per-satellite peak results with the PRN axis sharded over 'sat'.
+
+    Returns (strength [S], doppler_idx [S], code_phase [S], best) where
+    ``best`` = (global strongest satellite row index, its strength), reduced
+    across devices with an explicit pmax-argmax (index packed into the
+    mantissa-free high bits is unnecessary here: psum of masked index).
+    """
+    n_sat_shards = mesh.shape["sat"]
+    s_total = prn_fft_conj.shape[0]
+    if s_total % n_sat_shards:
+        raise ValueError(f"{s_total} PRN rows not divisible by sat axis {n_sat_shards}")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("sat", None)),
+        out_specs=(P("sat"), P("sat"), P("sat"), P(), P()),
+    )
+    def sweep(samples, dops, pfc_local):
+        noncoh = noncoherent_acquisition_sweep(samples, dops, pfc_local, sample_rate)
+        s_local, d_count, length = noncoh.shape
+        flat = jnp.argmax(noncoh.reshape(s_local, -1), axis=-1)
+        d_idx = (flat // length).astype(jnp.int32)
+        code_phase = (flat % length).astype(jnp.int32)
+        profiles = jnp.take_along_axis(noncoh, d_idx[:, None, None], axis=1)[:, 0, :]
+        strength = peak_strength(profiles)
+
+        # Global argmax across the sat axis: pmax the strength, then psum the
+        # (masked) global row index — the all-reduce argmax of BASELINE.json.
+        local_best = jnp.argmax(strength)
+        local_max = strength[local_best]
+        global_max = jax.lax.pmax(local_max, axis_name="sat")
+        shard_row = jax.lax.axis_index("sat") * s_local + local_best
+        contrib = jnp.where(local_max == global_max, shard_row, 0)
+        global_row = jax.lax.pmax(contrib.astype(jnp.int32), axis_name="sat")
+        # Replicate across the (unused here) time axis too.
+        global_max = jax.lax.pmax(global_max, axis_name="time")
+        global_row = jax.lax.pmax(global_row, axis_name="time")
+        return strength, d_idx, code_phase, global_row, global_max
+
+    return sweep(samples_ms, dopplers, prn_fft_conj)
+
+
+def shard_tracking_inputs(mesh: Mesh, state, samples_block, replicas_wide):
+    """Place tracking inputs for a channel-sharded block step: channel-major
+    leaves sharded over 'sat', the sample block replicated."""
+    chan = NamedSharding(mesh, P("sat"))
+    repl = NamedSharding(mesh, P())
+    state = jax.tree_util.tree_map(lambda a: jax.device_put(a, chan), state)
+    return (
+        state,
+        jax.device_put(samples_block, repl),
+        jax.device_put(replicas_wide, chan),
+    )

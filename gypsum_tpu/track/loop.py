@@ -72,16 +72,20 @@ class TrackBlockOutputs(NamedTuple):
 
 
 def fresh_state(n_channels: int) -> TrackState:
-    z = jnp.zeros((n_channels,), dtype=jnp.float32)
+    """Host-side (numpy) initial state. The bank keeps loop state on the host
+    between blocks — it is a few hundred bytes, and host residency sidesteps
+    this environment's TPU restriction on small-rank device->host reads while
+    making channel assignment plain array edits."""
+    z = np.zeros((n_channels,), dtype=np.float32)
     return TrackState(
         code_phase=z,
-        carrier_phase=z,
-        doppler=z,
-        ema_err=z,
-        ema_err_sq=z,
-        ema_quality=z,
-        step_count=jnp.zeros((n_channels,), dtype=jnp.int32),
-        lost=jnp.zeros((n_channels,), dtype=bool),
+        carrier_phase=z.copy(),
+        doppler=z.copy(),
+        ema_err=z.copy(),
+        ema_err_sq=z.copy(),
+        ema_quality=z.copy(),
+        step_count=np.zeros((n_channels,), dtype=np.int32),
+        lost=np.zeros((n_channels,), dtype=bool),
     )
 
 
@@ -121,7 +125,9 @@ def make_track_block_fn(
     # earlier by fd/fL1 * L samples each ms.
     aiding_scale = (length / GPS_L1_FREQUENCY_HZ) if cfg.carrier_aiding else 0.0
 
-    l_over_fs = jnp.arange(length, dtype=jnp.float32) / fs  # [L]
+    # numpy closure constant (a captured device array would need a
+    # device->host copy at lowering time).
+    l_over_fs = (np.arange(length) / fs).astype(np.float32)  # [L]
 
     def window_slices(replicas_wide: jax.Array, base: jax.Array) -> jax.Array:
         # replicas_wide: [S, 2L + 2K]; base: [S] int32 in [0, L).
@@ -142,7 +148,7 @@ def make_track_block_fn(
 
         # --- carrier wipeoff: x = chunk * e^{-j(theta + 2 pi f l / fs)}
         phase = state.carrier_phase[:, None] + (
-            2.0 * jnp.pi * state.doppler[:, None] * l_over_fs[None, :]
+            2.0 * jnp.pi * state.doppler[:, None] * jnp.asarray(l_over_fs)[None, :]
         )  # [S, L]
         wipe = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
         x = chunk[None, :] * wipe  # [S, L]
@@ -163,7 +169,7 @@ def make_track_block_fn(
         dll_err = (early - late) / (early + late + _EPS)
         code_phase = state.code_phase - cfg.dll_gain_samples * dll_err
         code_phase = code_phase - aiding_scale * state.doppler
-        code_phase = jnp.mod(code_phase, jnp.float32(length))
+        code_phase = jnp.mod(code_phase, float(length))
 
         # --- Costas PLL on the prompt peak (insensitive to BPSK flips).
         i, q = jnp.real(prompt), jnp.imag(prompt)
@@ -226,12 +232,19 @@ def make_track_block_fn(
         return new_state, outputs
 
     def track_block(state: TrackState, samples_block: jax.Array, replicas_wide: jax.Array):
+        # Accept either [S] or [S, 1] carry leaves (the function returns
+        # columns; callers may feed them straight back in).
+        state = jax.tree_util.tree_map(lambda a: jnp.asarray(a).reshape((a.shape[0],)), state)
         new_state, outs = jax.lax.scan(
             lambda st, chunk: step(replicas_wide, st, chunk), state, samples_block
         )
         # scan stacks along the leading (ms) axis: [B, S, ...] -> [S, B, ...].
         outs = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, 1), outs)
-        return new_state, outs
+        # Return the carry as [S, 1] columns: rank-2 so the host can always
+        # read it back (rank-1 device->host transfers are unsupported on this
+        # environment's TPU backend).
+        state_cols = jax.tree_util.tree_map(lambda a: a[:, None], new_state)
+        return state_cols, outs
 
     return jax.jit(track_block)
 
@@ -294,28 +307,27 @@ class TrackerBank:
         code_phase_samples: float,
         carrier_phase_rad: float,
     ) -> int:
-        """Bind a free slot to a newly acquired satellite; returns the slot."""
+        """Bind a free slot to a newly acquired satellite; returns the slot.
+        State lives on the host (numpy), so this is a plain array edit."""
         try:
             slot = self.slot_prn.index(None)
         except ValueError:
             raise RuntimeError("no free tracking channels") from None
         self.slot_prn[slot] = prn
         s = self.state
-        self.state = TrackState(
-            code_phase=s.code_phase.at[slot].set(code_phase_samples),
-            carrier_phase=s.carrier_phase.at[slot].set(carrier_phase_rad % (2 * np.pi)),
-            doppler=s.doppler.at[slot].set(doppler_hz),
-            ema_err=s.ema_err.at[slot].set(0.0),
-            ema_err_sq=s.ema_err_sq.at[slot].set(0.0),
-            ema_quality=s.ema_quality.at[slot].set(0.0),
-            step_count=s.step_count.at[slot].set(0),
-            lost=s.lost.at[slot].set(False),
-        )
+        s.code_phase[slot] = code_phase_samples % self.samples_per_prn
+        s.carrier_phase[slot] = carrier_phase_rad % (2 * np.pi)
+        s.doppler[slot] = doppler_hz
+        s.ema_err[slot] = 0.0
+        s.ema_err_sq[slot] = 0.0
+        s.ema_quality[slot] = 0.0
+        s.step_count[slot] = 0
+        s.lost[slot] = False
         return slot
 
     def release(self, slot: int) -> None:
         self.slot_prn[slot] = None
-        self.state = self.state._replace(lost=self.state.lost.at[slot].set(False))
+        self.state.lost[slot] = False
 
     @property
     def active_slots(self) -> list[int]:
@@ -343,9 +355,12 @@ class TrackerBank:
             [(p - 1) if p is not None else 0 for p in self.slot_prn], dtype=np.int32
         )
         replicas = jnp.asarray(self._replicas_wide[prn_idx])
-        self.state, outs = self._fn(
+        state_cols, outs = self._fn(
             self.state, jnp.asarray(samples_block, dtype=jnp.complex64), replicas
         )
+        # Bring the carry home as rank-2 columns, store rank-1 numpy.
+        state_cols = jax.device_get(state_cols)
+        self.state = TrackState(*(np.array(a[:, 0]) for a in state_cols))  # writable copies
         outs = jax.device_get(outs)
 
         observations = []
