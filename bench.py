@@ -159,19 +159,59 @@ def acquisition_wallclock_s() -> dict:
     return {"acquisition_cold_s": cold, "acquisition_warm_s": warm}
 
 
+def _worker(platform: str) -> None:
+    """Runs the device-side measurements and prints one JSON blob."""
+    if platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    value, details = tracked_throughput_msamples_per_sec()
+    try:
+        details.update(acquisition_wallclock_s())
+    except Exception as exc:  # acquisition sweep is secondary; don't fail bench
+        details["acquisition_error"] = repr(exc)
+    print("BENCH_RESULT " + json.dumps({"value": value, "details": details}), flush=True)
+
+
+def _run_worker(platform: str, timeout_s: float) -> dict | None:
+    """Run the device measurements in a subprocess (the TPU runtime in this
+    environment can wedge a process; a hang must not take the bench with it)."""
+    import subprocess
+
+    cmd = [sys.executable, __file__, "--worker", platform]
+    _log(f"bench worker: platform={platform} timeout={timeout_s:.0f}s")
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _log(f"bench worker ({platform}) timed out")
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    _log(f"bench worker ({platform}) failed rc={proc.returncode}: "
+         f"{proc.stderr.strip().splitlines()[-3:] if proc.stderr else ''}")
+    return None
+
+
 def main() -> None:
     t_oracle0 = time.perf_counter()
     baseline = numpy_reference_oracle_msamples_per_sec()
     _log(f"numpy reference-oracle baseline: {baseline:.3f} Msamples/s (32 ch) "
          f"[measured in {time.perf_counter()-t_oracle0:.1f}s]")
 
-    value, details = tracked_throughput_msamples_per_sec()
-    try:
-        details.update(acquisition_wallclock_s())
-    except Exception as exc:  # acquisition sweep is secondary; don't fail bench
-        details["acquisition_error"] = repr(exc)
-    details["baseline_numpy_msps"] = baseline
+    # Default platform (TPU when present), one retry, then CPU fallback.
+    result = _run_worker("default", timeout_s=900)
+    if result is None:
+        result = _run_worker("default", timeout_s=900)
+    if result is None:
+        _log("falling back to CPU backend")
+        result = _run_worker("cpu", timeout_s=900)
+    if result is None:
+        raise SystemExit("bench failed on every backend")
 
+    value = result["value"]
+    details = result["details"]
+    details["baseline_numpy_msps"] = baseline
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
     _log(f"details: {json.dumps(details)}")
@@ -185,4 +225,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2])
+    else:
+        main()

@@ -1,0 +1,180 @@
+"""Command-line interface: replay / acquire / synth / bench.
+
+Reference parity: gypsum-cli.py (replay loop with --file_name /
+--only_acquire_satellite_ids / UI flags), extended with subcommands the
+reference lacks: one-shot acquisition reports, synthetic capture generation
+(replacing the dependence on vendored recordings), and the benchmark.
+
+Usage:
+    python -m gypsum_tpu replay --file capture.iq [--prns 25 28] [--web-ui]
+    python -m gypsum_tpu acquire --file capture.iq
+    python -m gypsum_tpu synth --out capture.iq --duration 40
+    python -m gypsum_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+import numpy as np
+
+_logger = logging.getLogger("gypsum_tpu")
+
+
+def _add_file_source_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--file", required=True, help="capture path (with .json sidecar) or .npy IQ")
+    p.add_argument("--sample-rate", type=float, default=None,
+                   help="override sample rate (else from sidecar; 2.046e6 for .npy)")
+
+
+def _open_source(args):
+    from gypsum_tpu.io.sources import ArraySampleSource, FileSampleSource, RecordingInfo
+
+    if args.file.endswith(".npy"):
+        iq = np.load(args.file)
+        return ArraySampleSource(iq, args.sample_rate or 2.046e6)
+    if args.sample_rate:
+        info = RecordingInfo(path=__import__("pathlib").Path(args.file), sample_rate=args.sample_rate)
+    else:
+        info = RecordingInfo.from_sidecar(args.file)
+    return FileSampleSource(info)
+
+
+def cmd_replay(args) -> int:
+    from gypsum_tpu.core.config import DEFAULT_CONFIG
+    from gypsum_tpu.runtime.receiver import Receiver
+
+    source = _open_source(args)
+    config = DEFAULT_CONFIG
+    if args.block_ms:
+        config = config.replace(tracking=config.tracking.__class__(block_size_ms=args.block_ms))
+    prns = [int(p) for p in args.prns] if args.prns else None
+    receiver = Receiver(source, config, eligible_prns=prns)
+
+    if args.web_ui:
+        from gypsum_tpu.obs.dashboard_client import DashboardClient
+
+        receiver.add_block_listener(DashboardClient(config.obs).on_block)
+
+    def narrate(recv, report):
+        for hit in report.newly_acquired:
+            print(f"[{report.block_start:8.1f}s] acquired PRN {hit.prn}: "
+                  f"doppler {hit.doppler_hz:+.1f} Hz, code phase {hit.code_phase_samples}, "
+                  f"strength {hit.strength:.1f}")
+        for prn in report.dropped_prns:
+            print(f"[{report.block_start:8.1f}s] dropped PRN {prn} (lost lock)")
+        for prn, ev in report.subframes:
+            how = ev.decoded.handover
+            print(f"[{report.block_start:8.1f}s] PRN {prn} subframe "
+                  f"{how.subframe_id.value} TOW {how.time_of_week_seconds:.0f}s")
+        if report.fix is not None:
+            f = report.fix
+            print(f"[{report.block_end:8.1f}s] FIX lat={f.lat_deg:.6f} lon={f.lon_deg:.6f} "
+                  f"alt={f.alt_m:.0f}m bias={f.clock_bias_s * 1e6:.2f}us sats={f.satellites_used}")
+
+    receiver.add_block_listener(narrate)
+    receiver.run(max_seconds=args.duration, until_fix=args.until_fix)
+    print(f"processed {source.seconds_consumed:.1f}s; "
+          f"{receiver.subframe_count} subframes; "
+          f"{len(receiver.world.position_fixes)} fixes")
+    return 0
+
+
+def cmd_acquire(args) -> int:
+    from gypsum_tpu.acquire.engine import AcquisitionEngine
+
+    source = _open_source(args)
+    attrs = source.attributes
+    engine = AcquisitionEngine(attrs.sample_rate, attrs.samples_per_prn)
+    n_ms = engine.config.integration_period_ms
+    _, block = source.read_block(n_ms)
+    for r in engine.acquire_all(block):
+        marker = "*" if r.strength > engine.config.detection_threshold else " "
+        print(f"{marker} PRN {r.prn:2d}: strength {r.strength:6.2f}  "
+              f"doppler {r.doppler_hz:+8.1f} Hz  code phase {r.code_phase_samples:4d}")
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GPS_START_SOW,
+        demo_constellation,
+    )
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+
+    prns = [int(p) for p in args.prns] if args.prns else None
+    rx = lla_to_ecef(args.lat, args.lon, args.alt)
+    iq, truth = synthesize_constellation(
+        demo_constellation(prns), rx, DEMO_GPS_START_SOW, args.duration,
+        args.rate, noise_sigma=args.noise,
+    )
+    if args.out.endswith(".npy"):
+        np.save(args.out, iq)
+    else:
+        # Interleaved float32 IQ + JSON sidecar (GNU-Radio-compatible layout,
+        # reference: gypsum/radio_input.py:40-43).
+        inter = np.empty(2 * len(iq), dtype=np.float32)
+        inter[0::2] = iq.real
+        inter[1::2] = iq.imag
+        inter.tofile(args.out)
+        with open(args.out + ".json", "w") as f:
+            json.dump({"sample_rate": args.rate, "dtype": "float32"}, f)
+    print(f"wrote {args.out}: {args.duration}s @ {args.rate:.0f} Hz, "
+          f"PRNs {[s for s in truth.doppler_hz]}")
+    for prn in truth.doppler_hz:
+        print(f"  PRN {prn}: doppler {truth.doppler_hz[prn]:+.1f} Hz, "
+              f"code phase {truth.code_phase_samples[prn]:.1f}, "
+              f"transit {truth.transit_time_s[prn] * 1e3:.3f} ms")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname).1s %(name)s: %(message)s")
+    parser = argparse.ArgumentParser(prog="gypsum_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("replay", help="run the full receiver over a capture")
+    _add_file_source_args(p)
+    p.add_argument("--prns", nargs="*", help="restrict acquisition to these PRNs "
+                   "(reference: --only_acquire_satellite_ids)")
+    p.add_argument("--duration", type=float, default=None, help="seconds of signal to process")
+    p.add_argument("--until-fix", action="store_true", help="stop at the first position fix")
+    p.add_argument("--block-ms", type=int, default=None, help="tracking block size")
+    p.add_argument("--web-ui", action="store_true", help="push state to the web dashboard")
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("acquire", help="one-shot acquisition report over 10 ms")
+    _add_file_source_args(p)
+    p.set_defaults(fn=cmd_acquire)
+
+    p = sub.add_parser("synth", help="generate a synthetic multi-SV capture")
+    p.add_argument("--out", required=True, help=".npy or raw interleaved f32 (+.json sidecar)")
+    p.add_argument("--duration", type=float, default=40.0)
+    p.add_argument("--rate", type=float, default=2.046e6)
+    p.add_argument("--noise", type=float, default=0.35)
+    p.add_argument("--prns", nargs="*")
+    p.add_argument("--lat", type=float, default=51.5)
+    p.add_argument("--lon", type=float, default=-0.1)
+    p.add_argument("--alt", type=float, default=80.0)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("bench", help="run the tracked-throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

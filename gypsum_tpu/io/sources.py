@@ -195,3 +195,98 @@ class FileSampleSource(SampleSource):
         ts, block = self.peek_block(n_ms)
         self._cursor += n_ms * self._spp
         return ts, block
+
+
+class DecimatingSampleSource(SampleSource):
+    """Resampling front end: wraps a raw-rate source and delivers blocks at
+    the processing rate (rational ratio up/down, e.g. 10 Msps -> 2.046 Msps =
+    x 1023/5000; integer decimation is up=1).
+
+    Streaming continuity across blocks is exact: each output block k covers
+    raw samples [k*B_raw, (k+1)*B_raw) plus a filter-history prefix whose
+    length is chosen so the polyphase phase alignment of the single
+    dilated+strided convolution (ops/decimate.py) is identical every block.
+    """
+
+    def __init__(
+        self,
+        inner: SampleSource,
+        out_rate: float,
+        taps: np.ndarray | None = None,
+    ) -> None:
+        from fractions import Fraction
+
+        from gypsum_tpu.ops.decimate import decimation_filter, rational_filter
+
+        self.inner = inner
+        self._out_rate = float(out_rate)
+        ratio = Fraction(int(round(out_rate)), int(round(inner.attributes.sample_rate)))
+        self.up, self.down = ratio.numerator, ratio.denominator
+        if taps is None:
+            taps = (
+                decimation_filter(self.down)
+                if self.up == 1
+                else rational_filter(self.up, self.down)
+            )
+        self.taps = np.asarray(taps, dtype=np.float32)
+        t = len(self.taps)
+        # History length (raw samples): multiple of down/gcd so the local
+        # conv's output grid aligns with the global one (see module notes).
+        down_red = self.down  # after Fraction() up/down are already coprime
+        need = -(-(t - 1) // self.up)  # ceil((T-1)/up)
+        self._hist = -(-need // down_red) * down_red
+        self._m_offset = self._hist * self.up // self.down
+        self._tail_raw = -(-t // self.up) + 1
+
+        self._spp_out = int(round(self._out_rate / PRN_REPETITIONS_PER_SECOND))
+        self._raw_per_ms = int(round(inner.attributes.sample_rate / PRN_REPETITIONS_PER_SECOND))
+        if inner.attributes.sample_rate / PRN_REPETITIONS_PER_SECOND % 1:
+            raise ValueError("raw rate must be an integer number of samples per ms")
+        self._buffer = np.zeros(0, dtype=np.complex64)
+        self._buffer_start_raw = 0  # raw index of buffer[0]
+        self._out_cursor = 0  # output samples consumed
+
+    @property
+    def attributes(self) -> StreamAttributes:
+        return StreamAttributes(self._out_rate, self._spp_out)
+
+    @property
+    def seconds_consumed(self) -> float:
+        return self._out_cursor / self._out_rate
+
+    def _ensure_raw(self, upto_raw: int) -> None:
+        while self._buffer_start_raw + len(self._buffer) < upto_raw:
+            _, block = self.inner.read_block(1)
+            self._buffer = np.concatenate([self._buffer, block.ravel()])
+        # Trim history we no longer need.
+        keep_from = max(0, self._out_cursor * self.down // self.up - self._hist)
+        drop = keep_from - self._buffer_start_raw
+        if drop > 4 * self._raw_per_ms:
+            self._buffer = self._buffer[drop:]
+            self._buffer_start_raw = keep_from
+
+    def peek_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        from gypsum_tpu.ops.decimate import resample_rational
+        import jax.numpy as jnp
+
+        n_out = n_ms * self._spp_out
+        b_raw = n_out * self.down // self.up
+        r_start = self._out_cursor * self.down // self.up
+        r_end = r_start + b_raw + self._tail_raw
+        self._ensure_raw(r_end)
+        lo = r_start - self._hist - self._buffer_start_raw
+        pad_left = max(0, -lo)
+        chunk = self._buffer[max(0, lo) : r_end - self._buffer_start_raw]
+        if pad_left:
+            chunk = np.concatenate([np.zeros(pad_left, dtype=np.complex64), chunk])
+        y = np.asarray(
+            resample_rational(jnp.asarray(chunk), jnp.asarray(self.taps), self.up, self.down)
+        )
+        out = y[self._m_offset : self._m_offset + n_out]
+        ts = self._out_cursor / self._out_rate
+        return ts, out.reshape(n_ms, self._spp_out)
+
+    def read_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        ts, block = self.peek_block(n_ms)
+        self._out_cursor += n_ms * self._spp_out
+        return ts, block

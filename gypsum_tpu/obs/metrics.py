@@ -1,0 +1,122 @@
+"""Receiver metrics: throughput, per-channel health, event counters.
+
+The reference's only observability is INFO logging plus rolling deques
+consumed by its matplotlib dashboard (SURVEY.md §5). Here metrics are a
+first-class registry fed from block reports; the tracked headline is IQ
+Msamples/s (the BASELINE.json metric), plus wall-clock realtime factor and
+per-channel signal health. The registry renders to a dict for the dashboard
+and to a one-line log summary.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ChannelHealth:
+    prn: int
+    doppler_hz: float = 0.0
+    quality: float = 0.0
+    locked: bool = False
+    code_phase: float = 0.0
+    pseudosymbols: int = 0
+
+
+@dataclass
+class ReceiverMetrics:
+    """Attach with ``receiver.add_block_listener(metrics.on_block)``."""
+
+    started_wall: float = field(default_factory=time.perf_counter)
+    samples_processed: int = 0
+    signal_seconds: float = 0.0
+    blocks: int = 0
+    subframe_count: int = 0
+    fix_count: int = 0
+    acquisitions: int = 0
+    drops: int = 0
+    counters: dict = field(default_factory=lambda: defaultdict(int))
+    channels: dict = field(default_factory=dict)
+    last_fix: dict | None = None
+
+    def on_block(self, receiver, report) -> None:
+        block_samples = int(
+            (report.block_end - report.block_start) * receiver.sample_rate
+        )
+        self.samples_processed += block_samples
+        self.signal_seconds += report.block_end - report.block_start
+        self.blocks += 1
+        self.subframe_count = receiver.subframe_count
+        self.acquisitions += len(report.newly_acquired)
+        self.drops += len(report.dropped_prns)
+        for obs in report.observations:
+            self.channels[obs.prn] = ChannelHealth(
+                prn=obs.prn,
+                doppler_hz=float(obs.dopplers[-1]),
+                quality=float(obs.quality[-1]),
+                locked=bool(obs.locked[-1]),
+                code_phase=float(obs.code_phases[-1]),
+                pseudosymbols=len(obs.pseudosymbol_signs),
+            )
+        for prn in report.dropped_prns:
+            self.channels.pop(prn, None)
+        if report.fix is not None:
+            self.fix_count += 1
+            self.last_fix = {
+                "lat_deg": report.fix.lat_deg,
+                "lon_deg": report.fix.lon_deg,
+                "alt_m": report.fix.alt_m,
+                "clock_bias_s": report.fix.clock_bias_s,
+                "satellites": list(report.fix.satellites_used),
+                "receiver_timestamp": report.fix.receiver_timestamp,
+            }
+
+    @property
+    def wall_seconds(self) -> float:
+        return time.perf_counter() - self.started_wall
+
+    @property
+    def msamples_per_sec(self) -> float:
+        w = self.wall_seconds
+        return self.samples_processed / w / 1e6 if w > 0 else 0.0
+
+    @property
+    def realtime_factor(self) -> float:
+        w = self.wall_seconds
+        return self.signal_seconds / w if w > 0 else 0.0
+
+    def snapshot(self) -> dict:
+        return {
+            "signal_seconds": round(self.signal_seconds, 3),
+            "wall_seconds": round(self.wall_seconds, 3),
+            "msamples_per_sec": round(self.msamples_per_sec, 3),
+            "realtime_factor": round(self.realtime_factor, 3),
+            "blocks": self.blocks,
+            "subframes": self.subframe_count,
+            "fixes": self.fix_count,
+            "acquisitions": self.acquisitions,
+            "drops": self.drops,
+            "channels": {
+                prn: {
+                    "doppler_hz": round(c.doppler_hz, 1),
+                    "quality": round(c.quality, 3),
+                    "locked": c.locked,
+                    "code_phase": round(c.code_phase, 2),
+                }
+                for prn, c in sorted(self.channels.items())
+            },
+            "last_fix": self.last_fix,
+        }
+
+    def summary_line(self) -> str:
+        fix = ""
+        if self.last_fix:
+            fix = (f" fix=({self.last_fix['lat_deg']:.5f},"
+                   f"{self.last_fix['lon_deg']:.5f})")
+        return (
+            f"t={self.signal_seconds:.0f}s {self.msamples_per_sec:.2f} Msps "
+            f"({self.realtime_factor:.2f}x rt) tracking={sorted(self.channels)} "
+            f"subframes={self.subframe_count} fixes={self.fix_count}{fix}"
+        )

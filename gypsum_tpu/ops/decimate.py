@@ -1,0 +1,81 @@
+"""FIR decimation / rational resampling front end.
+
+The reference only accepts capture rates that are integer multiples of the
+C/A code rate and never decimates (its 8x/16x HackRF inputs are declared but
+unusable, reference: gypsum/radio_input.py:62-92,
+antenna_sample_provider.py:27,134-135). This front end brings arbitrary SDR
+rates down to the processing rate:
+
+- integer-factor decimation (8.184 / 16.368 -> 2.046 Msps) as a strided
+  convolution (``lax.conv_general_dilated`` with window strides — XLA maps it
+  onto the TPU convolution path);
+- rational resampling (e.g. 10 Msps -> 2.046 Msps = x1023/5000) as a single
+  dilated+strided convolution (lhs_dilation = up, stride = down): the
+  classic polyphase upfirdn expressed as one XLA op.
+
+Filters are Kaiser-windowed sincs designed host-side at setup.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def design_lowpass(n_taps: int, cutoff: float, beta: float = 8.6) -> np.ndarray:
+    """Kaiser-windowed sinc, cutoff as a fraction of Nyquist (0..1)."""
+    if n_taps % 2 == 0:
+        n_taps += 1
+    m = np.arange(n_taps) - (n_taps - 1) / 2
+    h = np.sinc(cutoff * m) * cutoff
+    h *= np.kaiser(n_taps, beta)
+    return (h / h.sum()).astype(np.float32)
+
+
+def decimation_filter(factor: int, taps_per_phase: int = 12) -> np.ndarray:
+    """Anti-alias filter for integer decimation by ``factor``."""
+    return design_lowpass(factor * taps_per_phase + 1, cutoff=0.8 / factor)
+
+
+def rational_filter(up: int, down: int, taps_per_phase: int = 10) -> np.ndarray:
+    """Anti-alias/interpolation filter for up/down resampling. The gain is
+    ``up`` so a constant input maps to a constant output."""
+    n = max(up, down) * taps_per_phase + 1
+    h = design_lowpass(n, cutoff=0.8 / max(up, down) * 1.0)
+    return (h * up).astype(np.float32)
+
+
+def _conv_strided(x: jax.Array, taps: jax.Array, stride: int, lhs_dilation: int = 1) -> jax.Array:
+    """Real-taps convolution of a complex signal, strided/dilated, 'VALID'.
+
+    Evaluated as two real convolutions (this keeps the op on the well-trodden
+    f32 convolution path instead of complex convs)."""
+    t = taps[None, None, :]  # [out_ch, in_ch, T]
+
+    def conv1(v):
+        return jax.lax.conv_general_dilated(
+            v[None, None, :], t,
+            window_strides=(stride,),
+            padding=[(0, 0)],  # 'VALID' (the string form rejects lhs_dilation)
+            lhs_dilation=(lhs_dilation,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )[0, 0]
+
+    return jax.lax.complex(conv1(jnp.real(x)), conv1(jnp.imag(x)))
+
+
+@functools.partial(jax.jit, static_argnames=("factor",))
+def fir_decimate(x: jax.Array, taps: jax.Array, factor: int) -> jax.Array:
+    """Filter + keep every ``factor``-th sample ('VALID': the first output
+    corresponds to input index T-1). Output length = (N - T) // factor + 1."""
+    return _conv_strided(x, taps, stride=factor)
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down"))
+def resample_rational(x: jax.Array, taps: jax.Array, up: int, down: int) -> jax.Array:
+    """Polyphase rational resampler (upfirdn): zero-stuff by ``up``
+    (lhs_dilation), filter, keep every ``down``-th output."""
+    return _conv_strided(x, taps, stride=down, lhs_dilation=up)

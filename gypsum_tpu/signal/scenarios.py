@@ -1,0 +1,76 @@
+"""Ready-made constellation scenarios for demos, benches, and fixtures.
+
+GPS-like broadcast ephemerides (a ~ 26,560 km, e ~ 0.012, i ~ 55 deg) with
+node/anomaly spreads chosen so the first several satellites are well-placed
+for a mid-latitude receiver around t = 21600 s of week. The synthetic capture
+produced from these is the framework's stand-in for the reference's vendored
+nov_3 recording (reference: gypsum/radio_input.py:101-105).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gypsum_tpu.core.constants import GPS_PI
+from gypsum_tpu.solve.ephemeris import Ephemeris
+
+
+def make_ephemeris(
+    omega0: float,
+    m0: float,
+    omega: float = 0.6,
+    eccentricity: float = 0.012,
+    a_f0: float = 1.2e-4,
+    t_oe: float = 21600.0,
+) -> Ephemeris:
+    return Ephemeris(
+        sqrt_a=5153.65,
+        eccentricity=eccentricity,
+        i0=0.9617,  # ~55.1 deg
+        omega0=omega0,
+        omega=omega,
+        m0=m0,
+        delta_n=1.42e-09 * GPS_PI,
+        idot=2.8e-10 * GPS_PI,
+        omega_dot=-2.51e-09 * GPS_PI,
+        cuc=-6.03e-06, cus=7.22e-06,
+        crc=221.6875, crs=-115.15625,
+        cic=-1.11e-08, cis=2.04e-08,
+        t_oe=t_oe,
+        a_f0=a_f0, a_f1=-3.6e-12, a_f2=0.0,
+        t_oc=t_oe, t_gd=4.65e-09,
+        week_number=250,
+    )
+
+
+# Visible from ~(51.5N, 0.1W) at t ~ 21600 s (elevations 17-57 deg for the
+# first four; 5-6 are below the horizon, useful as absent-satellite controls).
+DEMO_EPHEMERIDES: list[Ephemeris] = [
+    make_ephemeris(omega0=-0.30, m0=0.40, a_f0=1.2e-4),
+    make_ephemeris(omega0=-0.90, m0=1.90, a_f0=-0.8e-4),
+    make_ephemeris(omega0=0.60, m0=0.60, a_f0=0.5e-4),
+    make_ephemeris(omega0=0.10, m0=1.10, omega=1.2, a_f0=2.0e-4),
+    make_ephemeris(omega0=-1.60, m0=2.70, a_f0=-1.5e-4),
+    make_ephemeris(omega0=1.00, m0=0.30, omega=0.2, a_f0=0.9e-4),
+]
+
+DEMO_PRNS = [25, 28, 31, 32]
+DEMO_RECEIVER_LLA = (51.5, -0.1, 80.0)
+DEMO_GPS_START_SOW = 21600.0
+
+
+def demo_constellation(prns: list[int] | None = None, amplitude: float = 0.22):
+    """[(ConstellationSatellite, ...)] for the demo scene."""
+    from gypsum_tpu.signal.constellation import ConstellationSatellite
+
+    prns = prns or DEMO_PRNS
+    return [
+        ConstellationSatellite(prn=p, ephemeris=DEMO_EPHEMERIDES[i % len(DEMO_EPHEMERIDES)], amplitude=amplitude)
+        for i, p in enumerate(prns)
+    ]
+
+
+def demo_receiver_ecef() -> np.ndarray:
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+
+    return lla_to_ecef(*DEMO_RECEIVER_LLA)

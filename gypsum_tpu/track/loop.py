@@ -58,9 +58,17 @@ class TrackState(NamedTuple):
 
 
 class TrackBlockOutputs(NamedTuple):
-    """Per-millisecond observables, [S, B]-shaped after a block."""
+    """Per-millisecond observables, [B, S]-shaped (ms-major, the scan's
+    natural stacking order — transposing on device would hand the host
+    auto-layout buffers this environment's TPU transfer path rejects; hosts
+    transpose for free).
 
-    prompt: jax.Array  # c64 — prompt correlation peak
+    The prompt correlation peak is split into I/Q float32 planes: this
+    environment's TPU backend cannot transfer complex64 arrays back to the
+    host (hosts reassemble prompt = prompt_i + 1j * prompt_q)."""
+
+    prompt_i: jax.Array  # f32 — Re(prompt correlation peak)
+    prompt_q: jax.Array  # f32 — Im(prompt correlation peak)
     code_phase: jax.Array  # f32 — code phase used for this ms
     doppler: jax.Array  # f32
     carrier_phase: jax.Array  # f32
@@ -219,7 +227,8 @@ def make_track_block_fn(
             lost=lost,
         )
         outputs = TrackBlockOutputs(
-            prompt=prompt,
+            prompt_i=i,
+            prompt_q=q,
             code_phase=state.code_phase,
             doppler=state.doppler,
             carrier_phase=state.carrier_phase,
@@ -238,11 +247,10 @@ def make_track_block_fn(
         new_state, outs = jax.lax.scan(
             lambda st, chunk: step(replicas_wide, st, chunk), state, samples_block
         )
-        # scan stacks along the leading (ms) axis: [B, S, ...] -> [S, B, ...].
-        outs = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, 1), outs)
-        # Return the carry as [S, 1] columns: rank-2 so the host can always
-        # read it back (rank-1 device->host transfers are unsupported on this
-        # environment's TPU backend).
+        # Outputs stay [B, S] (the scan's stacking order; see
+        # TrackBlockOutputs). Return the carry as [S, 1] columns: rank-2 so
+        # the host can always read it back (rank-1 device->host transfers are
+        # unsupported on this environment's TPU backend).
         state_cols = jax.tree_util.tree_map(lambda a: a[:, None], new_state)
         return state_cols, outs
 
@@ -361,7 +369,8 @@ class TrackerBank:
         # Bring the carry home as rank-2 columns, store rank-1 numpy.
         state_cols = jax.device_get(state_cols)
         self.state = TrackState(*(np.array(a[:, 0]) for a in state_cols))  # writable copies
-        outs = jax.device_get(outs)
+        # Fetch [B, S] buffers and transpose on the host (free view).
+        outs = TrackBlockOutputs(*(np.asarray(a).T for a in jax.device_get(outs)))
 
         observations = []
         ms = np.arange(b, dtype=np.float64) * (self.samples_per_prn / self.sample_rate)
@@ -371,8 +380,9 @@ class TrackerBank:
             ) * (self.samples_per_prn / self.sample_rate)
             starts = block_start_time + ms + delay
             ends = starts + (self.samples_per_prn / self.sample_rate)
-            signs = np.sign(outs.prompt[slot].real).astype(np.int8)
+            signs = np.sign(outs.prompt_i[slot]).astype(np.int8)
             signs[signs == 0] = 1
+            prompts = (outs.prompt_i[slot] + 1j * outs.prompt_q[slot]).astype(np.complex64)
             observations.append(
                 ChannelObservation(
                     prn=self.slot_prn[slot],
@@ -380,7 +390,7 @@ class TrackerBank:
                     pseudosymbol_signs=signs,
                     start_times=starts,
                     end_times=ends,
-                    prompts=outs.prompt[slot],
+                    prompts=prompts,
                     code_phases=outs.code_phase[slot],
                     dopplers=outs.doppler[slot],
                     locked=outs.locked[slot],

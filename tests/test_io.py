@@ -1,0 +1,115 @@
+"""IO layer tests: sources, sidecar registry, native reader parity, CLI."""
+
+import json
+import numpy as np
+import pytest
+
+from gypsum_tpu.core.events import NoMoreSamplesError
+from gypsum_tpu.io.sources import ArraySampleSource, FileSampleSource, RecordingInfo
+
+FS = 2.046e6
+L = 2046
+
+
+def _write_capture(tmp_path, iq, dtype, offset=0.0, name="cap.bin"):
+    path = tmp_path / name
+    if dtype == np.float32:
+        words = np.empty(2 * len(iq), dtype=np.float32)
+        words[0::2], words[1::2] = iq.real, iq.imag
+    else:
+        info = np.iinfo(dtype)
+        re = np.clip(np.round(iq.real + offset), info.min, info.max)
+        im = np.clip(np.round(iq.imag + offset), info.min, info.max)
+        words = np.empty(2 * len(iq), dtype=dtype)
+        words[0::2], words[1::2] = re, im
+    words.tofile(path)
+    return path
+
+
+def test_array_source_blocks_and_timestamps(rng):
+    iq = (rng.standard_normal(5 * L) + 1j * rng.standard_normal(5 * L)).astype(np.complex64)
+    src = ArraySampleSource(iq, FS)
+    assert src.attributes.samples_per_prn == L
+    ts, block = src.read_block(2)
+    assert ts == 0.0 and block.shape == (2, L)
+    np.testing.assert_array_equal(block.ravel(), iq[: 2 * L])
+    ts2, _ = src.read_block(2)
+    assert ts2 == pytest.approx(2e-3)
+    with pytest.raises(NoMoreSamplesError):
+        src.read_block(2)  # only 1 ms left
+
+
+def test_file_source_float32(tmp_path, rng):
+    iq = (rng.standard_normal(3 * L) + 1j * rng.standard_normal(3 * L)).astype(np.complex64)
+    path = _write_capture(tmp_path, iq, np.float32)
+    src = FileSampleSource(RecordingInfo(path=path, sample_rate=FS))
+    ts, block = src.read_block(3)
+    np.testing.assert_allclose(block.ravel(), iq, rtol=1e-6)
+
+
+def test_file_source_uint8_with_offset(tmp_path, rng):
+    # rtl-sdr style: uint8 centered at 127.5.
+    iq = (rng.standard_normal(2 * L) * 30 + 1j * rng.standard_normal(2 * L) * 30).astype(np.complex64)
+    path = _write_capture(tmp_path, iq, np.uint8, offset=127.5)
+    src = FileSampleSource(
+        RecordingInfo(path=path, sample_rate=FS, component_dtype=np.uint8, component_offset=127.5)
+    )
+    _, block = src.read_block(2)
+    assert abs(block.real.mean()) < 2.0  # DC removed
+    assert np.corrcoef(block.real.ravel(), iq.real)[0, 1] > 0.99
+
+
+def test_sidecar_registry(tmp_path, rng):
+    iq = (rng.standard_normal(L) + 1j * rng.standard_normal(L)).astype(np.complex64)
+    path = _write_capture(tmp_path, iq, np.int16)
+    (tmp_path / "cap.bin.json").write_text(json.dumps({"sample_rate": FS, "dtype": "int16"}))
+    info = RecordingInfo.from_sidecar(path)
+    assert info.sample_rate == FS and info.component_dtype == np.int16
+    with pytest.raises(FileNotFoundError):
+        RecordingInfo.from_sidecar(tmp_path / "missing.bin")
+
+
+@pytest.mark.parametrize("dtype,offset", [(np.float32, 0.0), (np.int16, 0.0),
+                                          (np.int8, 0.0), (np.uint8, 127.5)])
+def test_native_reader_matches_numpy(tmp_path, rng, dtype, offset):
+    pytest.importorskip("ctypes")
+    from gypsum_tpu.io.native import NativeIqReader
+
+    iq = (rng.standard_normal(4096) * 20 + 1j * rng.standard_normal(4096) * 20).astype(np.complex64)
+    path = _write_capture(tmp_path, iq, dtype, offset=offset)
+    info = RecordingInfo(path=path, sample_rate=FS, component_dtype=dtype, component_offset=offset)
+    native = NativeIqReader(info)
+    assert native.n_samples == 4096
+
+    # numpy oracle (the FileSampleSource fallback path)
+    words = np.memmap(path, dtype=dtype, mode="r").astype(np.float32) - offset
+    want = (words[0::2] + 1j * words[1::2]).astype(np.complex64)
+
+    got = native.read(0, 4096)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    got_mid = native.read(1000, 512)
+    np.testing.assert_allclose(got_mid, want[1000:1512], atol=1e-5)
+    with pytest.raises(EOFError):
+        native.read(4000, 200)
+
+
+def test_file_source_uses_native_when_available(tmp_path, rng):
+    iq = (rng.standard_normal(2 * L) + 1j * rng.standard_normal(2 * L)).astype(np.complex64)
+    path = _write_capture(tmp_path, iq, np.float32)
+    src = FileSampleSource(RecordingInfo(path=path, sample_rate=FS))
+    # If the toolchain built the native reader, the source should hold one.
+    if src._native is not None:
+        _, block = src.read_block(2)
+        np.testing.assert_allclose(block.ravel(), iq, rtol=1e-6)
+
+
+def test_cli_synth_and_acquire(tmp_path, capsys):
+    from gypsum_tpu.cli import main
+
+    out = tmp_path / "demo.bin"
+    rc = main(["synth", "--out", str(out), "--duration", "0.5", "--noise", "0.3"])
+    assert rc == 0 and out.exists() and (tmp_path / "demo.bin.json").exists()
+    rc = main(["acquire", "--file", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "PRN 25" in text and "*" in text

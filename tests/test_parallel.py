@@ -115,6 +115,7 @@ def test_channel_sharded_tracking_block():
     got_state, got_out = jax.device_get(
         fn(state_sh, jax.device_put(jnp.asarray(iq), repl), jax.device_put(jnp.asarray(replicas), chan))
     )
-    np.testing.assert_allclose(got_out.prompt, ref_out.prompt, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(got_out.prompt_i, ref_out.prompt_i, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(got_out.prompt_q, ref_out.prompt_q, rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(got_state.doppler, ref_state.doppler, rtol=1e-5)
     np.testing.assert_allclose(got_state.code_phase, ref_state.code_phase, rtol=1e-5)
