@@ -1,0 +1,70 @@
+"""Receiver checkpoint / resume.
+
+The reference has no persistence: every run cold-starts from acquisition
+(SURVEY.md §5 "Checkpoint/resume: none"). Here the complete receiver state —
+tracking loop filters (host-resident numpy), navigation pipelines (bit/frame
+sync), the world model (ephemerides, time bases, clock slide), and the
+acquisition schedule — serializes to a single file, so long replays can stop
+and resume mid-stream and a warmed receiver can re-lock instantly on
+restart.
+
+Format: a gzip'd pickle of a versioned dict. Pickle is acceptable here
+because checkpoints are local artifacts produced and consumed by the same
+framework version (guarded by an explicit version tag).
+"""
+
+from __future__ import annotations
+
+import gzip
+import pickle
+from pathlib import Path
+
+CHECKPOINT_VERSION = 1
+
+
+def save_checkpoint(receiver, path: str | Path) -> None:
+    """Snapshot a Receiver (runtime/receiver.py) to ``path``."""
+    blob = {
+        "version": CHECKPOINT_VERSION,
+        "stream_seconds": receiver.source.seconds_consumed,
+        "bank_state": receiver.bank.state,
+        "slot_prn": list(receiver.bank.slot_prn),
+        "eligible_prns": set(receiver.eligible_prns),
+        "pipelines": receiver.pipelines,
+        "world": receiver.world,
+        "last_scan_time": receiver._last_scan_time,
+        "subframe_count": receiver.subframe_count,
+    }
+    with gzip.open(path, "wb") as f:
+        pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_checkpoint(receiver, path: str | Path) -> float:
+    """Restore a snapshot into a freshly constructed Receiver whose source is
+    positioned at (or seekable to) the checkpoint's stream position.
+
+    Returns the stream timestamp the checkpoint was taken at; the caller is
+    responsible for fast-forwarding the sample source to it (sources are
+    sequential, matching the reference's cursor model).
+    """
+    with gzip.open(path, "rb") as f:
+        blob = pickle.load(f)
+    if blob["version"] != CHECKPOINT_VERSION:
+        raise ValueError(f"checkpoint version {blob['version']} != {CHECKPOINT_VERSION}")
+    receiver.bank.state = blob["bank_state"]
+    receiver.bank.slot_prn = blob["slot_prn"]
+    receiver.eligible_prns = blob["eligible_prns"]
+    receiver.pipelines = blob["pipelines"]
+    receiver.world = blob["world"]
+    receiver._last_scan_time = blob["last_scan_time"]
+    receiver.subframe_count = blob["subframe_count"]
+    return float(blob["stream_seconds"])
+
+
+def fast_forward(source, seconds: float, chunk_ms: int = 1000) -> None:
+    """Advance a sequential source to ``seconds`` (whole-ms resolution)."""
+    remaining_ms = int(round((seconds - source.seconds_consumed) * 1000))
+    while remaining_ms > 0:
+        step = min(chunk_ms, remaining_ms)
+        source.read_block(step)
+        remaining_ms -= step

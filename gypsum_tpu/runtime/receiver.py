@@ -217,8 +217,10 @@ class Receiver:
             elif isinstance(event, (CannotDetermineBitPhaseEvent, LostBitCoherenceEvent)):
                 lost = True
 
-        # --- PRN-tick accounting around mid-block subframe resets.
-        cp_delay = float(obs.code_phases[-1]) / self.sample_rate
+        # --- PRN-tick accounting around mid-block subframe resets. The
+        # sub-sample *measured* code phase feeds pseudoranges (1 sample of
+        # quantization is ~147 m of range at 2.046 Msps).
+        cp_delay = float(obs.code_phases_measured[-1]) / self.sample_rate
         consumed = 0
         for t_edge, sf_event in sorted(subframe_edges, key=lambda x: x[0]):
             k_done = int(np.floor((t_edge - block_start) / 1e-3))  # chunks completed

@@ -149,8 +149,21 @@ def synthesize_constellation(
             dtsv = np.interp(t, grid, dtsv_g)
             t_sv = t - tau + dtsv
 
-            chip_pos = t_sv * CA_CHIP_RATE_HZ
-            chips = code[np.floor(chip_pos).astype(np.int64) % PRN_CHIP_COUNT]
+            # Integrate-and-dump chip sampling: each output sample averages
+            # the +/-1 chip waveform over its sample period, so a chip
+            # boundary falling mid-period contributes proportionally. This is
+            # what preserves *sub-sample* code timing in the capture (naive
+            # floor-sampling quantizes the delay to whole samples and no
+            # receiver could measure better than +/-0.5 sample from it).
+            chip_pos0 = t_sv * CA_CHIP_RATE_HZ
+            step = CA_CHIP_RATE_HZ / sample_rate
+            chip_pos1 = chip_pos0 + step
+            i0 = np.floor(chip_pos0).astype(np.int64)
+            i1 = np.floor(chip_pos1).astype(np.int64)
+            c0 = code[i0 % PRN_CHIP_COUNT]
+            c1 = code[i1 % PRN_CHIP_COUNT]
+            w = np.clip((chip_pos1 - i1) / step, 0.0, 1.0)
+            chips = np.where(i1 > i0, c0 * (1.0 - w) + c1 * w, c0)
             bit_idx = np.floor((t_sv - bits_t0_sv) / _BIT_DURATION_S).astype(np.int64)
             data = bits[np.clip(bit_idx, 0, len(bits) - 1)]
 

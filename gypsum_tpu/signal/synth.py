@@ -77,8 +77,15 @@ def synthesize_iq(
         # Transmit-time coordinate of each sample.
         t_tx = t - delay_s
         chip_pos = t_tx * chip_rate_rx
-        chip_idx = np.floor(chip_pos).astype(np.int64) % PRN_CHIP_COUNT
-        chips = code[chip_idx]
+        # Integrate-and-dump chip sampling (see constellation.py): preserves
+        # sub-sample code timing instead of quantizing it to whole samples.
+        step = chip_rate_rx / sample_rate
+        i0 = np.floor(chip_pos).astype(np.int64)
+        i1 = np.floor(chip_pos + step).astype(np.int64)
+        c0 = code[i0 % PRN_CHIP_COUNT]
+        c1 = code[i1 % PRN_CHIP_COUNT]
+        w = np.clip((chip_pos + step - i1) / step, 0.0, 1.0)
+        chips = np.where(i1 > i0, c0 * (1.0 - w) + c1 * w, c0)
         # Navigation bit index: 20 PRN periods per bit.
         bit_idx = np.floor(chip_pos / (PRN_CHIP_COUNT * PSEUDOSYMBOLS_PER_NAVIGATION_BIT)).astype(np.int64)
         bit_vals = bits[bit_idx % len(bits)]

@@ -69,7 +69,13 @@ class TrackBlockOutputs(NamedTuple):
 
     prompt_i: jax.Array  # f32 — Re(prompt correlation peak)
     prompt_q: jax.Array  # f32 — Im(prompt correlation peak)
-    code_phase: jax.Array  # f32 — code phase used for this ms
+    code_phase: jax.Array  # f32 — code phase used for this ms (loop state)
+    # Sub-sample code-phase *measurement*: the lag-window peak position
+    # refined by triangle interpolation of the correlation magnitudes. This
+    # feeds pseudoranges (the loop itself stays on the integer-lag
+    # discriminator); one sample at 2.046 Msps is ~147 m of range, the
+    # interpolated measurement is good to ~0.1 sample.
+    code_phase_measured: jax.Array  # f32
     doppler: jax.Array  # f32
     carrier_phase: jax.Array  # f32
     pll_error: jax.Array  # f32 — normalized Costas error
@@ -172,6 +178,20 @@ def make_track_block_fn(
         peak_idx = jnp.argmax(power, axis=-1)
         prompt = jnp.take_along_axis(corr, peak_idx[:, None], axis=-1)[:, 0]  # [S]
 
+        # Sub-sample peak position: the C/A correlation is a triangle in lag,
+        # so the vertex offset from the argmax is
+        # (R+ - R-) / (2 (R0 - min(R+, R-))) in samples, with R = |corr|.
+        mag = jnp.sqrt(power)
+        r0 = jnp.take_along_axis(mag, peak_idx[:, None], axis=-1)[:, 0]
+        rp = jnp.take_along_axis(mag, jnp.minimum(peak_idx + 1, n_lags - 1)[:, None], axis=-1)[:, 0]
+        rm = jnp.take_along_axis(mag, jnp.maximum(peak_idx - 1, 0)[:, None], axis=-1)[:, 0]
+        frac = (rp - rm) / (2.0 * (r0 - jnp.minimum(rp, rm)) + _EPS)
+        frac = jnp.clip(frac, -0.5, 0.5)
+        code_phase_measured = jnp.mod(
+            cp_int.astype(jnp.float32) + (peak_idx - k_half).astype(jnp.float32) + frac,
+            float(length),
+        )
+
         # --- DLL: normalized early-late power discriminator. Positive means
         # the true peak sits earlier than the prompt -> decrease code phase.
         dll_err = (early - late) / (early + late + _EPS)
@@ -230,6 +250,7 @@ def make_track_block_fn(
             prompt_i=i,
             prompt_q=q,
             code_phase=state.code_phase,
+            code_phase_measured=code_phase_measured,
             doppler=state.doppler,
             carrier_phase=state.carrier_phase,
             pll_error=pll_err,
@@ -268,7 +289,8 @@ class ChannelObservation:
     start_times: np.ndarray  # f64 — code-phase-corrected leading edges
     end_times: np.ndarray  # f64
     prompts: np.ndarray  # c64
-    code_phases: np.ndarray  # f32
+    code_phases: np.ndarray  # f32 — loop state
+    code_phases_measured: np.ndarray  # f32 — sub-sample interpolated
     dopplers: np.ndarray  # f32
     locked: np.ndarray  # bool
     quality: np.ndarray  # f32
@@ -392,6 +414,7 @@ class TrackerBank:
                     end_times=ends,
                     prompts=prompts,
                     code_phases=outs.code_phase[slot],
+                    code_phases_measured=outs.code_phase_measured[slot],
                     dopplers=outs.doppler[slot],
                     locked=outs.locked[slot],
                     quality=outs.quality[slot],
