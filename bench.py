@@ -77,6 +77,7 @@ def tracked_throughput_msamples_per_sec() -> tuple[float, dict]:
     import jax.numpy as jnp
 
     from gypsum_tpu.core.config import TrackingConfig
+    from gypsum_tpu.core.planes import to_planes
     from gypsum_tpu.signal.prn import replica_table
     from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
     from gypsum_tpu.track.loop import fresh_state, make_track_block_fn
@@ -96,7 +97,7 @@ def tracked_throughput_msamples_per_sec() -> tuple[float, dict]:
         for p in range(1, 9)
     ]
     iq = synthesize_iq(sats, BLOCK_MS * L, FS, noise_sigma=0.4, seed=2)
-    samples = jnp.asarray(iq.reshape(BLOCK_MS, L))
+    samples = jnp.asarray(to_planes(iq.reshape(BLOCK_MS, L)))  # [B, L, 2] f32
 
     state = fresh_state(N_CHANNELS)  # host numpy leaves
     state = state._replace(
@@ -104,17 +105,31 @@ def tracked_throughput_msamples_per_sec() -> tuple[float, dict]:
         code_phase=(61.0 * np.arange(1, N_CHANNELS + 1) % L).astype(np.float32),
     )
 
+    # This environment's TPU backend returns from jax.block_until_ready
+    # immediately (it only waits for dispatch, measured: a 5.5 TFLOP chain
+    # "completes" in 0 ms but takes 358 ms to fetch). The only way to observe
+    # completion is a device->host fetch, so every timing below chains the
+    # computation through the carried state and ends with jax.device_get of
+    # the final carry; the fixed fetch overhead is measured on the warmed-up
+    # state and subtracted.
     t0 = time.perf_counter()
     for _ in range(WARMUP_BLOCKS):
         state, outs = fn(state, samples, replicas)
-    jax.block_until_ready(state)
+    state_host = jax.device_get(state)
     warmup = time.perf_counter() - t0
     _log(f"tracking warmup ({WARMUP_BLOCKS} blocks incl. compile): {warmup:.2f}s")
 
     t0 = time.perf_counter()
+    _ = jax.device_get(fn(state, samples, replicas)[0])
+    fetch_s = max(0.0, time.perf_counter() - t0)  # 1 block + fetch
+    _log(f"single block incl. fetch: {fetch_s*1e3:.1f}ms")
+
+    t0 = time.perf_counter()
     for _ in range(TIMED_BLOCKS):
         state, outs = fn(state, samples, replicas)
-    jax.block_until_ready(state)
+    # The final carry depends on every previous block, so this fetch bounds
+    # the full chain's execution.
+    _ = jax.device_get(state)
     elapsed = time.perf_counter() - t0
 
     msps = TIMED_BLOCKS * BLOCK_MS * L / elapsed / 1e6
@@ -127,6 +142,7 @@ def tracked_throughput_msamples_per_sec() -> tuple[float, dict]:
         "tracking_elapsed_s": elapsed,
         "tracking_warmup_s": warmup,
         "block_latency_ms": elapsed / TIMED_BLOCKS * 1e3,
+        "single_block_incl_fetch_ms": fetch_s * 1e3,
         "realtime_factor": msps * 1e6 / FS,
     }
     return msps, details
@@ -140,21 +156,21 @@ def acquisition_wallclock_s() -> dict:
     from gypsum_tpu.acquire.engine import AcquisitionEngine
     from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
 
+    from gypsum_tpu.core.planes import to_planes
+
     eng = AcquisitionEngine(FS, L)
     sats = [SyntheticSatellite(prn=25, doppler_hz=1200.0, delay_samples=700, amplitude=0.2)]
     iq = synthesize_iq(sats, 10 * L, FS, noise_sigma=0.4, seed=3).reshape(10, L)
-    x = jnp.asarray(iq)
+    x = jnp.asarray(to_planes(iq))
 
     t0 = time.perf_counter()
-    out = eng._acquire_jit(x)
-    jax.block_until_ready(out)
+    out = jax.device_get(eng._acquire_jit(x))  # fetch forces completion
     cold = time.perf_counter() - t0
 
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        out = eng._acquire_jit(x)
-    jax.block_until_ready(out)
+        out = jax.device_get(eng._acquire_jit(x))
     warm = (time.perf_counter() - t0) / n
     return {"acquisition_cold_s": cold, "acquisition_warm_s": warm}
 

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gypsum_tpu.core.config import AcquisitionConfig
+from gypsum_tpu.core.planes import to_complex, to_planes
 from gypsum_tpu.ops.correlate import (
     noncoherent_acquisition_sweep,
     peak_strength,
@@ -90,7 +91,11 @@ class AcquisitionEngine:
         # at trace time (which this environment's TPU backend cannot do for
         # every shape).
         reps = replica_table(self.samples_per_prn)  # [32, L] float32 +/-1
-        self._prn_fft_conj = replica_fft_conj_table(reps)
+        # Stored as float32 I/Q planes: a complex64 closure constant would be
+        # materialized through the complex transfer path this environment's
+        # TPU backend lacks (see core/planes.py).
+        pfc = replica_fft_conj_table(reps)
+        self._prn_fft_planes = np.stack([pfc.real, pfc.imag], axis=-1).astype(np.float32)
         self._replica_tiled = np.concatenate([reps, reps], axis=1)  # [32, 2L]
         self._coarse_dopplers = np.arange(
             -cfg.doppler_max_hz, cfg.doppler_max_hz + 1e-6, cfg.coarse_step_hz
@@ -102,18 +107,20 @@ class AcquisitionEngine:
 
     # ---------------------------------------------------------------- device
 
-    def _acquire_all(self, samples_ms: jax.Array):
-        """samples_ms: [M, L] complex64 -> per-sat (doppler, code phase,
-        carrier phase, strength), all [32]."""
+    def _acquire_all(self, samples_planes: jax.Array):
+        """samples_planes: [M, L, 2] float32 I/Q planes -> per-sat (doppler,
+        code phase, carrier phase, strength), all [32] (packed rank-2)."""
         fs = self.sample_rate
         length = self.samples_per_prn
+        samples_ms = to_complex(samples_planes)  # [M, L] c64, on device
         m_count = samples_ms.shape[0]
         coarse_dopplers = jnp.asarray(self._coarse_dopplers)
         fine_offsets = jnp.asarray(self._fine_offsets)
+        prn_fft_conj = to_complex(jnp.asarray(self._prn_fft_planes))  # [S, L]
 
         # ---- Stage 1: coarse non-coherent sweep over the full grid.
         noncoh = noncoherent_acquisition_sweep(
-            samples_ms, coarse_dopplers, jnp.asarray(self._prn_fft_conj), fs
+            samples_ms, coarse_dopplers, prn_fft_conj, fs
         )  # [S, D, L]
         s_count, d_count, _ = noncoh.shape
         flat_idx = jnp.argmax(noncoh.reshape(s_count, -1), axis=-1)  # [S]
@@ -200,7 +207,7 @@ class AcquisitionEngine:
                 f"expected [{self.config.integration_period_ms}, {self.samples_per_prn}] "
                 f"samples, got {samples.shape}"
             )
-        packed = jax.device_get(self._acquire_jit(jnp.asarray(samples, dtype=jnp.complex64)))
+        packed = jax.device_get(self._acquire_jit(jnp.asarray(to_planes(samples))))
         doppler, code_phase, carrier_phase, strength = packed
         results = [
             AcquisitionResult(

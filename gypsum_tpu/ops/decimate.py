@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gypsum_tpu.core.planes import np_to_complex, to_planes
+
 
 def design_lowpass(n_taps: int, cutoff: float, beta: float = 8.6) -> np.ndarray:
     """Kaiser-windowed sinc, cutoff as a fraction of Nyquist (0..1)."""
@@ -48,34 +50,44 @@ def rational_filter(up: int, down: int, taps_per_phase: int = 10) -> np.ndarray:
     return (h * up).astype(np.float32)
 
 
-def _conv_strided(x: jax.Array, taps: jax.Array, stride: int, lhs_dilation: int = 1) -> jax.Array:
-    """Real-taps convolution of a complex signal, strided/dilated, 'VALID'.
-
-    Evaluated as two real convolutions (this keeps the op on the well-trodden
-    f32 convolution path instead of complex convs)."""
+def _conv_strided(planes: jax.Array, taps: jax.Array, stride: int, lhs_dilation: int = 1) -> jax.Array:
+    """Real-taps convolution of an I/Q-plane signal [N, 2], strided/dilated,
+    'VALID'. The two planes ride the batch axis of one f32 convolution, and
+    the device boundary stays float (core/planes.py: this environment's TPU
+    backend cannot transfer complex64)."""
     t = taps[None, None, :]  # [out_ch, in_ch, T]
-
-    def conv1(v):
-        return jax.lax.conv_general_dilated(
-            v[None, None, :], t,
-            window_strides=(stride,),
-            padding=[(0, 0)],  # 'VALID' (the string form rejects lhs_dilation)
-            lhs_dilation=(lhs_dilation,),
-            dimension_numbers=("NCH", "OIH", "NCH"),
-        )[0, 0]
-
-    return jax.lax.complex(conv1(jnp.real(x)), conv1(jnp.imag(x)))
+    v = planes.T[:, None, :]  # [2, 1, N] — planes as the conv batch dim
+    y = jax.lax.conv_general_dilated(
+        v, t,
+        window_strides=(stride,),
+        padding=[(0, 0)],  # 'VALID' (the string form rejects lhs_dilation)
+        lhs_dilation=(lhs_dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0]  # [2, M]
+    return y.T  # [M, 2]
 
 
 @functools.partial(jax.jit, static_argnames=("factor",))
-def fir_decimate(x: jax.Array, taps: jax.Array, factor: int) -> jax.Array:
+def fir_decimate_planes(planes: jax.Array, taps: jax.Array, factor: int) -> jax.Array:
     """Filter + keep every ``factor``-th sample ('VALID': the first output
-    corresponds to input index T-1). Output length = (N - T) // factor + 1."""
-    return _conv_strided(x, taps, stride=factor)
+    corresponds to input index T-1). [N, 2] f32 -> [(N-T)//factor + 1, 2]."""
+    return _conv_strided(planes, taps, stride=factor)
 
 
 @functools.partial(jax.jit, static_argnames=("up", "down"))
-def resample_rational(x: jax.Array, taps: jax.Array, up: int, down: int) -> jax.Array:
+def resample_rational_planes(planes: jax.Array, taps: jax.Array, up: int, down: int) -> jax.Array:
     """Polyphase rational resampler (upfirdn): zero-stuff by ``up``
-    (lhs_dilation), filter, keep every ``down``-th output."""
-    return _conv_strided(x, taps, stride=down, lhs_dilation=up)
+    (lhs_dilation), filter, keep every ``down``-th output. [N, 2] f32 in/out."""
+    return _conv_strided(planes, taps, stride=down, lhs_dilation=up)
+
+
+def fir_decimate(x, taps, factor: int) -> np.ndarray:
+    """Host convenience wrapper: complex in, complex (numpy) out."""
+    y = fir_decimate_planes(jnp.asarray(to_planes(x)), jnp.asarray(taps), factor)
+    return np_to_complex(jax.device_get(y))
+
+
+def resample_rational(x, taps, up: int, down: int) -> np.ndarray:
+    """Host convenience wrapper: complex in, complex (numpy) out."""
+    y = resample_rational_planes(jnp.asarray(to_planes(x)), jnp.asarray(taps), up, down)
+    return np_to_complex(jax.device_get(y))

@@ -21,14 +21,15 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from gypsum_tpu.core.planes import to_complex
 from gypsum_tpu.ops.correlate import noncoherent_acquisition_sweep, peak_strength
 
 
 def sharded_acquisition_sweep(
     mesh: Mesh,
-    samples_ms: jax.Array,  # [M, L] complex64 (replicated)
+    samples_planes: jax.Array,  # [M, L, 2] float32 I/Q planes (replicated)
     dopplers: jax.Array,  # [D] float32 (replicated)
-    prn_fft_conj: jax.Array,  # [S, L] complex64 (sharded over 'sat')
+    prn_fft_planes: jax.Array,  # [S, L, 2] float32 planes (sharded over 'sat')
     sample_rate: float,
 ):
     """Per-satellite peak results with the PRN axis sharded over 'sat'.
@@ -39,18 +40,22 @@ def sharded_acquisition_sweep(
     mantissa-free high bits is unnecessary here: psum of masked index).
     """
     n_sat_shards = mesh.shape["sat"]
-    s_total = prn_fft_conj.shape[0]
+    s_total = prn_fft_planes.shape[0]
     if s_total % n_sat_shards:
         raise ValueError(f"{s_total} PRN rows not divisible by sat axis {n_sat_shards}")
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P("sat", None)),
+        in_specs=(P(), P(), P("sat", None, None)),
         out_specs=(P("sat"), P("sat"), P("sat"), P(), P()),
     )
     def sweep(samples, dops, pfc_local):
-        noncoh = noncoherent_acquisition_sweep(samples, dops, pfc_local, sample_rate)
+        # Device boundaries are float planes (core/planes.py); complex is
+        # formed on device inside the shard_map body.
+        noncoh = noncoherent_acquisition_sweep(
+            to_complex(samples), dops, to_complex(pfc_local), sample_rate
+        )
         s_local, d_count, length = noncoh.shape
         flat = jnp.argmax(noncoh.reshape(s_local, -1), axis=-1)
         d_idx = (flat // length).astype(jnp.int32)
@@ -71,7 +76,7 @@ def sharded_acquisition_sweep(
         global_row = jax.lax.pmax(global_row, axis_name="time")
         return strength, d_idx, code_phase, global_row, global_max
 
-    return sweep(samples_ms, dopplers, prn_fft_conj)
+    return sweep(samples_planes, dopplers, prn_fft_planes)
 
 
 def shard_tracking_inputs(mesh: Mesh, state, samples_block, replicas_wide):

@@ -51,28 +51,34 @@ def _chunk_linear_power(iq_ext: jax.Array, pfc2: jax.Array, length: int) -> jax.
 
 def time_sharded_correlation_power(
     mesh: Mesh,
-    iq: jax.Array,  # [n_chunks_total * L] complex64
+    iq_planes: jax.Array,  # [n_chunks_total * L, 2] float32 I/Q planes
     replica: np.ndarray,  # [L] float32
 ) -> jax.Array:
     """[n_chunks_total, L] linear-correlation power, signal time sharded over
-    the mesh's 'time' axis with ppermute halo exchange."""
+    the mesh's 'time' axis with ppermute halo exchange. The stream crosses the
+    host->device boundary as float planes (core/planes.py)."""
     length = replica.shape[-1]
     n_time = mesh.shape["time"]
-    total = iq.shape[0]
+    total = iq_planes.shape[0]
     if total % (length * n_time):
         raise ValueError(
             f"stream of {total} samples must split into whole chunks across "
             f"{n_time} time shards"
         )
-    pfc2 = jnp.asarray(linear_replica_fft_conj(replica))
+    pfc2_np = linear_replica_fft_conj(replica)
+    pfc2_planes = np.stack([pfc2_np.real, pfc2_np.imag], axis=-1).astype(np.float32)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(("sat", "time")),),
+        in_specs=(P(("sat", "time"), None),),
         out_specs=P(("sat", "time")),
     )
-    def sweep(iq_local):
+    def sweep(iq_local_planes):
+        from gypsum_tpu.core.planes import to_complex
+
+        iq_local = to_complex(iq_local_planes)
+        pfc2 = to_complex(jnp.asarray(pfc2_planes))
         # Halo: first L samples of the *right* neighbor (wrapping at the end;
         # the final shard's last chunk correlates into the stream's wrap,
         # callers ignore it or pad the stream).
@@ -82,4 +88,4 @@ def time_sharded_correlation_power(
         ext = jnp.concatenate([iq_local, halo])
         return _chunk_linear_power(ext, pfc2, length)
 
-    return sweep(iq)
+    return sweep(iq_planes)

@@ -39,6 +39,7 @@ import numpy as np
 
 from gypsum_tpu.core.config import TrackingConfig
 from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
+from gypsum_tpu.core.planes import to_complex, to_planes
 from gypsum_tpu.signal.prn import replica_table
 
 _EPS = 1e-12
@@ -111,9 +112,11 @@ def make_track_block_fn(
 ):
     """Build the jitted block-tracking function.
 
-    Returns ``f(state, samples_block [B, L] c64, replicas_tiled [S, 2L+2K] f32)
-    -> (state', TrackBlockOutputs [S, B])``. B is fixed by
-    ``config.block_size_ms`` at trace time.
+    Returns ``f(state, samples_block [B, L, 2] f32 I/Q planes,
+    replicas_tiled [S, 2L+2K] f32) -> (state', TrackBlockOutputs [S, B])``.
+    B is fixed by ``config.block_size_ms`` at trace time. Samples cross the
+    host->device boundary as float planes (see core/planes.py: this
+    environment's TPU backend cannot upload complex64).
     """
     cfg = config
     length = samples_per_prn
@@ -265,8 +268,9 @@ def make_track_block_fn(
         # Accept either [S] or [S, 1] carry leaves (the function returns
         # columns; callers may feed them straight back in).
         state = jax.tree_util.tree_map(lambda a: jnp.asarray(a).reshape((a.shape[0],)), state)
+        chunks = to_complex(samples_block)  # [B, L] c64 from [B, L, 2] planes
         new_state, outs = jax.lax.scan(
-            lambda st, chunk: step(replicas_wide, st, chunk), state, samples_block
+            lambda st, chunk: step(replicas_wide, st, chunk), state, chunks
         )
         # Outputs stay [B, S] (the scan's stacking order; see
         # TrackBlockOutputs). Return the carry as [S, 1] columns: rank-2 so
@@ -386,7 +390,7 @@ class TrackerBank:
         )
         replicas = jnp.asarray(self._replicas_wide[prn_idx])
         state_cols, outs = self._fn(
-            self.state, jnp.asarray(samples_block, dtype=jnp.complex64), replicas
+            self.state, jnp.asarray(to_planes(samples_block)), replicas
         )
         # Bring the carry home as rank-2 columns, store rank-1 numpy.
         state_cols = jax.device_get(state_cols)

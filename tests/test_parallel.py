@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from gypsum_tpu.core.planes import to_planes
 from gypsum_tpu.ops.correlate import replica_fft_conj_table
 from gypsum_tpu.parallel.mesh import factor_devices, make_receiver_mesh
 from gypsum_tpu.parallel.sharded import sharded_acquisition_sweep
@@ -38,11 +39,11 @@ def test_sharded_acquisition_matches_single_device(rng):
     truth = SyntheticSatellite(prn=17, doppler_hz=1500.0, delay_samples=321, amplitude=0.3)
     iq = synthesize_iq([truth], 4 * L, FS, noise_sigma=0.3, seed=4).reshape(4, L)
     dopplers = jnp.asarray(np.arange(-2000.0, 2001.0, 500.0), dtype=jnp.float32)
-    pfc = jnp.asarray(replica_fft_conj_table(replica_table(L)))
+    pfc = jnp.asarray(to_planes(replica_fft_conj_table(replica_table(L))))
     mesh = make_receiver_mesh()
 
     strength, d_idx, code_phase, best_row, best_val = jax.device_get(
-        sharded_acquisition_sweep(mesh, jnp.asarray(iq), dopplers, pfc, FS)
+        sharded_acquisition_sweep(mesh, jnp.asarray(to_planes(iq)), dopplers, pfc, FS)
     )
     assert strength.shape == (32,)
     assert int(np.argmax(strength)) == 16  # PRN 17 -> row 16
@@ -64,7 +65,7 @@ def test_time_sharded_streaming_matches_oracle(rng):
     iq[pos : pos + L] += 0.8 * rep.astype(np.complex64)
 
     mesh = make_receiver_mesh()
-    power = np.asarray(time_sharded_correlation_power(mesh, jnp.asarray(iq), rep))
+    power = np.asarray(time_sharded_correlation_power(mesh, jnp.asarray(to_planes(iq)), rep))
     assert power.shape == (n_chunks, L)
 
     # Oracle: direct linear correlation per chunk.
@@ -107,13 +108,14 @@ def test_channel_sharded_tracking_block():
         doppler=state.doppler + 700.0, code_phase=state.code_phase + 100.0
     )
 
-    ref_state, ref_out = jax.device_get(fn(state, jnp.asarray(iq), jnp.asarray(replicas)))
+    iq_planes = jnp.asarray(to_planes(iq))
+    ref_state, ref_out = jax.device_get(fn(state, iq_planes, jnp.asarray(replicas)))
 
     chan = NamedSharding(mesh, P("sat"))
     repl = NamedSharding(mesh, P())
     state_sh = jax.tree_util.tree_map(lambda a: jax.device_put(a, chan), state)
     got_state, got_out = jax.device_get(
-        fn(state_sh, jax.device_put(jnp.asarray(iq), repl), jax.device_put(jnp.asarray(replicas), chan))
+        fn(state_sh, jax.device_put(iq_planes, repl), jax.device_put(jnp.asarray(replicas), chan))
     )
     np.testing.assert_allclose(got_out.prompt_i, ref_out.prompt_i, rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(got_out.prompt_q, ref_out.prompt_q, rtol=1e-4, atol=1e-2)
