@@ -30,17 +30,45 @@ def _add_file_source_args(p: argparse.ArgumentParser) -> None:
                    help="override sample rate (else from sidecar; 2.046e6 for .npy)")
 
 
+PROCESSING_RATE = 2.046e6  # all signal processing runs at 2x the chip rate
+
+
 def _open_source(args):
-    from gypsum_tpu.io.sources import ArraySampleSource, FileSampleSource, RecordingInfo
+    import pathlib
+
+    from gypsum_tpu.io.sources import (
+        ArraySampleSource,
+        DecimatingSampleSource,
+        FileSampleSource,
+        RecordingInfo,
+    )
 
     if args.file.endswith(".npy"):
         iq = np.load(args.file)
-        return ArraySampleSource(iq, args.sample_rate or 2.046e6)
-    if args.sample_rate:
-        info = RecordingInfo(path=__import__("pathlib").Path(args.file), sample_rate=args.sample_rate)
+        rate = args.sample_rate
+        if rate is None:
+            sidecar = pathlib.Path(args.file + ".json")
+            if sidecar.exists():
+                rate = float(json.loads(sidecar.read_text())["sample_rate"])
+            else:
+                rate = PROCESSING_RATE
+        source = ArraySampleSource(iq, rate)
     else:
-        info = RecordingInfo.from_sidecar(args.file)
-    return FileSampleSource(info)
+        if args.sample_rate:
+            info = RecordingInfo(path=pathlib.Path(args.file), sample_rate=args.sample_rate)
+        else:
+            info = RecordingInfo.from_sidecar(args.file)
+        source = FileSampleSource(info)
+    # Bring non-native rates down to the processing rate through the
+    # polyphase front end (the reference cannot do this at all: it rejects
+    # anything but integer multiples of the chip rate and never decimates,
+    # gypsum/antenna_sample_provider.py:27,134-135).
+    if abs(source.attributes.sample_rate - PROCESSING_RATE) > 1e-6:
+        _logger.info(
+            "decimating %.0f Hz capture to %.0f Hz", source.attributes.sample_rate, PROCESSING_RATE
+        )
+        source = DecimatingSampleSource(source, PROCESSING_RATE)
+    return source
 
 
 def cmd_replay(args) -> int:
@@ -114,6 +142,8 @@ def cmd_synth(args) -> int:
     )
     if args.out.endswith(".npy"):
         np.save(args.out, iq)
+        with open(args.out + ".json", "w") as f:
+            json.dump({"sample_rate": args.rate, "dtype": "float32"}, f)
     else:
         # Interleaved float32 IQ + JSON sidecar (GNU-Radio-compatible layout,
         # reference: gypsum/radio_input.py:40-43).
@@ -142,6 +172,13 @@ def cmd_bench(args) -> int:
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname).1s %(name)s: %(message)s")
     parser = argparse.ArgumentParser(prog="gypsum_tpu")
+    parser.add_argument(
+        "--platform",
+        choices=["cpu", "tpu"],
+        default=None,
+        help="force the JAX backend (this environment's TPU plugin ignores "
+        "the JAX_PLATFORMS environment variable, so use this flag)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("replay", help="run the full receiver over a capture")
@@ -173,6 +210,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

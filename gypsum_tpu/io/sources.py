@@ -267,7 +267,6 @@ class DecimatingSampleSource(SampleSource):
 
     def peek_block(self, n_ms: int) -> tuple[float, np.ndarray]:
         from gypsum_tpu.ops.decimate import resample_rational
-        import jax.numpy as jnp
 
         n_out = n_ms * self._spp_out
         b_raw = n_out * self.down // self.up
@@ -279,9 +278,9 @@ class DecimatingSampleSource(SampleSource):
         chunk = self._buffer[max(0, lo) : r_end - self._buffer_start_raw]
         if pad_left:
             chunk = np.concatenate([np.zeros(pad_left, dtype=np.complex64), chunk])
-        y = np.asarray(
-            resample_rational(jnp.asarray(chunk), jnp.asarray(self.taps), self.up, self.down)
-        )
+        # Pass numpy straight through: the wrapper owns the device placement
+        # (host CPU backend; complex never crosses to the TPU, core/planes.py).
+        y = resample_rational(chunk, self.taps, self.up, self.down)
         out = y[self._m_offset : self._m_offset + n_out]
         ts = self._out_cursor / self._out_rate
         return ts, out.reshape(n_ms, self._spp_out)

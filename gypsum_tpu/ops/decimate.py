@@ -81,13 +81,27 @@ def resample_rational_planes(planes: jax.Array, taps: jax.Array, up: int, down: 
     return _conv_strided(planes, taps, stride=down, lhs_dilation=up)
 
 
+def _host_cpu_device():
+    """The streaming-IO wrappers below run on the host CPU backend: they sit
+    in the sample-source read path (host-side by design), and this
+    environment's TPU runtime cannot execute-and-fetch the generic strided
+    convolution (UNIMPLEMENTED at fetch). The TPU decimation path is the
+    Pallas kernel (ops/pallas_kernels.py:fir_decimate_pallas)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def fir_decimate(x, taps, factor: int) -> np.ndarray:
     """Host convenience wrapper: complex in, complex (numpy) out."""
-    y = fir_decimate_planes(jnp.asarray(to_planes(x)), jnp.asarray(taps), factor)
-    return np_to_complex(jax.device_get(y))
+    with jax.default_device(_host_cpu_device()):
+        y = fir_decimate_planes(jnp.asarray(to_planes(x)), jnp.asarray(taps), factor)
+        return np_to_complex(jax.device_get(y))
 
 
 def resample_rational(x, taps, up: int, down: int) -> np.ndarray:
     """Host convenience wrapper: complex in, complex (numpy) out."""
-    y = resample_rational_planes(jnp.asarray(to_planes(x)), jnp.asarray(taps), up, down)
-    return np_to_complex(jax.device_get(y))
+    with jax.default_device(_host_cpu_device()):
+        y = resample_rational_planes(jnp.asarray(to_planes(x)), jnp.asarray(taps), up, down)
+        return np_to_complex(jax.device_get(y))
