@@ -94,6 +94,16 @@ class TrackingConfig:
     # quality below the drop threshold flags the channel lost.
     watchdog_warmup_ms: int = 6000
     quality_drop_threshold: float = 0.2
+    # lax.scan unroll factor for the per-ms loop. Measured on TPU v5e:
+    # unrolling only hurts (each iteration is already one large fused kernel,
+    # so unrolling multiplies program size without amortizing anything —
+    # 1000 ms blocks: 1x=fastest, 4x ~1.8x slower, 16x ~7x slower).
+    scan_unroll: int = 1
+    # Use the fused Pallas wipeoff+lag-correlate kernel inside the scan step
+    # instead of the XLA trig+einsum path. None = decide by measurement
+    # (currently XLA: one fused Mosaic launch per ms costs more than the XLA
+    # fusion saves at this problem size); True/False forces.
+    use_pallas_correlator: bool | None = None
 
 
 @dataclass(frozen=True)

@@ -191,7 +191,8 @@ def _peak_reduce_kernel(x_ref, out_ref, acc_ref, *, tile: int, n_valid: int):
     """Streaming row-wise reduction over [rows, n_cols] in column tiles.
 
     acc_ref (VMEM scratch): [3, rows] running (max, argmax, sum) per row.
-    out_ref: [3, rows] — row 0 max, row 1 argmax (f32-exact: < 2^24), row 2 sum.
+    out_ref: [rows, 128] — col 0 max, col 1 argmax (f32-exact: < 2^24),
+    col 2 sum (128 lanes for the TPU tile shape; the host reads cols 0..2).
     """
     j = pl.program_id(1)
     rows = x_ref.shape[0]
@@ -220,7 +221,11 @@ def _peak_reduce_kernel(x_ref, out_ref, acc_ref, *, tile: int, n_valid: int):
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
-        out_ref[:, :] = acc_ref[:, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), dimension=1)
+        out = jnp.where(lane == 0, acc_ref[0, :][:, None], 0.0)
+        out = jnp.where(lane == 1, acc_ref[1, :][:, None], out)
+        out = jnp.where(lane == 2, acc_ref[2, :][:, None], out)
+        out_ref[:, :] = out
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile", "row_block"))
@@ -239,12 +244,12 @@ def _peak_reduce_jit(
         in_specs=[
             pl.BlockSpec((row_block, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((3, row_block), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, s_pad), jnp.float32),
+        out_specs=pl.BlockSpec((row_block, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_pad, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((3, row_block), jnp.float32)],
         interpret=interpret,
     )(flat)
-    return out[:, :s]
+    return out[:s, :3]
 
 
 def peak_reduce_pallas(
@@ -261,7 +266,7 @@ def peak_reduce_pallas(
     s = grid.shape[0]
     flat = grid.reshape(s, -1)
     out = _peak_reduce_jit(flat, interpret=interpret)
-    return out[0, :], out[1, :].astype(jnp.int32), out[2, :]
+    return out[:, 0], out[:, 1].astype(jnp.int32), out[:, 2]
 
 
 # =====================================================================
@@ -270,47 +275,57 @@ def peak_reduce_pallas(
 
 
 def _wipeoff_lag_kernel(
-    chunk_ref,  # [2, L_pad] — I then Q planes of this millisecond
-    wide_ref,  # [1, W] — this channel's wide replica row (+/-1, f32)
-    params_ref,  # [1, 3] SMEM — (carrier_phase, doppler, window base)
-    out_ref,  # [2, n_lags_pad] — corr I/Q planes at each lag
+    chunk_ref,  # [8, L_pad] — rows 0..1 are the I and Q planes (rest pad)
+    wide_ref,  # [8, W] — this block's 8 channels' wide replica rows
+    params_ref,  # [8, 3] SMEM — (carrier_phase, doppler, window base) per row
+    out_ref,  # [8, 2 * n_lags_pad] — per channel: I plane cols then Q plane
     *,
     length: int,
     n_lags: int,
+    n_lags_pad: int,
     inv_fs: float,
 ):
-    theta = params_ref[0, 0]
-    doppler = params_ref[0, 1]
-    base = params_ref[0, 2].astype(jnp.int32)
-
-    l_idx = jax.lax.broadcasted_iota(jnp.float32, (1, length), dimension=1)
-    phase = theta + (2.0 * np.pi * inv_fs) * doppler * l_idx  # [1, L]
-    c = jnp.cos(phase)
-    s = jnp.sin(phase)
     ci = chunk_ref[0, :length][None, :]
     cq = chunk_ref[1, :length][None, :]
-    # chunk * e^{-j phase}: a = I cos + Q sin, b = Q cos - I sin.
-    a = ci * c + cq * s
-    b = cq * c - ci * s
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * n_lags_pad), dimension=1)
 
-    # Rotate the wide replica so the window starts at lane 0; base < L and
-    # base + (n_lags - 1) + length <= W, so the rotated tail never wraps into
-    # the slices read below.
-    rolled = jnp.roll(wide_ref[:, :], -base, axis=1)  # [1, W]
-    cols = []
-    for k in range(n_lags):
-        # Sub-slice k is the replica rolled by (cp + K - k): descending lag
-        # order, so fill the output flipped (entry j = lag cp - K + j),
-        # matching ops/correlate.py:rolled_lag_window.
-        w = rolled[:, k : k + length]  # [1, L]
-        cols.append(
-            jnp.concatenate(
-                [jnp.sum(w * a).reshape(1, 1), jnp.sum(w * b).reshape(1, 1)], axis=0
-            )
-        )  # [2, 1]
-    out = jnp.concatenate(cols[::-1], axis=1)  # [2, n_lags]
-    pad = out_ref.shape[1] - n_lags
-    out_ref[:, :] = jnp.pad(out, ((0, 0), (0, pad)))
+    rows = []
+    for r in range(8):
+        theta = params_ref[r, 0]
+        doppler = params_ref[r, 1]
+        base = params_ref[r, 2].astype(jnp.int32)
+
+        # Mosaic's iota is integer-only; build indices as i32 and convert.
+        l_idx = jax.lax.broadcasted_iota(jnp.int32, (1, length), dimension=1).astype(
+            jnp.float32
+        )
+        phase = theta + (2.0 * np.pi * inv_fs) * doppler * l_idx  # [1, L]
+        c = jnp.cos(phase)
+        s = jnp.sin(phase)
+        # chunk * e^{-j phase}: a = I cos + Q sin, b = Q cos - I sin.
+        a = ci * c + cq * s
+        b = cq * c - ci * s
+
+        # Rotate the wide replica so the window starts at lane 0; base < L
+        # and base + (n_lags - 1) + length <= W, so the rotated tail never
+        # wraps into the slices read below (lane padding past W only rotates
+        # garbage into lanes we never read). pltpu.roll is the Mosaic-native
+        # dynamic rotate (jnp.roll lowers to dynamic_slice, which the Pallas
+        # TPU backend does not implement); its shift rotates *forward*, so
+        # shift by W_pad - base to bring lane `base` to lane 0.
+        w_len = wide_ref.shape[1]  # 128-aligned (wrapper pads)
+        rolled = pltpu.roll(wide_ref[r, :][None, :], w_len - base, axis=1)  # [1, W_pad]
+        row = jnp.zeros((1, 2 * n_lags_pad), dtype=jnp.float32)
+        for k in range(n_lags):
+            # Sub-slice k is the replica rolled by (cp + K - k): descending
+            # lag order, so fill the output flipped (entry j = lag cp-K+j),
+            # matching ops/correlate.py:rolled_lag_window.
+            w = rolled[:, k : k + length]  # [1, L]
+            j = n_lags - 1 - k
+            row = jnp.where(lane == j, jnp.sum(w * a), row)
+            row = jnp.where(lane == n_lags_pad + j, jnp.sum(w * b), row)
+        rows.append(row)
+    out_ref[:, :] = jnp.concatenate(rows, axis=0)
 
 
 @functools.partial(
@@ -335,22 +350,36 @@ def wipeoff_lag_correlate_pallas(
     if interpret is None:
         interpret = _default_interpret()
     s_count, w = replicas_wide.shape
+    s_pad = _round_up(s_count, 8)
+    w_pad = _round_up(w, 128)  # dynamic rotate needs lane-aligned rows
     l_pad = _round_up(length, 128)
     n_lags_pad = _round_up(n_lags, 128)
-    chunk_pad = jnp.pad(chunk_iq.astype(jnp.float32), ((0, 0), (0, l_pad - length)))
+    # Chunk planes ride an 8-row buffer (TPU sublane tile); rows 2..7 pad.
+    chunk_pad = jnp.pad(
+        chunk_iq.astype(jnp.float32), ((0, 8 - chunk_iq.shape[0]), (0, l_pad - length))
+    )
+    replicas_pad = jnp.pad(
+        replicas_wide.astype(jnp.float32), ((0, s_pad - s_count), (0, w_pad - w))
+    )
+    params_pad = jnp.pad(params.astype(jnp.float32), ((0, s_pad - s_count), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(
-            _wipeoff_lag_kernel, length=length, n_lags=n_lags, inv_fs=inv_fs
+            _wipeoff_lag_kernel,
+            length=length,
+            n_lags=n_lags,
+            n_lags_pad=n_lags_pad,
+            inv_fs=inv_fs,
         ),
-        grid=(s_count,),
+        grid=(s_pad // 8,),
         in_specs=[
-            pl.BlockSpec((2, l_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, l_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 3), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((2, n_lags_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * s_count, n_lags_pad), jnp.float32),
+        out_specs=pl.BlockSpec((8, 2 * n_lags_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_pad, 2 * n_lags_pad), jnp.float32),
         interpret=interpret,
-    )(chunk_pad, replicas_wide.astype(jnp.float32), params.astype(jnp.float32))
-    return out.reshape(s_count, 2, n_lags_pad)[:, :, :n_lags]
+    )(chunk_pad, replicas_pad, params_pad)
+    out = out[:s_count].reshape(s_count, 2, n_lags_pad)
+    return out[:, :, :n_lags]

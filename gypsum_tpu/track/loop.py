@@ -159,21 +159,43 @@ def make_track_block_fn(
         rows = jnp.stack([win[:, k : k + length] for k in range(n_lags)], axis=1)
         return rows[:, ::-1, :]
 
-    def step(replicas_wide: jax.Array, state: TrackState, chunk: jax.Array):
-        # chunk: [L] complex64 — shared by all channels this millisecond.
-        cp_int = jnp.floor(state.code_phase).astype(jnp.int32) % length  # [S]
+    use_pallas = cfg.use_pallas_correlator
+    if use_pallas is None:
+        use_pallas = False  # measured slower than the XLA path on TPU v5e
 
+    def correlate_xla(replicas_wide, state, chunk, base):
         # --- carrier wipeoff: x = chunk * e^{-j(theta + 2 pi f l / fs)}
         phase = state.carrier_phase[:, None] + (
             2.0 * jnp.pi * state.doppler[:, None] * jnp.asarray(l_over_fs)[None, :]
         )  # [S, L]
         wipe = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
         x = chunk[None, :] * wipe  # [S, L]
-
         # --- lag-window correlation around the prompt (batched matmul).
-        base = jnp.mod(length - cp_int - k_half, length)  # [S]
         wide = window_slices(replicas_wide, base)  # [S, n_lags, L]
-        corr = jnp.einsum("skl,sl->sk", wide, x)  # [S, n_lags] c64
+        return jnp.einsum("skl,sl->sk", wide, x)  # [S, n_lags] c64
+
+    def correlate_pallas(replicas_wide, state, chunk, base):
+        from gypsum_tpu.ops.pallas_kernels import wipeoff_lag_correlate_pallas
+
+        params = jnp.stack(
+            [state.carrier_phase, state.doppler, base.astype(jnp.float32)], axis=-1
+        )  # [S, 3]
+        planes = wipeoff_lag_correlate_pallas(
+            jnp.stack([jnp.real(chunk), jnp.imag(chunk)]),
+            replicas_wide,
+            params,
+            length=length,
+            n_lags=n_lags,
+            inv_fs=1.0 / fs,
+        )  # [S, 2, n_lags]
+        return jax.lax.complex(planes[:, 0, :], planes[:, 1, :])
+
+    def step(replicas_wide: jax.Array, state: TrackState, chunk: jax.Array):
+        # chunk: [L] complex64 — shared by all channels this millisecond.
+        cp_int = jnp.floor(state.code_phase).astype(jnp.int32) % length  # [S]
+        base = jnp.mod(length - cp_int - k_half, length)  # [S]
+        correlate = correlate_pallas if use_pallas else correlate_xla
+        corr = correlate(replicas_wide, state, chunk, base)  # [S, n_lags] c64
 
         power = jnp.abs(corr) ** 2  # [S, n_lags]
         early = power[:, k_half - 1]
@@ -270,7 +292,10 @@ def make_track_block_fn(
         state = jax.tree_util.tree_map(lambda a: jnp.asarray(a).reshape((a.shape[0],)), state)
         chunks = to_complex(samples_block)  # [B, L] c64 from [B, L, 2] planes
         new_state, outs = jax.lax.scan(
-            lambda st, chunk: step(replicas_wide, st, chunk), state, chunks
+            lambda st, chunk: step(replicas_wide, st, chunk),
+            state,
+            chunks,
+            unroll=min(cfg.scan_unroll, chunks.shape[0]),
         )
         # Outputs stay [B, S] (the scan's stacking order; see
         # TrackBlockOutputs). Return the carry as [S, 1] columns: rank-2 so
