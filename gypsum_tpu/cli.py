@@ -28,6 +28,9 @@ def _add_file_source_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--file", required=True, help="capture path (with .json sidecar) or .npy IQ")
     p.add_argument("--sample-rate", type=float, default=None,
                    help="override sample rate (else from sidecar; 2.046e6 for .npy)")
+    p.add_argument("--format", default=None,
+                   help="named capture format (gnu_radio_2x/8x/16x, rtl_sdr, hackrf) "
+                   "instead of a sidecar (reference: radio_input.py INPUT_SOURCES)")
 
 
 PROCESSING_RATE = 2.046e6  # all signal processing runs at 2x the chip rate
@@ -54,7 +57,15 @@ def _open_source(args):
                 rate = PROCESSING_RATE
         source = ArraySampleSource(iq, rate)
     else:
-        if args.sample_rate:
+        if getattr(args, "format", None):
+            from gypsum_tpu.io.sources import recording_info_for
+
+            info = recording_info_for(args.format, args.file)
+            if args.sample_rate:
+                import dataclasses
+
+                info = dataclasses.replace(info, sample_rate=args.sample_rate)
+        elif args.sample_rate:
             info = RecordingInfo(path=pathlib.Path(args.file), sample_rate=args.sample_rate)
         else:
             info = RecordingInfo.from_sidecar(args.file)

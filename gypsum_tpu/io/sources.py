@@ -81,6 +81,58 @@ class RecordingInfo:
         format, gypsum/radio_input.py:45-60)."""
         return cls(path=Path(path), sample_rate=2.046e6)
 
+    @classmethod
+    def gnu_radio_8x(cls, path: str | Path) -> "RecordingInfo":
+        """GNU Radio float32 at 8.184 Msps (HackRF capture rate the reference
+        declares but cannot process, gypsum/radio_input.py:62-76; here the
+        decimating front end makes it usable)."""
+        return cls(path=Path(path), sample_rate=8.184e6)
+
+    @classmethod
+    def gnu_radio_16x(cls, path: str | Path) -> "RecordingInfo":
+        """GNU Radio float32 at 16.368 Msps (gypsum/radio_input.py:78-92)."""
+        return cls(path=Path(path), sample_rate=16.368e6)
+
+    @classmethod
+    def rtl_sdr(cls, path: str | Path, sample_rate: float = 2.046e6) -> "RecordingInfo":
+        """Raw rtl_sdr capture: interleaved uint8 I/Q biased at 127.5."""
+        return cls(
+            path=Path(path),
+            sample_rate=sample_rate,
+            component_dtype=np.uint8,
+            component_offset=127.5,
+        )
+
+    @classmethod
+    def hackrf(cls, path: str | Path, sample_rate: float = 8.184e6) -> "RecordingInfo":
+        """hackrf_transfer capture: interleaved signed int8 I/Q."""
+        return cls(path=Path(path), sample_rate=sample_rate, component_dtype=np.int8)
+
+
+# Named-format registry (the analogue of the reference's INPUT_SOURCES list +
+# get_input_source_by_file_name, gypsum/radio_input.py:101-125 — but keyed by
+# *format*, with the capture path free, instead of hard-coding vendored file
+# names in code).
+RECORDING_FORMATS = {
+    "gnu_radio_2x": RecordingInfo.gnu_radio_2x,
+    "gnu_radio_8x": RecordingInfo.gnu_radio_8x,
+    "gnu_radio_16x": RecordingInfo.gnu_radio_16x,
+    "rtl_sdr": RecordingInfo.rtl_sdr,
+    "hackrf": RecordingInfo.hackrf,
+}
+
+
+def recording_info_for(format_name: str, path: str | Path) -> "RecordingInfo":
+    """Look up a capture format by name (gypsum/radio_input.py:114-125)."""
+    try:
+        factory = RECORDING_FORMATS[format_name]
+    except KeyError:
+        raise KeyError(
+            f"unknown recording format {format_name!r}; known: "
+            f"{sorted(RECORDING_FORMATS)}"
+        ) from None
+    return factory(path)
+
 
 class SampleSource(ABC):
     """Block-oriented IQ stream (reference ABC:

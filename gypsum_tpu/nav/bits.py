@@ -53,6 +53,16 @@ class BitIntegrator:
         self._sequential_unknown = 0
         self._last_bits: list[BitValue] = []  # bounded to 50
 
+    @property
+    def recent_bits(self) -> list[int]:
+        """Last <=50 emitted bit values for observability (1/0; UNKNOWN=-1).
+        Analogue of the reference's bit history deque consumed by the
+        visualizer (gypsum/navigation_bit_intergrator.py:85-97)."""
+        out = []
+        for b in self._last_bits:
+            out.append(b.value if b.value in (0, 1) else -1)
+        return out
+
     # ------------------------------------------------------------- scoring
 
     def _score_phases(self) -> np.ndarray:

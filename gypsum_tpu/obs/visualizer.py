@@ -1,12 +1,15 @@
 """Per-satellite tracking dashboards (matplotlib, rendered off-screen).
 
-Reference parity: gypsum/tracker_visualizer.py — a per-SV panel grid
-(Doppler, carrier phase error, IQ constellation, pseudosymbols, lock health,
-correlation discriminators) refreshed ~1/s and exported as base64 PNG for the
-web dashboard. This implementation renders 8 panels per tracked satellite
-from the block observations and nav-layer state; it is pure host-side and
-entirely optional (rendering costs nothing when disabled).
-"""
+Reference parity: gypsum/tracker_visualizer.py — a 5x4 grid of 20 panels per
+tracked satellite (GraphTypeEnum, reference: tracker_visualizer.py:78-191):
+Doppler, carrier phase, PLL error + variance, IQ constellation / components /
+angle, pseudosymbols, emitted bits, DLL discriminator, code phases, lock and
+bit/subframe health text tiles — refreshed ~1/s and exported as base64 PNG
+for the web dashboard (reference: tracker_visualizer.py:408-415).
+
+This implementation renders from the block observations plus the host nav
+layer's state (bit phase, subframe phase/polarity, counts), is pure host-side
+and entirely optional (it costs nothing when not attached)."""
 
 from __future__ import annotations
 
@@ -24,11 +27,16 @@ class _ChannelHistory:
     def __init__(self, seconds: int = 5) -> None:
         n = seconds * 1000
         self.doppler = deque(maxlen=n)
+        self.carrier_phase = deque(maxlen=n)
         self.quality = deque(maxlen=n)
         self.pll_error = deque(maxlen=n)
         self.dll_error = deque(maxlen=n)
-        self.prompts = deque(maxlen=1000)
-        self.symbols = deque(maxlen=1000)
+        self.code_phase = deque(maxlen=n)
+        self.code_phase_measured = deque(maxlen=n)
+        self.locked = deque(maxlen=n)
+        self.prompts = deque(maxlen=2000)
+        self.symbols = deque(maxlen=2000)
+        self.bits = deque(maxlen=300)
 
 
 class TrackerVisualizer:
@@ -45,7 +53,13 @@ class TrackerVisualizer:
         for obs in report.observations:
             h = self._history.setdefault(obs.prn, _ChannelHistory())
             h.doppler.extend(obs.dopplers.tolist())
+            h.carrier_phase.extend(obs.carrier_phases.tolist())
             h.quality.extend(obs.quality.tolist())
+            h.pll_error.extend(obs.pll_errors.tolist())
+            h.dll_error.extend(obs.dll_errors.tolist())
+            h.code_phase.extend(obs.code_phases.tolist())
+            h.code_phase_measured.extend(obs.code_phases_measured.tolist())
+            h.locked.extend(obs.locked.tolist())
             h.prompts.extend(obs.prompts.tolist())
             h.symbols.extend(obs.pseudosymbol_signs.tolist())
         for prn in report.dropped_prns:
@@ -54,9 +68,11 @@ class TrackerVisualizer:
         now = report.block_end
         if self._last_render is None or now - self._last_render >= self.render_period_s:
             self._last_render = now
-            self._render_all()
+            self._render_all(receiver, now)
 
-    def _render_all(self) -> None:
+    # ------------------------------------------------------------- rendering
+
+    def _render_all(self, receiver, now: float) -> None:
         try:
             import matplotlib
 
@@ -67,31 +83,112 @@ class TrackerVisualizer:
         for prn, h in self._history.items():
             if len(h.doppler) < 10:
                 continue
-            fig, axes = plt.subplots(2, 3, figsize=(9, 5), dpi=72)
-            fig.suptitle(f"PRN {prn}")
-            ax = axes[0, 0]
-            ax.plot(np.asarray(h.doppler))
-            ax.set_title("Doppler (Hz)")
-            ax = axes[0, 1]
-            ax.plot(np.asarray(h.quality))
-            ax.set_ylim(-1, 1)
-            ax.set_title("lock quality")
-            ax = axes[0, 2]
-            prompts = np.asarray(h.prompts)
-            ax.scatter(prompts.real, prompts.imag, s=2, alpha=0.4)
-            ax.set_title("IQ constellation")
-            ax.axhline(0, lw=0.5), ax.axvline(0, lw=0.5)
-            ax = axes[1, 0]
-            ax.plot(prompts.real[-500:], lw=0.7)
-            ax.set_title("prompt I")
-            ax = axes[1, 1]
-            ax.step(range(len(h.symbols)), np.asarray(h.symbols), lw=0.6)
-            ax.set_title("pseudosymbols")
-            ax = axes[1, 2]
-            ax.plot(np.angle(prompts[-500:]), ".", ms=1.5)
-            ax.set_title("prompt angle")
-            fig.tight_layout()
-            buf = io.BytesIO()
-            fig.savefig(buf, format="png")
-            plt.close(fig)
-            self.rendered_png_base64[prn] = base64.b64encode(buf.getvalue()).decode()
+            self.rendered_png_base64[prn] = self._render_one(plt, receiver, prn, h, now)
+
+    def _render_one(self, plt, receiver, prn: int, h: _ChannelHistory, now: float) -> str:
+        fig, axes = plt.subplots(5, 4, figsize=(13, 12), dpi=70)
+        fig.suptitle(f"PRN {prn} @ {now:.1f}s")
+        prompts = np.asarray(h.prompts)
+        A = axes.ravel()
+
+        def text_tile(ax, title, lines):
+            ax.set_title(title)
+            ax.axis("off")
+            ax.text(0.05, 0.85, "\n".join(lines), va="top", family="monospace", fontsize=9)
+
+        # Row 1: carrier loop
+        A[0].plot(np.asarray(h.doppler), lw=0.7)
+        A[0].set_title("Doppler (Hz)")
+        A[1].plot(np.asarray(h.carrier_phase), ".", ms=1)
+        A[1].set_title("carrier phase (rad)")
+        A[2].plot(np.asarray(h.pll_error), lw=0.5)
+        A[2].set_ylim(-0.6, 0.6)
+        A[2].set_title("PLL error")
+        err = np.asarray(h.pll_error)
+        var = np.array([err[max(0, i - 250) : i + 1].var() for i in range(0, len(err), 50)])
+        A[3].plot(var, lw=0.8)
+        A[3].set_title("PLL error variance (250 ms)")
+
+        # Row 2: constellation
+        A[4].scatter(prompts.real, prompts.imag, s=2, alpha=0.35)
+        A[4].axhline(0, lw=0.5), A[4].axvline(0, lw=0.5)
+        A[4].set_title("IQ constellation")
+        A[5].plot(prompts.real[-1000:], lw=0.6)
+        A[5].set_title("I component")
+        A[6].plot(prompts.imag[-1000:], lw=0.6)
+        A[6].set_title("Q component")
+        A[7].plot(np.angle(prompts[-1000:]), ".", ms=1.2)
+        A[7].set_title("IQ angle (rad)")
+
+        # Row 3: code loop
+        A[8].plot(np.asarray(h.dll_error), lw=0.5)
+        A[8].set_ylim(-1, 1)
+        A[8].set_title("DLL discriminator")
+        A[9].plot(np.asarray(h.code_phase), lw=0.7)
+        A[9].set_title("code phase (samples)")
+        A[10].plot(np.asarray(h.code_phase_measured), ".", ms=1)
+        A[10].set_title("measured code phase (sub-sample)")
+        A[11].plot(np.asarray(h.quality), lw=0.8)
+        A[11].set_ylim(-1, 1)
+        A[11].set_title("lock quality EMA")
+
+        # Row 4: bits
+        A[12].step(range(len(h.symbols)), np.asarray(h.symbols), lw=0.5)
+        A[12].set_title("pseudosymbols")
+        bits = list(h.bits)
+        A[13].step(range(len(bits)), bits, lw=0.7) if bits else A[13].set_xticks([])
+        A[13].set_title("emitted bits")
+        A[14].plot(np.asarray(h.locked, dtype=float), lw=0.8)
+        A[14].set_ylim(-0.1, 1.1)
+        A[14].set_title("PLL lock state")
+        # Correlation magnitude of recent prompts (the prompt peak envelope —
+        # the analogue of the reference's PRN correlation profile tile).
+        A[15].plot(np.abs(prompts[-1000:]), lw=0.6)
+        A[15].set_title("|prompt| envelope")
+
+        # Row 5: nav/health text tiles
+        pipe = getattr(receiver, "pipelines", {}).get(prn)
+        world = getattr(receiver, "world", None)
+        if pipe is not None:
+            integ, dec = pipe.integrator, pipe.decoder
+            text_tile(A[16], "bit health", [
+                f"bit phase: {integ.bit_phase}",
+                f"bits emitted: {integ.emitted_bit_count}",
+            ])
+            text_tile(A[17], "subframe health", [
+                f"subframe phase: {dec.subframe_phase}",
+                f"polarity: {dec.polarity}",
+                f"subframes: {dec.emitted_subframe_count}",
+            ])
+            self._extend_bits(h, integ)
+        else:
+            text_tile(A[16], "bit health", ["(no pipeline)"])
+            text_tile(A[17], "subframe health", ["(no pipeline)"])
+        orbit_lines = []
+        if world is not None:
+            orbit_lines.append(
+                f"eph complete: {prn in world.satellites_with_ephemeris()}"
+            )
+            if world.position_fixes:
+                f = world.position_fixes[-1]
+                orbit_lines.append(f"last fix: {f.lat_deg:.4f},{f.lon_deg:.4f}")
+                orbit_lines.append(f"alt: {f.alt_m:.0f} m")
+        text_tile(A[18], "orbit / fix", orbit_lines or ["(no data)"])
+        text_tile(A[19], "channel", [
+            f"doppler: {h.doppler[-1]:+.1f} Hz" if h.doppler else "",
+            f"quality: {h.quality[-1]:.2f}" if h.quality else "",
+            f"locked: {bool(h.locked[-1])}" if h.locked else "",
+        ])
+
+        for ax in A[:16]:
+            ax.tick_params(labelsize=7)
+        fig.tight_layout()
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png")
+        plt.close(fig)
+        return base64.b64encode(buf.getvalue()).decode()
+
+    @staticmethod
+    def _extend_bits(h: _ChannelHistory, integ) -> None:
+        h.bits.clear()
+        h.bits.extend(integ.recent_bits)

@@ -321,6 +321,9 @@ class ChannelObservation:
     code_phases: np.ndarray  # f32 — loop state
     code_phases_measured: np.ndarray  # f32 — sub-sample interpolated
     dopplers: np.ndarray  # f32
+    carrier_phases: np.ndarray  # f32 — NCO phase at each ms
+    pll_errors: np.ndarray  # f32 — normalized Costas discriminator
+    dll_errors: np.ndarray  # f32 — normalized early-late discriminator
     locked: np.ndarray  # bool
     quality: np.ndarray  # f32
     lost: bool  # sticky lost-lock flag at block end
@@ -445,6 +448,9 @@ class TrackerBank:
                     code_phases=outs.code_phase[slot],
                     code_phases_measured=outs.code_phase_measured[slot],
                     dopplers=outs.doppler[slot],
+                    carrier_phases=outs.carrier_phase[slot],
+                    pll_errors=outs.pll_error[slot],
+                    dll_errors=outs.dll_error[slot],
                     locked=outs.locked[slot],
                     quality=outs.quality[slot],
                     lost=bool(outs.lost[slot][-1]),

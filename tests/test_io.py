@@ -113,3 +113,44 @@ def test_cli_synth_and_acquire(tmp_path, capsys):
     assert rc == 0
     text = capsys.readouterr().out
     assert "PRN 25" in text and "*" in text
+
+
+def test_recording_format_registry(tmp_path):
+    """Named capture formats (reference: gypsum/radio_input.py:45-125) read
+    raw interleaved integer captures with the right dtype/offset/rate."""
+    import numpy as np
+
+    from gypsum_tpu.io.sources import FileSampleSource, recording_info_for
+
+    rng = np.random.default_rng(3)
+    # Stay inside the int8/uint8 range so rounding is the only error.
+    re = np.clip(rng.standard_normal(4 * 2046) * 20, -120, 120)
+    im = np.clip(rng.standard_normal(4 * 2046) * 20, -120, 120)
+    iq = re + 1j * im
+
+    # rtl_sdr: uint8 biased at 127.5
+    inter = np.empty(2 * iq.size, dtype=np.uint8)
+    inter[0::2] = np.clip(np.round(iq.real + 127.5), 0, 255).astype(np.uint8)
+    inter[1::2] = np.clip(np.round(iq.imag + 127.5), 0, 255).astype(np.uint8)
+    path = tmp_path / "cap_u8.bin"
+    inter.tofile(path)
+    src = FileSampleSource(recording_info_for("rtl_sdr", path))
+    assert src.attributes.sample_rate == 2.046e6
+    _, block = src.read_block(2)
+    assert block.shape == (2, 2046)
+    np.testing.assert_allclose(block.ravel(), iq[: 2 * 2046], atol=0.75)  # sqrt(2)*0.5 quantization
+
+    # hackrf: signed int8 at 8.184 Msps
+    inter8 = np.empty(2 * iq.size, dtype=np.int8)
+    inter8[0::2] = np.clip(np.round(iq.real), -128, 127).astype(np.int8)
+    inter8[1::2] = np.clip(np.round(iq.imag), -128, 127).astype(np.int8)
+    path8 = tmp_path / "cap_i8.bin"
+    inter8.tofile(path8)
+    src8 = FileSampleSource(recording_info_for("hackrf", path8))
+    assert src8.attributes.sample_rate == 8.184e6
+    assert src8.attributes.samples_per_prn == 8184
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        recording_info_for("does_not_exist", path)

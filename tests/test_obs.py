@@ -84,6 +84,13 @@ def test_dashboard_server_and_client_loop(short_run):
         assert 25 in state["tracked_prns"]
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as resp:
             html = resp.read().decode()
-        assert "PRN 25" in html and "gypsum_tpu" in html
+        assert "gypsum_tpu" in html and "initPanel" in html  # double-buffered panels
+        for route, needle in [
+            ("satellite_infos", "PRN 25"),
+            ("receiver_stats", "Signal time"),
+            ("tracker_visualizers", "<body>"),
+        ]:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/{route}") as resp:
+                assert needle in resp.read().decode()
     finally:
         server.shutdown()
