@@ -190,6 +190,12 @@ def main(argv=None) -> int:
         help="force the JAX backend (this environment's TPU plugin ignores "
         "the JAX_PLATFORMS environment variable, so use this flag)",
     )
+    parser.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler trace of the run into this directory "
+        "(open with TensorBoard / Perfetto)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("replay", help="run the full receiver over a capture")
@@ -225,6 +231,11 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.profile_dir:
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            return args.fn(args)
     return args.fn(args)
 
 

@@ -33,7 +33,7 @@ def _ensure_built() -> Path:
     if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
         return _LIB
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
         "-o", str(_LIB), str(_SRC),
     ]
     _logger.info("building native IQ reader: %s", " ".join(cmd))
@@ -58,6 +58,15 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.iq_close.argtypes = [ctypes.c_void_p]
+        lib.iq_prefetch_start.restype = ctypes.c_int
+        lib.iq_prefetch_start.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+        ]
+        lib.iq_prefetch_take.restype = ctypes.c_longlong
+        lib.iq_prefetch_take.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib_handle = lib
     return _lib_handle
 
@@ -78,13 +87,21 @@ class NativeIqReader:
 
     def read(self, start: int, count: int) -> np.ndarray:
         out = np.empty(count, dtype=np.complex64)
-        got = self._lib.iq_read(
-            self._handle, int(start), int(count),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        # Serve from the C++ prefetch pipeline when the caller asked for the
+        # block it speculatively queued; -1 means no/mismatched prefetch.
+        got = self._lib.iq_prefetch_take(self._handle, int(start), int(count), ptr)
+        if got < 0:
+            got = self._lib.iq_read(self._handle, int(start), int(count), ptr)
         if got != count:
             raise EOFError(f"requested {count} samples at {start}, got {got}")
         return out
+
+    def prefetch(self, start: int, count: int) -> None:
+        """Queue [start, start+count) for conversion on the C++ worker thread
+        (overlaps file IO + dtype conversion with device compute)."""
+        if start + count <= self.n_samples:
+            self._lib.iq_prefetch_start(self._handle, int(start), int(count))
 
     def __del__(self):
         handle = getattr(self, "_handle", None)

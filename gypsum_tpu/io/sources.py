@@ -246,6 +246,11 @@ class FileSampleSource(SampleSource):
     def read_block(self, n_ms: int) -> tuple[float, np.ndarray]:
         ts, block = self.peek_block(n_ms)
         self._cursor += n_ms * self._spp
+        if self._native is not None:
+            # Speculatively convert the next block on the C++ worker thread
+            # while the device crunches this one (streaming reads are
+            # sequential and block sizes are stable).
+            self._native.prefetch(self._cursor, n_ms * self._spp)
         return ts, block
 
 

@@ -9,10 +9,19 @@
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this
 // environment). dtype codes: 0=float32, 1=int16, 2=int8, 3=uint8.
+//
+// Prefetch pipeline: iq_prefetch_start() converts a block on a worker thread
+// into an internal buffer; iq_prefetch_take() blocks until it is ready and
+// hands it over. A streaming caller prefetches block k+1 right after taking
+// block k, overlapping host file IO + dtype conversion with device compute
+// (one outstanding prefetch per handle).
 
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+
+#include <thread>
+#include <vector>
 
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -28,6 +37,12 @@ struct IqFile {
     int dtype = 0;
     float offset = 0.0f;
     size_t word_size = 4;
+    // Prefetch state (one outstanding request).
+    std::thread worker;
+    std::vector<float> prefetch_buf;
+    long long prefetch_start = -1;
+    long long prefetch_count = 0;
+    long long prefetch_got = 0;
 };
 
 template <typename T>
@@ -99,9 +114,40 @@ long long iq_read(void* handle, long long start, long long count, float* out) {
 
 void iq_close(void* handle) {
     auto* f = static_cast<IqFile*>(handle);
+    if (f->worker.joinable()) f->worker.join();
     if (f->data) munmap(const_cast<uint8_t*>(f->data), f->bytes);
     if (f->fd >= 0) ::close(f->fd);
     delete f;
+}
+
+// Start converting [start, start+count) on a worker thread. Returns 0 on
+// success, -1 if a prefetch is already outstanding.
+int iq_prefetch_start(void* handle, long long start, long long count) {
+    auto* f = static_cast<IqFile*>(handle);
+    if (f->worker.joinable()) return -1;
+    f->prefetch_start = start;
+    f->prefetch_count = count;
+    f->prefetch_buf.resize(static_cast<size_t>(2 * count));
+    f->worker = std::thread([f] {
+        f->prefetch_got = iq_read(f, f->prefetch_start, f->prefetch_count,
+                                  f->prefetch_buf.data());
+    });
+    return 0;
+}
+
+// Take a completed prefetch: blocks until the worker finishes, then copies
+// into `out` if (start, count) match the outstanding request. Returns the
+// number of samples delivered, or -1 if no/mismatched prefetch (caller
+// falls back to iq_read).
+long long iq_prefetch_take(void* handle, long long start, long long count, float* out) {
+    auto* f = static_cast<IqFile*>(handle);
+    if (!f->worker.joinable()) return -1;
+    f->worker.join();
+    if (start != f->prefetch_start || count != f->prefetch_count) return -1;
+    const long long got = f->prefetch_got;
+    if (got > 0) memcpy(out, f->prefetch_buf.data(), static_cast<size_t>(2 * got) * 4);
+    f->prefetch_start = -1;
+    return got;
 }
 
 }  // extern "C"
