@@ -123,14 +123,33 @@ class AcquisitionEngine:
             samples_ms, coarse_dopplers, prn_fft_conj, fs
         )  # [S, D, L]
         s_count, d_count, _ = noncoh.shape
-        flat_idx = jnp.argmax(noncoh.reshape(s_count, -1), axis=-1)  # [S]
-        best_d_idx = flat_idx // length
-        code_phase = (flat_idx % length).astype(jnp.int32)  # [S]
+        use_pallas = self.config.use_pallas_peak_reduce
+        if use_pallas is None:
+            use_pallas = False  # measured: XLA reduce is faster (config.py)
+        if use_pallas:
+            # One streaming pass over the grid: per-(sat, Doppler) row
+            # (max, argmax, sum), then a tiny [S, D] reduce picks the best
+            # Doppler. Same tie-breaking as the flat argmax (lowest Doppler
+            # bin, then lowest code phase).
+            from gypsum_tpu.ops.pallas_kernels import peak_reduce_pallas
+
+            mx, arg, sm = peak_reduce_pallas(noncoh.reshape(s_count * d_count, length))
+            mx = mx.reshape(s_count, d_count)
+            best_d_idx = jnp.argmax(mx, axis=-1)  # [S]
+            rows = jnp.arange(s_count) * d_count + best_d_idx
+            code_phase = arg[rows].astype(jnp.int32)  # [S]
+            peak = mx[jnp.arange(s_count), best_d_idx]
+            mean_rest = (sm[rows] - peak) / (length - 1)
+            strength = peak / mean_rest
+        else:
+            flat_idx = jnp.argmax(noncoh.reshape(s_count, -1), axis=-1)  # [S]
+            best_d_idx = flat_idx // length
+            code_phase = (flat_idx % length).astype(jnp.int32)  # [S]
+            best_profiles = jnp.take_along_axis(
+                noncoh, best_d_idx[:, None, None], axis=1
+            )[:, 0, :]  # [S, L]
+            strength = peak_strength(best_profiles)  # [S]
         coarse_doppler = coarse_dopplers[best_d_idx]  # [S]
-        best_profiles = jnp.take_along_axis(
-            noncoh, best_d_idx[:, None, None], axis=1
-        )[:, 0, :]  # [S, L]
-        strength = peak_strength(best_profiles)  # [S]
 
         # ---- Stage 2: coherent fine grid at the detected code phase.
         # Prompt replica for each satellite: roll(r, cp)[l] = tiled[(L-cp)+l].

@@ -40,6 +40,12 @@ class AcquisitionConfig:
     # Final refinement: estimate residual Doppler from the phase slope of the
     # per-ms coherent prompts (squared to cancel BPSK flips).
     phase_slope_refinement: bool = True
+    # Use the fused Pallas max/argmax/sum kernel for the coarse-grid peak
+    # search instead of XLA's argmax + gather + re-read. Measured on TPU v5e:
+    # identical results, 42 vs 38 ms per full sweep (XLA's fused reduction
+    # already streams the grid once), so the XLA path is the default; the
+    # kernel remains available and parity-tested.
+    use_pallas_peak_reduce: bool | None = None
 
 
 @dataclass(frozen=True)

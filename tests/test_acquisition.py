@@ -94,3 +94,31 @@ def test_config_grid_shapes():
     truth = SyntheticSatellite(prn=2, doppler_hz=432.0, delay_samples=10, amplitude=0.3)
     r = eng.detect(_capture([truth]))[0]
     assert r.prn == 2 and abs(r.doppler_hz - 432.0) < 10.0
+
+
+def test_pallas_peak_reduce_path_matches_xla_path(rng):
+    """Stage-1 peak search via the Pallas kernel must agree with the XLA
+    argmax/gather path (interpret mode on CPU, compiled on TPU)."""
+    import dataclasses
+
+    from gypsum_tpu.acquire.engine import AcquisitionEngine
+    from gypsum_tpu.core.config import AcquisitionConfig
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+
+    fs, L = 2.046e6, 2046
+    iq = synthesize_iq(
+        [SyntheticSatellite(prn=17, doppler_hz=1500.0, delay_samples=321, amplitude=0.3),
+         SyntheticSatellite(prn=4, doppler_hz=-2400.0, delay_samples=1999, amplitude=0.25)],
+        10 * L, fs, noise_sigma=0.3, seed=11,
+    ).reshape(10, L)
+
+    base = AcquisitionConfig()
+    eng_xla = AcquisitionEngine(fs, L, dataclasses.replace(base, use_pallas_peak_reduce=False))
+    eng_pl = AcquisitionEngine(fs, L, dataclasses.replace(base, use_pallas_peak_reduce=True))
+    a = {r.prn: r for r in eng_xla.acquire_all(iq)}
+    b = {r.prn: r for r in eng_pl.acquire_all(iq)}
+    for prn in range(1, 33):
+        assert a[prn].code_phase_samples == b[prn].code_phase_samples, prn
+        assert abs(a[prn].doppler_hz - b[prn].doppler_hz) < 1e-3, prn
+        assert abs(a[prn].strength - b[prn].strength) < 1e-3 * max(1.0, a[prn].strength), prn
+    assert b[17].detected and b[4].detected
