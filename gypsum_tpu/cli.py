@@ -83,6 +83,8 @@ def _open_source(args):
 
 
 def cmd_replay(args) -> int:
+    import pathlib
+
     from gypsum_tpu.core.config import DEFAULT_CONFIG
     from gypsum_tpu.runtime.receiver import Receiver
 
@@ -92,6 +94,13 @@ def cmd_replay(args) -> int:
         config = config.replace(tracking=config.tracking.__class__(block_size_ms=args.block_ms))
     prns = [int(p) for p in args.prns] if args.prns else None
     receiver = Receiver(source, config, eligible_prns=prns)
+
+    if args.checkpoint and pathlib.Path(args.checkpoint).exists():
+        from gypsum_tpu.runtime.checkpoint import fast_forward, load_checkpoint
+
+        stream_s = load_checkpoint(receiver, args.checkpoint)
+        fast_forward(source, stream_s)
+        _logger.info("resumed from %s at stream t=%.1fs", args.checkpoint, stream_s)
 
     if args.web_ui:
         from gypsum_tpu.obs.dashboard_client import DashboardClient
@@ -115,7 +124,15 @@ def cmd_replay(args) -> int:
                   f"alt={f.alt_m:.0f}m bias={f.clock_bias_s * 1e6:.2f}us sats={f.satellites_used}")
 
     receiver.add_block_listener(narrate)
-    receiver.run(max_seconds=args.duration, until_fix=args.until_fix)
+    try:
+        receiver.run(max_seconds=args.duration, until_fix=args.until_fix)
+    finally:
+        if args.checkpoint:
+            from gypsum_tpu.runtime.checkpoint import save_checkpoint
+
+            save_checkpoint(receiver, args.checkpoint)
+            _logger.info("checkpointed to %s at stream t=%.1fs",
+                         args.checkpoint, source.seconds_consumed)
     print(f"processed {source.seconds_consumed:.1f}s; "
           f"{receiver.subframe_count} subframes; "
           f"{len(receiver.world.position_fixes)} fixes")
@@ -206,6 +223,9 @@ def main(argv=None) -> int:
     p.add_argument("--until-fix", action="store_true", help="stop at the first position fix")
     p.add_argument("--block-ms", type=int, default=None, help="tracking block size")
     p.add_argument("--web-ui", action="store_true", help="push state to the web dashboard")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file: resumed from if it exists, written on exit "
+                   "(the reference always cold-starts, SURVEY.md §5)")
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("acquire", help="one-shot acquisition report over 10 ms")

@@ -103,3 +103,50 @@ def test_receiver_clock_slide_converges(scene, completed_receiver):
     slide = completed_receiver.world.receiver_clock_slide
     assert slide is not None
     assert abs(slide - GPS_T0) < 0.1
+
+
+def test_drop_and_reacquire_cycle():
+    """The receiver's signature resilience loop (reference:
+    gypsum/receiver.py:244-267 + tracker watchdog :370-388): a satellite that
+    vanishes mid-stream must be dropped by the quality watchdog, returned to
+    the acquisition pool, and re-acquired when its signal comes back."""
+    import numpy as np
+
+    from gypsum_tpu.core.config import AcquisitionConfig, ReceiverConfig, TrackingConfig
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+
+    fs, L = 2.046e6, 2046
+    sat = SyntheticSatellite(prn=9, doppler_hz=800.0, delay_samples=500, amplitude=0.3)
+    rng = np.random.default_rng(12)
+
+    def noise(n_ms, seed):
+        return synthesize_iq([], n_ms * L, fs, noise_sigma=0.3, seed=seed)
+
+    present_a = synthesize_iq([sat], 4000 * L, fs, noise_sigma=0.3, seed=13)
+    gone = noise(4000, 14)
+    present_b = synthesize_iq([sat], 3000 * L, fs, noise_sigma=0.3, seed=15)
+    iq = np.concatenate([present_a, gone, present_b])
+
+    cfg = ReceiverConfig(
+        tracking=TrackingConfig(
+            block_size_ms=500,
+            watchdog_warmup_ms=1500,
+            quality_drop_threshold=0.25,
+        ),
+        acquisition=AcquisitionConfig(scan_period_s=2.0),
+    )
+    recv = Receiver(ArraySampleSource(iq, fs), cfg, eligible_prns=[9])
+    reports = recv.run()
+
+    acquired_at = [r.block_start for r in reports if r.newly_acquired]
+    dropped_at = [r.block_start for r in reports if r.dropped_prns]
+    assert acquired_at and acquired_at[0] < 1.0, "initial acquisition missing"
+    assert dropped_at, "watchdog never dropped the vanished satellite"
+    assert 4.0 <= dropped_at[0] <= 8.0, f"drop at {dropped_at[0]}"
+    # Re-acquired after the signal returns (scan every 2 s of signal time).
+    assert len(acquired_at) >= 2, "no re-acquisition after signal returned"
+    assert acquired_at[-1] >= 8.0, f"reacquired at {acquired_at[-1]}"
+    # And it tracks to the end once back.
+    assert 9 in reports[-1].tracked_prns
