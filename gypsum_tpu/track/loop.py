@@ -162,6 +162,15 @@ def make_track_block_fn(
     use_pallas = cfg.use_pallas_correlator
     if use_pallas is None:
         use_pallas = False  # measured slower than the XLA path on TPU v5e
+    hoist = cfg.hoist_lag_window and not use_pallas
+    if cfg.lag_window_block_margin is not None:
+        margin = cfg.lag_window_block_margin
+    else:
+        # Doppler-aided code drift at +/-7 kHz over one block + DLL slack.
+        aiding_drift = 7000.0 / GPS_L1_FREQUENCY_HZ * length * cfg.block_size_ms
+        margin = int(np.ceil(aiding_drift)) + 8
+    k_eff = k_half + margin
+    n_lags_eff = 2 * k_eff + 1
 
     def correlate_xla(replicas_wide, state, chunk, base):
         # --- carrier wipeoff: x = chunk * e^{-j(theta + 2 pi f l / fs)}
@@ -190,12 +199,65 @@ def make_track_block_fn(
         )  # [S, 2, n_lags]
         return jax.lax.complex(planes[:, 0, :], planes[:, 1, :])
 
-    def step(replicas_wide: jax.Array, state: TrackState, chunk: jax.Array):
+    def make_hoisted_correlate(replicas_wide: jax.Array, state0: TrackState):
+        """Block-static lag window: one dynamic slice per channel per BLOCK
+        (the per-ms vmapped dynamic_slice gather dominated the legacy step,
+        see TrackingConfig.hoist_lag_window). Returns a per-ms correlate
+        closure evaluating all n_lags_eff static lags and selecting the
+        2K+1 around the current prompt."""
+        cpi0 = jnp.floor(state0.code_phase).astype(jnp.int32) % length  # [S]
+        base0 = jnp.mod(length - cpi0 - k_eff, length)  # [S]
+        # Widen the tiled replica to cover base0 + L + 2K_eff reads.
+        w2 = jnp.concatenate(
+            [replicas_wide[:, : 2 * length], replicas_wide[:, : 2 * k_eff]], axis=1
+        )
+        win = jax.vmap(
+            lambda t, b: jax.lax.dynamic_slice(t, (b,), (length + 2 * k_eff,))
+        )(w2, base0)  # [S, L + 2K_eff]
+        # Ascending lag order: row j <-> lag (cp0 - K_eff + j).
+        rows = jnp.stack(
+            [win[:, k : k + length] for k in range(n_lags_eff)], axis=1
+        )[:, ::-1, :]  # [S, n_lags_eff, L]
+
+        def correlate(state, chunk, cp_int):
+            phase = state.carrier_phase[:, None] + (
+                2.0 * jnp.pi * state.doppler[:, None] * jnp.asarray(l_over_fs)[None, :]
+            )  # [S, L]
+            c, s = jnp.cos(phase), jnp.sin(phase)
+            cr_ = jnp.real(chunk)[None, :]
+            ci_ = jnp.imag(chunk)[None, :]
+            # chunk * e^{-j phase} split into real planes (replica rows are
+            # real +/-1, so the correlation is two real matmuls).
+            xr = cr_ * c + ci_ * s
+            xi = ci_ * c - cr_ * s
+            all_r = jnp.einsum("skl,sl->sk", rows, xr)  # [S, n_lags_eff]
+            all_i = jnp.einsum("skl,sl->sk", rows, xi)
+            # Select lags (prompt-K .. prompt+K) around the current prompt;
+            # clamp keeps the window in range if the drift outruns the
+            # margin (the host re-centers next block).
+            delta = jnp.mod(cp_int - cpi0 + length // 2, length) - length // 2
+            j = jnp.clip(delta + k_eff, k_half, n_lags_eff - 1 - k_half)
+            idx = j[:, None] + jnp.arange(-k_half, k_half + 1)[None, :]
+            return jax.lax.complex(
+                jnp.take_along_axis(all_r, idx, axis=1),
+                jnp.take_along_axis(all_i, idx, axis=1),
+            )
+
+        return correlate
+
+    def make_per_ms_correlate(replicas_wide: jax.Array):
+        inner = correlate_pallas if use_pallas else correlate_xla
+
+        def correlate(state, chunk, cp_int):
+            base = jnp.mod(length - cp_int - k_half, length)  # [S]
+            return inner(replicas_wide, state, chunk, base)
+
+        return correlate
+
+    def step(correlate, state: TrackState, chunk: jax.Array):
         # chunk: [L] complex64 — shared by all channels this millisecond.
         cp_int = jnp.floor(state.code_phase).astype(jnp.int32) % length  # [S]
-        base = jnp.mod(length - cp_int - k_half, length)  # [S]
-        correlate = correlate_pallas if use_pallas else correlate_xla
-        corr = correlate(replicas_wide, state, chunk, base)  # [S, n_lags] c64
+        corr = correlate(state, chunk, cp_int)  # [S, n_lags] c64
 
         power = jnp.abs(corr) ** 2  # [S, n_lags]
         early = power[:, k_half - 1]
@@ -291,8 +353,13 @@ def make_track_block_fn(
         # columns; callers may feed them straight back in).
         state = jax.tree_util.tree_map(lambda a: jnp.asarray(a).reshape((a.shape[0],)), state)
         chunks = to_complex(samples_block)  # [B, L] c64 from [B, L, 2] planes
+        correlate = (
+            make_hoisted_correlate(replicas_wide, state)
+            if hoist
+            else make_per_ms_correlate(replicas_wide)
+        )
         new_state, outs = jax.lax.scan(
-            lambda st, chunk: step(replicas_wide, st, chunk),
+            lambda st, chunk: step(correlate, st, chunk),
             state,
             chunks,
             unroll=min(cfg.scan_unroll, chunks.shape[0]),
