@@ -105,7 +105,12 @@ def cmd_replay(args) -> int:
     if args.web_ui:
         from gypsum_tpu.obs.dashboard_client import DashboardClient
 
-        receiver.add_block_listener(DashboardClient(config.obs).on_block)
+        visualizer = None
+        if args.render_figures:
+            from gypsum_tpu.obs.visualizer import TrackerVisualizer
+
+            visualizer = TrackerVisualizer()
+        receiver.add_block_listener(DashboardClient(config.obs, visualizer=visualizer).on_block)
 
     def narrate(recv, report):
         for hit in report.newly_acquired:
@@ -223,6 +228,9 @@ def main(argv=None) -> int:
     p.add_argument("--until-fix", action="store_true", help="stop at the first position fix")
     p.add_argument("--block-ms", type=int, default=None, help="tracking block size")
     p.add_argument("--web-ui", action="store_true", help="push state to the web dashboard")
+    p.add_argument("--render-figures", action="store_true",
+                   help="render the 20-panel per-satellite tracker figures and push them "
+                   "to the web dashboard (reference: --present_matplotlib_sat_tracker)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file: resumed from if it exists, written on exit "
                    "(the reference always cold-starts, SURVEY.md §5)")
