@@ -123,6 +123,12 @@ class TrackingConfig:
     # code-phase drift. None = auto: Doppler-aiding drift at +/-7 kHz over
     # the block plus 8 samples of DLL slack.
     lag_window_block_margin: int | None = None
+    # Run the WHOLE block loop inside one Pallas kernel
+    # (ops/pallas_track.py): the lag matrix stays VMEM-resident across all B
+    # milliseconds and chunks stream through the pipelined input block.
+    # None = on for the TPU backend (measured 22 vs 29 ms per 1000 ms block
+    # at 32 channels), off elsewhere (interpret mode is slow on CPU).
+    use_pallas_block_tracker: bool | None = None
 
 
 @dataclass(frozen=True)

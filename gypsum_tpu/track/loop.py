@@ -348,6 +348,16 @@ def make_track_block_fn(
         )
         return new_state, outputs
 
+    use_block_kernel = cfg.use_pallas_block_tracker
+    if use_block_kernel is None:
+        # Measured on TPU v5e at 32 channels x 1000 ms: 22 ms/block vs 29 ms
+        # for the XLA hoisted scan (the kernel keeps the lag matrix VMEM-
+        # resident and pays no per-iteration sequencing). Interpret mode is
+        # far slower than XLA on CPU, so only the TPU backend defaults to it.
+        use_block_kernel = jax.default_backend() == "tpu"
+    if use_block_kernel:
+        return _make_block_kernel_wrapper(cfg, length, fs, n_channels)
+
     def track_block(state: TrackState, samples_block: jax.Array, replicas_wide: jax.Array):
         # Accept either [S] or [S, 1] carry leaves (the function returns
         # columns; callers may feed them straight back in).
@@ -370,6 +380,59 @@ def make_track_block_fn(
         # unsupported on this environment's TPU backend).
         state_cols = jax.tree_util.tree_map(lambda a: a[:, None], new_state)
         return state_cols, outs
+
+    return jax.jit(track_block)
+
+
+def _make_block_kernel_wrapper(cfg, length, fs, n_channels):
+    """Adapt the whole-block Pallas kernel (ops/pallas_track.py) to the
+    TrackState/TrackBlockOutputs contract of the scan path."""
+    from gypsum_tpu.ops import pallas_track as pt
+
+    inner = pt.make_pallas_track_block_fn(cfg, length, fs, n_channels)
+
+    def track_block(state: TrackState, samples_block, replicas_wide):
+        state = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a).reshape((a.shape[0],)), state
+        )
+        rows = jnp.stack(
+            [
+                state.code_phase.astype(jnp.float32),
+                state.carrier_phase.astype(jnp.float32),
+                state.doppler.astype(jnp.float32),
+                state.ema_err.astype(jnp.float32),
+                state.ema_err_sq.astype(jnp.float32),
+                state.ema_quality.astype(jnp.float32),
+                state.step_count.astype(jnp.float32),
+                state.lost.astype(jnp.float32),
+                jnp.zeros_like(state.code_phase, dtype=jnp.float32),  # cpi0 (kernel fills)
+            ]
+        )  # [N_CARRY, S]
+        fin, outs = inner(rows, samples_block, replicas_wide)
+        new_state = TrackState(
+            code_phase=fin[pt._CP, :][:, None],
+            carrier_phase=fin[pt._TH, :][:, None],
+            doppler=fin[pt._FD, :][:, None],
+            ema_err=fin[pt._EERR, :][:, None],
+            ema_err_sq=fin[pt._EERR2, :][:, None],
+            ema_quality=fin[pt._EQ, :][:, None],
+            step_count=fin[pt._STEP, :][:, None].astype(jnp.int32),
+            lost=fin[pt._LOST, :][:, None] > 0.5,
+        )
+        outputs = TrackBlockOutputs(
+            prompt_i=outs[:, pt._O_PI, :],
+            prompt_q=outs[:, pt._O_PQ, :],
+            code_phase=outs[:, pt._O_CP, :],
+            code_phase_measured=outs[:, pt._O_CPM, :],
+            doppler=outs[:, pt._O_FD, :],
+            carrier_phase=outs[:, pt._O_TH, :],
+            pll_error=outs[:, pt._O_PLL, :],
+            dll_error=outs[:, pt._O_DLL, :],
+            locked=outs[:, pt._O_LOCKED, :] > 0.5,
+            quality=outs[:, pt._O_QUAL, :],
+            lost=outs[:, pt._O_LOST, :] > 0.5,
+        )
+        return new_state, outputs
 
     return jax.jit(track_block)
 
