@@ -62,11 +62,15 @@ def numpy_reference_oracle_msamples_per_sec() -> float:
         strength = mag[peak_idx] / mag[mag != mag[peak_idx]].mean()
         return disc, peak, strength
 
-    n = 100
-    t0 = time.perf_counter()
-    for i in range(n):
-        one_ms(i % L, 1000.0, 0.1)
-    per_ms = (time.perf_counter() - t0) / n
+    # Best of 3 rounds: the oracle runs on a shared host, so a single round
+    # can be inflated by transient load (observed 2.7x spread).
+    per_ms = float("inf")
+    for _ in range(3):
+        n = 100
+        t0 = time.perf_counter()
+        for i in range(n):
+            one_ms(i % L, 1000.0, 0.1)
+        per_ms = min(per_ms, (time.perf_counter() - t0) / n)
     # One satellite-ms costs per_ms seconds; tracking 32 satellites over the
     # same stream processes L samples per 32 * per_ms seconds.
     return L / (32 * per_ms) / 1e6
