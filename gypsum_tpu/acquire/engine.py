@@ -94,8 +94,7 @@ class AcquisitionEngine:
         # Stored as float32 I/Q planes: a complex64 closure constant would be
         # materialized through the complex transfer path this environment's
         # TPU backend lacks (see core/planes.py).
-        pfc = replica_fft_conj_table(reps)
-        self._prn_fft_planes = np.stack([pfc.real, pfc.imag], axis=-1).astype(np.float32)
+        self._prn_fft_planes = to_planes(replica_fft_conj_table(reps))
         self._replica_tiled = np.concatenate([reps, reps], axis=1)  # [32, 2L]
         self._coarse_dopplers = np.arange(
             -cfg.doppler_max_hz, cfg.doppler_max_hz + 1e-6, cfg.coarse_step_hz

@@ -47,6 +47,11 @@ def _open_source(args):
     )
 
     if args.file.endswith(".npy"):
+        if getattr(args, "format", None):
+            raise SystemExit(
+                "--format describes raw interleaved captures; .npy files carry "
+                "their own dtype (use --sample-rate or a .json sidecar for the rate)"
+            )
         iq = np.load(args.file)
         rate = args.sample_rate
         if rate is None:
@@ -102,15 +107,30 @@ def cmd_replay(args) -> int:
         fast_forward(source, stream_s)
         _logger.info("resumed from %s at stream t=%.1fs", args.checkpoint, stream_s)
 
+    visualizer = None
+    if args.render_figures:
+        from gypsum_tpu.obs.visualizer import TrackerVisualizer
+
+        visualizer = TrackerVisualizer()
     if args.web_ui:
         from gypsum_tpu.obs.dashboard_client import DashboardClient
 
-        visualizer = None
-        if args.render_figures:
-            from gypsum_tpu.obs.visualizer import TrackerVisualizer
-
-            visualizer = TrackerVisualizer()
         receiver.add_block_listener(DashboardClient(config.obs, visualizer=visualizer).on_block)
+    elif visualizer is not None:
+        # No dashboard: drive the renderer directly and save PNGs locally.
+        import base64
+        import pathlib
+
+        figure_dir = pathlib.Path("tracker_figures")
+        figure_dir.mkdir(exist_ok=True)
+
+        def save_figures(recv, report):
+            visualizer.on_block(recv, report)
+            for prn, png in visualizer.rendered_png_base64.items():
+                (figure_dir / f"prn{prn:02d}.png").write_bytes(base64.b64decode(png))
+
+        receiver.add_block_listener(save_figures)
+        _logger.info("writing tracker figures to %s/", figure_dir)
 
     def narrate(recv, report):
         for hit in report.newly_acquired:

@@ -132,7 +132,11 @@ class TrackerVisualizer:
         A[11].set_ylim(-1, 1)
         A[11].set_title("lock quality EMA")
 
-        # Row 4: bits
+        # Row 4: bits (pull the nav layer's bit history first so the panel
+        # shows THIS render's bits, not the previous period's).
+        pipe = getattr(receiver, "pipelines", {}).get(prn)
+        if pipe is not None:
+            self._extend_bits(h, pipe.integrator)
         A[12].step(range(len(h.symbols)), np.asarray(h.symbols), lw=0.5)
         A[12].set_title("pseudosymbols")
         bits = list(h.bits)
@@ -147,7 +151,6 @@ class TrackerVisualizer:
         A[15].set_title("|prompt| envelope")
 
         # Row 5: nav/health text tiles
-        pipe = getattr(receiver, "pipelines", {}).get(prn)
         world = getattr(receiver, "world", None)
         if pipe is not None:
             integ, dec = pipe.integrator, pipe.decoder
@@ -160,7 +163,6 @@ class TrackerVisualizer:
                 f"polarity: {dec.polarity}",
                 f"subframes: {dec.emitted_subframe_count}",
             ])
-            self._extend_bits(h, integ)
         else:
             text_tile(A[16], "bit health", ["(no pipeline)"])
             text_tile(A[17], "subframe health", ["(no pipeline)"])

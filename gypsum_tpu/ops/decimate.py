@@ -83,10 +83,12 @@ def resample_rational_planes(planes: jax.Array, taps: jax.Array, up: int, down: 
 
 def _host_cpu_device():
     """The streaming-IO wrappers below run on the host CPU backend: they sit
-    in the sample-source read path (host-side by design), and this
+    in the sample-source read path (host-side by design — per-block tunnel
+    round trips to the TPU would dwarf the filter math), and this
     environment's TPU runtime cannot execute-and-fetch the generic strided
-    convolution (UNIMPLEMENTED at fetch). The TPU decimation path is the
-    Pallas kernel (ops/pallas_kernels.py:fir_decimate_pallas)."""
+    convolution anyway (UNIMPLEMENTED at fetch). For *bulk offline*
+    decimation on the TPU, call ops/pallas_kernels.py:fir_decimate_pallas
+    directly (validated compiled on v5e); no streaming path routes to it."""
     try:
         return jax.local_devices(backend="cpu")[0]
     except RuntimeError:

@@ -138,11 +138,10 @@ def fir_decimate_pallas(
     """
     if interpret is None:
         interpret = _default_interpret()
+    from gypsum_tpu.core.planes import to_planes
+
     x = jnp.asarray(x)
-    if x.ndim == 2 and x.shape[-1] == 2:
-        x_planes_in = x.astype(jnp.float32)
-    else:
-        x_planes_in = jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
+    x_planes_in = x.astype(jnp.float32) if (x.ndim == 2 and x.shape[-1] == 2) else jnp.asarray(to_planes(x))
     taps = np.asarray(taps, dtype=np.float32)
     t_len = len(taps)
     n = x_planes_in.shape[0]

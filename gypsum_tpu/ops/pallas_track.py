@@ -218,12 +218,31 @@ def _track_block_kernel(
     fin_ref[:, :] = new_carry  # last grid step's write is the block result
 
 
+def block_margin(cfg: TrackingConfig, length: int) -> int:
+    """Lag-window headroom for one block. Honors an explicit
+    cfg.lag_window_block_margin; otherwise half the worst-case Doppler-aided
+    drift over the block (the window is centered on the *predicted* mid-block
+    code phase, so only half the drift plus DLL slack must fit) + 8 samples.
+    """
+    if cfg.lag_window_block_margin is not None:
+        return cfg.lag_window_block_margin
+    drift = 7000.0 / GPS_L1_FREQUENCY_HZ * length * cfg.block_size_ms
+    return int(np.ceil(drift / 2.0)) + 8
+
+
+def lag_matrix_bytes(cfg: TrackingConfig, length: int, n_channels: int) -> int:
+    """VMEM footprint of the resident lag matrix (the fit check used to
+    decide between this kernel and the scan path)."""
+    k_eff = cfg.lag_window_half_width + block_margin(cfg, length)
+    l_pad = ((length + 127) // 128) * 128
+    return n_channels * (2 * k_eff + 1) * l_pad * 4
+
+
 def make_pallas_track_block_fn(
     config: TrackingConfig,
     samples_per_prn: int,
     sample_rate: float,
     n_channels: int,
-    margin: int = 10,
     interpret: bool | None = None,
 ):
     """Whole-block tracker: same contract as track/loop.py's track_block but
@@ -238,6 +257,7 @@ def make_pallas_track_block_fn(
     length = samples_per_prn
     fs = float(sample_rate)
     k_half = cfg.lag_window_half_width
+    margin = block_margin(cfg, length)
     k_eff = k_half + margin
     n_lags_eff = 2 * k_eff + 1
     l_pad = ((length + 127) // 128) * 128
@@ -264,10 +284,14 @@ def make_pallas_track_block_fn(
         b = samples_block.shape[0]
         s_count = state_rows.shape[1]
 
-        # Block prologue (XLA): position the lag window from the incoming
-        # code phase — one dynamic slice per channel per block.
+        # Block prologue (XLA): position the lag window at the *predicted
+        # mid-block* code phase (carrier aiding moves the code by
+        # -aiding * fd per ms deterministically; centering on the midpoint
+        # halves the margin the drift consumes) — one dynamic slice per
+        # channel per block.
         cp0 = state_rows[_CP, :]
-        cpi0 = jnp.floor(cp0).astype(jnp.int32) % length
+        predicted_mid_drift = -aiding * state_rows[_FD, :] * (b / 2.0)
+        cpi0 = jnp.floor(cp0 + predicted_mid_drift).astype(jnp.int32) % length
         base0 = jnp.mod(length - cpi0 - k_eff, length)
         w2 = jnp.concatenate(
             [replicas_wide[:, : 2 * length], replicas_wide[:, : 2 * k_eff]], axis=1

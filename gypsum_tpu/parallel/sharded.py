@@ -81,7 +81,11 @@ def sharded_acquisition_sweep(
 
 def shard_tracking_inputs(mesh: Mesh, state, samples_block, replicas_wide):
     """Place tracking inputs for a channel-sharded block step: channel-major
-    leaves sharded over 'sat', the sample block replicated."""
+    leaves sharded over 'sat', the sample block replicated.
+
+    Build the block fn with TrackingConfig(use_pallas_block_tracker=False):
+    GSPMD partitions the lax.scan path across chips for free, but a Pallas
+    kernel is an opaque custom call it cannot shard."""
     chan = NamedSharding(mesh, P("sat"))
     repl = NamedSharding(mesh, P())
     state = jax.tree_util.tree_map(lambda a: jax.device_put(a, chan), state)

@@ -65,8 +65,9 @@ def time_sharded_correlation_power(
             f"stream of {total} samples must split into whole chunks across "
             f"{n_time} time shards"
         )
-    pfc2_np = linear_replica_fft_conj(replica)
-    pfc2_planes = np.stack([pfc2_np.real, pfc2_np.imag], axis=-1).astype(np.float32)
+    from gypsum_tpu.core.planes import to_planes
+
+    pfc2_planes = to_planes(linear_replica_fft_conj(replica))
 
     @functools.partial(
         jax.shard_map,

@@ -354,7 +354,22 @@ def make_track_block_fn(
         # for the XLA hoisted scan (the kernel keeps the lag matrix VMEM-
         # resident and pays no per-iteration sequencing). Interpret mode is
         # far slower than XLA on CPU, so only the TPU backend defaults to it.
+        # NOTE: a pallas_call is opaque to GSPMD — channel-sharded multi-chip
+        # tracking (parallel/sharded.py) must set
+        # use_pallas_block_tracker=False to keep the partitionable scan path.
         use_block_kernel = jax.default_backend() == "tpu"
+        if use_block_kernel:
+            from gypsum_tpu.ops.pallas_track import lag_matrix_bytes
+
+            need = lag_matrix_bytes(cfg, length, n_channels)
+            if need > 12 * 1024 * 1024:  # keep headroom in the ~16 MB VMEM
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "lag matrix (%d MB) would not stay VMEM-resident; "
+                    "using the XLA scan path", need >> 20,
+                )
+                use_block_kernel = False
     if use_block_kernel:
         return _make_block_kernel_wrapper(cfg, length, fs, n_channels)
 

@@ -81,3 +81,52 @@ def test_block_kernel_through_tracker_bank():
     np.testing.assert_array_equal(a.pseudosymbol_signs, b.pseudosymbol_signs)
     np.testing.assert_allclose(b.dopplers, a.dopplers, atol=0.5)
     np.testing.assert_allclose(b.code_phases, a.code_phases, atol=0.01)
+
+
+def test_block_margin_honors_config_and_scales():
+    """Regression: the kernel previously hard-coded margin=10, ignoring
+    lag_window_block_margin and block size — at 2000 ms blocks and ~7 kHz
+    Doppler the drift outran the window and the prompt was lost mid-block."""
+    from gypsum_tpu.ops.pallas_track import block_margin, lag_matrix_bytes
+
+    assert block_margin(TrackingConfig(lag_window_block_margin=33), L) == 33
+    m1000 = block_margin(TrackingConfig(block_size_ms=1000), L)
+    m4000 = block_margin(TrackingConfig(block_size_ms=4000), L)
+    # Auto margin covers half the worst-case aided drift (window centered on
+    # the predicted mid-block code phase) plus slack, and scales with B.
+    drift_1000 = 7000.0 / 1.57542e9 * L * 1000  # ~9.1 samples
+    assert m1000 >= drift_1000 / 2 + 8 - 1
+    assert m4000 - 8 >= 4 * (m1000 - 8) - 4
+    assert lag_matrix_bytes(TrackingConfig(block_size_ms=4000), L, 32) > lag_matrix_bytes(
+        TrackingConfig(block_size_ms=1000), L, 32
+    )
+
+
+def test_block_kernel_tracks_high_doppler_full_drift():
+    """The reviewer's divergence scenario, scaled to test time: high Doppler,
+    auto margin — the kernel must keep the prompt inside its window for the
+    whole block and match the scan path."""
+    S, B = 4, 120
+    dopp = 6800.0
+    sat = SyntheticSatellite(prn=3, doppler_hz=dopp, delay_samples=900, amplitude=0.35)
+    iq = synthesize_iq([sat], B * L, FS, noise_sigma=0.15, seed=21).reshape(B, L)
+    planes = jnp.asarray(to_planes(iq))
+    reps = replica_table(L)
+    k = TrackingConfig().lag_window_half_width
+    wide = np.concatenate([reps, reps, reps[:, : 2 * k]], axis=1).astype(np.float32)
+    replicas = jnp.asarray(np.tile(wide[2][None, :], (S, 1)))
+    st = fresh_state(S)
+    st = st._replace(doppler=st.doppler + dopp, code_phase=st.code_phase + 900.0)
+
+    cfg_scan = TrackingConfig(block_size_ms=B, use_pallas_block_tracker=False)
+    cfg_kern = TrackingConfig(block_size_ms=B, use_pallas_block_tracker=True)
+    sA, oA = jax.device_get(make_track_block_fn(cfg_scan, L, FS, S)(st, planes, replicas))
+    sB, oB = jax.device_get(make_track_block_fn(cfg_kern, L, FS, S)(st, planes, replicas))
+    # The prompt magnitude must not collapse at block end (the failure mode
+    # of the hard-coded margin) and the code phase must agree with the scan.
+    pa = np.abs(np.asarray(oA.prompt_i))[-10:].mean()
+    pb = np.abs(np.asarray(oB.prompt_i))[-10:].mean()
+    assert pb > 0.5 * pa
+    np.testing.assert_allclose(
+        np.asarray(sB.code_phase).ravel(), np.asarray(sA.code_phase).ravel(), atol=0.05
+    )
