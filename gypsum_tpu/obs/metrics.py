@@ -11,6 +11,8 @@ and to a one-line log summary.
 from __future__ import annotations
 
 import time
+
+import numpy as np
 from collections import defaultdict
 from dataclasses import dataclass, field
 
@@ -71,6 +73,12 @@ class ReceiverMetrics:
                 "clock_bias_s": report.fix.clock_bias_s,
                 "satellites": list(report.fix.satellites_used),
                 "receiver_timestamp": report.fix.receiver_timestamp,
+                "speed_mps": (
+                    float(np.linalg.norm(report.fix.velocity_ecef_mps))
+                    if report.fix.velocity_ecef_mps is not None
+                    else None
+                ),
+                "clock_drift_s_per_s": report.fix.clock_drift_s_per_s,
             }
 
     @property

@@ -221,18 +221,23 @@ class Receiver:
         # sub-sample *measured* code phase feeds pseudoranges (1 sample of
         # quantization is ~147 m of range at 2.046 Msps).
         cp_delay = float(obs.code_phases_measured[-1]) / self.sample_rate
+        doppler = float(obs.dopplers[-1])
         consumed = 0
         for t_edge, sf_event in sorted(subframe_edges, key=lambda x: x[0]):
             k_done = int(np.floor((t_edge - block_start) / 1e-3))  # chunks completed
             k_done = max(0, min(k_done, block_ms))
             if k_done > consumed:
-                self.world.handle_prn_observed(obs.prn, cp_delay, count=k_done - consumed)
+                self.world.handle_prn_observed(
+                    obs.prn, cp_delay, count=k_done - consumed, doppler_hz=doppler
+                )
                 consumed = k_done
             self.world.handle_subframe_emitted(obs.prn, sf_event)
             self.subframe_count += 1
             report.subframes.append((obs.prn, sf_event))
         if block_ms > consumed:
-            self.world.handle_prn_observed(obs.prn, cp_delay, count=block_ms - consumed)
+            self.world.handle_prn_observed(
+                obs.prn, cp_delay, count=block_ms - consumed, doppler_hz=doppler
+            )
 
         if lost:
             self._drop_satellite(obs.prn, report)

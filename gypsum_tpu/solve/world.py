@@ -57,6 +57,10 @@ class ReceiverSolution:
     alt_m: float
     satellites_used: tuple[int, ...]
     receiver_timestamp: float
+    # Doppler-based velocity solve (solve/velocity.py — a capability the
+    # reference lacks); None when fewer than 4 Doppler measurements exist.
+    velocity_ecef_mps: np.ndarray | None = None
+    clock_drift_s_per_s: float | None = None
 
 
 @dataclass(frozen=True)
@@ -78,6 +82,7 @@ class _SatelliteRecord:
     prn_ticks_since_subframe: int = 0
     counting: bool = False
     code_phase_delay_s: float = 0.0  # sub-ms arrival offset of the PRN edge
+    doppler_hz: float | None = None  # last measured carrier Doppler
 
     def try_complete(self) -> Ephemeris | None:
         if self.sf1 is None or self.sf2 is None or self.sf3 is None:
@@ -101,15 +106,24 @@ class WorldModel:
 
     # ------------------------------------------------------------ ingestion
 
-    def handle_prn_observed(self, prn: int, code_phase_delay_s: float, count: int = 1) -> None:
+    def handle_prn_observed(
+        self,
+        prn: int,
+        code_phase_delay_s: float,
+        count: int = 1,
+        doppler_hz: float | None = None,
+    ) -> None:
         """Record ``count`` observed PRN ticks (1 ms each) for a satellite
         (reference: gypsum/world_model.py:297-312). ``code_phase_delay_s`` is
         the tracker's current code phase expressed as a sub-millisecond
-        arrival delay (code_phase_samples / sample_rate)."""
+        arrival delay (code_phase_samples / sample_rate); ``doppler_hz`` the
+        tracker's current carrier Doppler (feeds the velocity solve)."""
         rec = self._record(prn)
         if rec.counting:
             rec.prn_ticks_since_subframe += count
         rec.code_phase_delay_s = code_phase_delay_s
+        if doppler_hz is not None:
+            rec.doppler_hz = doppler_hz
 
     def handle_subframe_emitted(self, prn: int, event: EmitSubframeEvent) -> list[Event]:
         """A decoded subframe resets the SV's PRN-tick time base and updates
@@ -225,6 +239,7 @@ class WorldModel:
             # (reference: gypsum/world_model.py:631).
             self.receiver_clock_slide -= bias
         lat, lon, alt = ecef_to_lla(pos)
+        velocity, drift = self._solve_velocity(prns, pos)
         solution = ReceiverSolution(
             clock_bias_s=bias,
             ecef=pos,
@@ -233,6 +248,30 @@ class WorldModel:
             alt_m=alt,
             satellites_used=tuple(prns),
             receiver_timestamp=receiver_timestamp,
+            velocity_ecef_mps=velocity,
+            clock_drift_s_per_s=drift,
         )
         self.position_fixes.append(solution)
         return solution
+
+    def _solve_velocity(self, prns: list[int], rx_ecef: np.ndarray):
+        """Doppler-based velocity + clock drift (solve/velocity.py); the
+        reference has no analogue."""
+        from gypsum_tpu.solve.velocity import satellite_velocity, solve_velocity
+
+        usable = [p for p in prns if self._sats[p].doppler_hz is not None]
+        if len(usable) < 4:
+            return None, None
+        sat_pos = np.empty((len(usable), 3))
+        sat_vel = np.empty((len(usable), 3))
+        dopp = np.empty(len(usable))
+        for i, prn in enumerate(usable):
+            rec = self._sats[prn]
+            sv_tow = self.observed_sv_time_of_week(prn)
+            sat_pos[i] = satellite_position(
+                rec.ephemeris, sv_tow, kepler_iterations=self.config.kepler_iterations
+            )
+            sat_vel[i] = satellite_velocity(rec.ephemeris, sv_tow)
+            dopp[i] = rec.doppler_hz
+        v, drift = solve_velocity(sat_pos, sat_vel, rx_ecef, dopp)
+        return v, drift

@@ -150,3 +150,21 @@ def test_drop_and_reacquire_cycle():
     assert acquired_at[-1] >= 8.0, f"reacquired at {acquired_at[-1]}"
     # And it tracks to the end once back.
     assert 9 in reports[-1].tracked_prns
+
+
+def test_velocity_solve_static_receiver(completed_receiver):
+    """The Doppler-based velocity solve must cancel each satellite's ~km/s
+    orbital line-of-sight rate and report the static receiver as (near)
+    motionless — an end-to-end consistency check of Doppler measurement,
+    ephemeris velocity, and sign conventions the reference cannot make
+    (it has no velocity solve)."""
+    import numpy as np
+
+    fixes = completed_receiver.world.position_fixes
+    assert fixes
+    vel_fixes = [f for f in fixes if f.velocity_ecef_mps is not None]
+    assert vel_fixes, "no fix carried a velocity solution"
+    speeds = [float(np.linalg.norm(f.velocity_ecef_mps)) for f in vel_fixes]
+    assert min(speeds) < 2.0, f"static receiver reported moving: {speeds}"
+    drifts = [abs(f.clock_drift_s_per_s) for f in vel_fixes]
+    assert min(drifts) < 5e-9, f"clock drift should be ~0: {drifts}"

@@ -207,3 +207,52 @@ def test_world_model_gates():
     assert world._sats[1].ephemeris is not None
     assert not world._sats[1].counting
     assert world.attempt_position_fix(20.0) is None
+
+
+def test_velocity_solve_recovers_known_motion():
+    """solve_velocity on exact synthetic geometry: a moving receiver and a
+    drifting clock are recovered to numerical precision."""
+    import numpy as np
+
+    from gypsum_tpu.solve.velocity import WAVELENGTH_M, solve_velocity
+
+    rng = np.random.default_rng(5)
+    rx = np.array([3980000.0, -10000.0, 4970000.0])
+    v_true = np.array([12.0, -7.0, 3.0])
+    drift_true = 2.5e-9  # s/s
+    c = 2.99792458e8
+
+    sat_pos = rx + rng.normal(0, 1, (6, 3)) * 1e6 + np.array([0, 0, 2.0e7])
+    sat_vel = rng.normal(0, 1000.0, (6, 3))
+    los = sat_pos - rx
+    e = los / np.linalg.norm(los, axis=1, keepdims=True)
+    rho_dot = np.einsum("ij,ij->i", e, sat_vel - v_true)
+    dopplers = -(rho_dot + c * drift_true) / WAVELENGTH_M
+
+    v, drift = solve_velocity(sat_pos, sat_vel, rx, dopplers)
+    np.testing.assert_allclose(v, v_true, atol=1e-6)
+    assert abs(drift - drift_true) < 1e-15
+
+
+def test_satellite_velocity_consistent_with_position():
+    """Central-difference ephemeris velocity integrates back to the position
+    change over a short interval."""
+    import numpy as np
+
+    from ephemeris_fixtures import TEST_EPHEMERIDES
+
+    from gypsum_tpu.solve.ephemeris import satellite_position
+    from gypsum_tpu.solve.velocity import satellite_velocity
+
+    eph = TEST_EPHEMERIDES[0]
+    t = 21600.0
+    v = satellite_velocity(eph, t)
+    speed = np.linalg.norm(v)
+    assert 2000.0 < speed < 5000.0  # GPS orbital speed ~3.9 km/s
+    dt = 2.0
+    p0 = satellite_position(eph, t)
+    p1 = satellite_position(eph, t + dt)
+    # Compare against the midpoint velocity (centripetal acceleration is
+    # ~0.6 m/s^2, so the endpoint velocity differs by ~1 m over 2 s).
+    v_mid = satellite_velocity(eph, t + dt / 2)
+    np.testing.assert_allclose(p1 - p0, v_mid * dt, atol=0.05)
