@@ -46,3 +46,22 @@ def solve_position(
         pos += step[:3]
         bias += step[3]
     return pos, bias
+
+
+def dilution_of_precision(
+    sat_positions: np.ndarray, receiver_ecef: np.ndarray
+) -> dict[str, float]:
+    """Geometry quality of a fix: G/P/T DOP from the unit-line-of-sight
+    design matrix (standard GNSS definition; the reference reports none).
+    GDOP < 2 is excellent geometry; > 6 means the solution is
+    geometry-limited regardless of measurement quality."""
+    los = np.asarray(sat_positions, dtype=np.float64) - np.asarray(receiver_ecef)[None, :]
+    e = los / np.linalg.norm(los, axis=1, keepdims=True)
+    g = np.concatenate([e, np.ones((e.shape[0], 1))], axis=1)  # [N, 4]
+    q = np.linalg.inv(g.T @ g)
+    d = np.diag(q)
+    return {
+        "gdop": float(np.sqrt(d.sum())),
+        "pdop": float(np.sqrt(d[:3].sum())),
+        "tdop": float(np.sqrt(d[3])),
+    }

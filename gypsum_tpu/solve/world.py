@@ -40,7 +40,7 @@ from gypsum_tpu.solve.ephemeris import (
     ephemeris_from_subframes,
     satellite_position,
 )
-from gypsum_tpu.solve.fix import solve_position
+from gypsum_tpu.solve.fix import solve_position, dilution_of_precision
 from gypsum_tpu.solve.geodesy import ecef_to_lla
 
 _logger = logging.getLogger(__name__)
@@ -61,6 +61,8 @@ class ReceiverSolution:
     # reference lacks); None when fewer than 4 Doppler measurements exist.
     velocity_ecef_mps: np.ndarray | None = None
     clock_drift_s_per_s: float | None = None
+    # Geometry quality (gdop/pdop/tdop; solve/fix.py:dilution_of_precision).
+    dop: dict[str, float] | None = None
 
 
 @dataclass(frozen=True)
@@ -240,6 +242,7 @@ class WorldModel:
             self.receiver_clock_slide -= bias
         lat, lon, alt = ecef_to_lla(pos)
         velocity, drift = self._solve_velocity(prns, pos)
+        dop = dilution_of_precision(sat_pos, pos)
         solution = ReceiverSolution(
             clock_bias_s=bias,
             ecef=pos,
@@ -250,6 +253,7 @@ class WorldModel:
             receiver_timestamp=receiver_timestamp,
             velocity_ecef_mps=velocity,
             clock_drift_s_per_s=drift,
+            dop=dop,
         )
         self.position_fixes.append(solution)
         return solution

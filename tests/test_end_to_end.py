@@ -168,3 +168,37 @@ def test_velocity_solve_static_receiver(completed_receiver):
     assert min(speeds) < 2.0, f"static receiver reported moving: {speeds}"
     drifts = [abs(f.clock_drift_s_per_s) for f in vel_fixes]
     assert min(drifts) < 5e-9, f"clock drift should be ~0: {drifts}"
+
+
+def test_native_processing_at_4x_rate():
+    """Acquisition + tracking natively at 4.092 Msps (L = 4092 samples/PRN):
+    nothing in the signal chain may assume the 2.046 Msps default (the
+    reference hard-codes its 2x rate in the tracker's mod-2046,
+    gypsum/tracker.py:301)."""
+    import numpy as np
+
+    from gypsum_tpu.acquire.engine import AcquisitionEngine
+    from gypsum_tpu.core.config import TrackingConfig
+    from gypsum_tpu.signal.prn import replica_table
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+    from gypsum_tpu.track.loop import TrackerBank
+
+    fs, L4 = 4.092e6, 4092
+    sat = SyntheticSatellite(prn=11, doppler_hz=-2100.0, delay_samples=3000, amplitude=0.3)
+    iq = synthesize_iq([sat], 80 * L4, fs, noise_sigma=0.3, seed=31)
+
+    eng = AcquisitionEngine(fs, L4)
+    hits = eng.detect(iq[: 10 * L4].reshape(10, L4))
+    assert hits and hits[0].prn == 11
+    assert abs(hits[0].doppler_hz - (-2100.0)) < 10.0
+    assert abs(hits[0].code_phase_samples - 3000) <= 1
+
+    bank = TrackerBank(fs, L4, TrackingConfig(block_size_ms=80), n_channels=2)
+    bank.assign(prn=11, doppler_hz=hits[0].doppler_hz,
+                code_phase_samples=hits[0].code_phase_samples,
+                carrier_phase_rad=hits[0].carrier_phase_rad)
+    obs = bank.process_block(iq.reshape(80, L4), block_start_time=0.0)[0]
+    # Stable tracking: quality climbs and the prompt keeps one BPSK sign
+    # per 20 ms pseudosymbol stretch.
+    assert float(obs.quality[-1]) > 0.8
+    assert abs(float(obs.dopplers[-1]) - (-2100.0)) < 20.0

@@ -256,3 +256,30 @@ def test_satellite_velocity_consistent_with_position():
     # ~0.6 m/s^2, so the endpoint velocity differs by ~1 m over 2 s).
     v_mid = satellite_velocity(eph, t + dt / 2)
     np.testing.assert_allclose(p1 - p0, v_mid * dt, atol=0.05)
+
+
+def test_dilution_of_precision():
+    import numpy as np
+
+    from gypsum_tpu.solve.fix import dilution_of_precision
+
+    rx = np.array([6378137.0, 0.0, 0.0])
+    # Well-spread geometry: one overhead, three at wide angles.
+    up = rx / np.linalg.norm(rx)
+    sats_good = np.array([
+        rx + 2.0e7 * up,
+        rx + 2.0e7 * np.array([0.5, 0.8, 0.33]) / np.linalg.norm([0.5, 0.8, 0.33]),
+        rx + 2.0e7 * np.array([0.5, -0.8, 0.33]) / np.linalg.norm([0.5, -0.8, 0.33]),
+        rx + 2.0e7 * np.array([0.4, 0.0, -0.9]) / np.linalg.norm([0.4, 0.0, -0.9]),
+    ])
+    good = dilution_of_precision(sats_good, rx)
+    # Clustered geometry: all satellites within a narrow cone.
+    base = np.array([0.9, 0.1, 0.42])
+    sats_bad = np.array([
+        rx + 2.0e7 * (base + d) / np.linalg.norm(base + d)
+        for d in (np.zeros(3), np.array([0.02, 0, 0]), np.array([0, 0.02, 0]), np.array([0, 0, 0.02]))
+    ])
+    bad = dilution_of_precision(sats_bad, rx)
+    assert good["gdop"] < 10 < bad["gdop"]
+    assert good["pdop"] < good["gdop"]
+    assert {"gdop", "pdop", "tdop"} <= set(good)
