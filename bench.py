@@ -152,6 +152,57 @@ def tracked_throughput_msamples_per_sec() -> tuple[float, dict]:
     return msps, details
 
 
+def farm_throughput_details() -> dict:
+    """Secondary metric: aggregate Msamples/s tracking 8 independent streams
+    x 8 channels in one dispatch (track/loop.py:make_farm_track_block_fn)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gypsum_tpu.core.config import TrackingConfig
+    from gypsum_tpu.core.planes import to_planes
+    from gypsum_tpu.signal.prn import replica_table
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+    from gypsum_tpu.track.loop import fresh_state, make_farm_track_block_fn
+
+    n_streams, ch_per_stream = 8, 8
+    s_total = n_streams * ch_per_stream
+    cfg = TrackingConfig(block_size_ms=BLOCK_MS)
+    reps = replica_table(L)
+    k = cfg.lag_window_half_width
+    wide = np.concatenate([reps, reps, reps[:, : 2 * k]], axis=1).astype(np.float32)
+    stream_of_channel = np.repeat(np.arange(n_streams), ch_per_stream).astype(np.int32)
+    replicas = jnp.asarray(wide[np.arange(s_total) % 32])
+    iq = synthesize_iq(
+        [SyntheticSatellite(prn=7, doppler_hz=800.0, delay_samples=50, amplitude=0.2)],
+        BLOCK_MS * L, FS, noise_sigma=0.4, seed=3,
+    ).reshape(BLOCK_MS, L)
+    planes = to_planes(iq)
+    samples = jnp.asarray(
+        np.broadcast_to(planes[:, None, :, :], (BLOCK_MS, n_streams, L, 2)).copy()
+    )
+    state = fresh_state(s_total)
+    state = state._replace(doppler=(state.doppler + 800.0).astype(np.float32))
+    fn = make_farm_track_block_fn(cfg, L, FS, s_total, stream_of_channel)
+
+    s_out, _ = fn(state, samples, replicas)
+    _ = jax.device_get(s_out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s2 = state
+        for _ in range(2):
+            s2, _outs = fn(s2, samples, replicas)
+        _ = jax.device_get(s2)
+        best = min(best, (time.perf_counter() - t0) / 2)
+    agg = n_streams * BLOCK_MS * L / best / 1e6
+    return {
+        "farm_streams": n_streams,
+        "farm_channels_per_stream": ch_per_stream,
+        "farm_block_latency_ms": best * 1e3,
+        "farm_aggregate_msamples_per_sec": agg,
+    }
+
+
 def acquisition_wallclock_s() -> dict:
     """Full 32-PRN cold-start sweep (+/-7 kHz, all code phases): warm wall-clock."""
     import jax
@@ -190,6 +241,10 @@ def _worker(platform: str) -> None:
         details.update(acquisition_wallclock_s())
     except Exception as exc:  # acquisition sweep is secondary; don't fail bench
         details["acquisition_error"] = repr(exc)
+    try:
+        details.update(farm_throughput_details())
+    except Exception as exc:  # farm metric is secondary too
+        details["farm_error"] = repr(exc)
     print("BENCH_RESULT " + json.dumps({"value": value, "details": details}), flush=True)
 
 

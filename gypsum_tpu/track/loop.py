@@ -109,6 +109,7 @@ def make_track_block_fn(
     samples_per_prn: int,
     sample_rate: float,
     n_channels: int,
+    stream_of_channel: np.ndarray | None = None,
 ):
     """Build the jitted block-tracking function.
 
@@ -117,6 +118,10 @@ def make_track_block_fn(
     B is fixed by ``config.block_size_ms`` at trace time. Samples cross the
     host->device boundary as float planes (see core/planes.py: this
     environment's TPU backend cannot upload complex64).
+
+    With ``stream_of_channel`` ([S] int), the farm variant: samples_block is
+    [B, N, L, 2] (N independent streams) and channel s correlates against
+    stream ``stream_of_channel[s]`` (see make_farm_track_block_fn).
     """
     cfg = config
     length = samples_per_prn
@@ -160,8 +165,10 @@ def make_track_block_fn(
         return rows[:, ::-1, :]
 
     use_pallas = cfg.use_pallas_correlator
-    if use_pallas is None:
-        use_pallas = False  # measured slower than the XLA path on TPU v5e
+    if use_pallas is None or stream_of_channel is not None:
+        # (the per-ms kernel assumes one shared stream; measured slower than
+        # the XLA path on TPU v5e anyway)
+        use_pallas = False
     hoist = cfg.hoist_lag_window and not use_pallas
     if cfg.lag_window_block_margin is not None:
         margin = cfg.lag_window_block_margin
@@ -172,20 +179,21 @@ def make_track_block_fn(
     k_eff = k_half + margin
     n_lags_eff = 2 * k_eff + 1
 
-    def correlate_xla(replicas_wide, state, chunk, base):
+    def correlate_xla(replicas_wide, state, chunk_2d, base):
         # --- carrier wipeoff: x = chunk * e^{-j(theta + 2 pi f l / fs)}
         phase = state.carrier_phase[:, None] + (
             2.0 * jnp.pi * state.doppler[:, None] * jnp.asarray(l_over_fs)[None, :]
         )  # [S, L]
         wipe = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
-        x = chunk[None, :] * wipe  # [S, L]
+        x = chunk_2d * wipe  # [S, L] ([1, L] chunks broadcast)
         # --- lag-window correlation around the prompt (batched matmul).
         wide = window_slices(replicas_wide, base)  # [S, n_lags, L]
         return jnp.einsum("skl,sl->sk", wide, x)  # [S, n_lags] c64
 
-    def correlate_pallas(replicas_wide, state, chunk, base):
+    def correlate_pallas(replicas_wide, state, chunk_2d, base):
         from gypsum_tpu.ops.pallas_kernels import wipeoff_lag_correlate_pallas
 
+        chunk = chunk_2d[0]  # the per-ms kernel supports one shared stream
         params = jnp.stack(
             [state.carrier_phase, state.doppler, base.astype(jnp.float32)], axis=-1
         )  # [S, 3]
@@ -219,13 +227,15 @@ def make_track_block_fn(
             [win[:, k : k + length] for k in range(n_lags_eff)], axis=1
         )[:, ::-1, :]  # [S, n_lags_eff, L]
 
-        def correlate(state, chunk, cp_int):
+        def correlate(state, chunk_2d, cp_int):
+            # chunk_2d: [1, L] (shared stream, broadcasts) or [S, L] (one
+            # stream per channel — the farm path).
             phase = state.carrier_phase[:, None] + (
                 2.0 * jnp.pi * state.doppler[:, None] * jnp.asarray(l_over_fs)[None, :]
             )  # [S, L]
             c, s = jnp.cos(phase), jnp.sin(phase)
-            cr_ = jnp.real(chunk)[None, :]
-            ci_ = jnp.imag(chunk)[None, :]
+            cr_ = jnp.real(chunk_2d)
+            ci_ = jnp.imag(chunk_2d)
             # chunk * e^{-j phase} split into real planes (replica rows are
             # real +/-1, so the correlation is two real matmuls).
             xr = cr_ * c + ci_ * s
@@ -248,16 +258,16 @@ def make_track_block_fn(
     def make_per_ms_correlate(replicas_wide: jax.Array):
         inner = correlate_pallas if use_pallas else correlate_xla
 
-        def correlate(state, chunk, cp_int):
+        def correlate(state, chunk_2d, cp_int):
             base = jnp.mod(length - cp_int - k_half, length)  # [S]
-            return inner(replicas_wide, state, chunk, base)
+            return inner(replicas_wide, state, chunk_2d, base)
 
         return correlate
 
-    def step(correlate, state: TrackState, chunk: jax.Array):
-        # chunk: [L] complex64 — shared by all channels this millisecond.
+    def step(correlate, state: TrackState, chunk_2d: jax.Array):
+        # chunk_2d: [1, L] (shared stream) or [S, L] (farm) complex64.
         cp_int = jnp.floor(state.code_phase).astype(jnp.int32) % length  # [S]
-        corr = correlate(state, chunk, cp_int)  # [S, n_lags] c64
+        corr = correlate(state, chunk_2d, cp_int)  # [S, n_lags] c64
 
         power = jnp.abs(corr) ** 2  # [S, n_lags]
         early = power[:, k_half - 1]
@@ -348,8 +358,13 @@ def make_track_block_fn(
         )
         return new_state, outputs
 
-    use_block_kernel = cfg.use_pallas_block_tracker
-    if use_block_kernel is None:
+    farm_idx = None
+    if stream_of_channel is not None:
+        farm_idx = np.asarray(stream_of_channel, dtype=np.int32)
+        assert farm_idx.shape == (n_channels,)
+
+    use_block_kernel = cfg.use_pallas_block_tracker and farm_idx is None
+    if use_block_kernel is None and farm_idx is None:
         # Measured on TPU v5e at 32 channels x 1000 ms: 22 ms/block vs 29 ms
         # for the XLA hoisted scan (the kernel keeps the lag matrix VMEM-
         # resident and pays no per-iteration sequencing). Interpret mode is
@@ -377,14 +392,19 @@ def make_track_block_fn(
         # Accept either [S] or [S, 1] carry leaves (the function returns
         # columns; callers may feed them straight back in).
         state = jax.tree_util.tree_map(lambda a: jnp.asarray(a).reshape((a.shape[0],)), state)
-        chunks = to_complex(samples_block)  # [B, L] c64 from [B, L, 2] planes
+        chunks = to_complex(samples_block)  # [B, L] (or [B, N, L]) c64
         correlate = (
             make_hoisted_correlate(replicas_wide, state)
             if hoist
             else make_per_ms_correlate(replicas_wide)
         )
+        if farm_idx is None:
+            body = lambda st, chunk: step(correlate, st, chunk[None, :])
+        else:
+            idx = jnp.asarray(farm_idx)
+            body = lambda st, chunk_n: step(correlate, st, jnp.take(chunk_n, idx, axis=0))
         new_state, outs = jax.lax.scan(
-            lambda st, chunk: step(correlate, st, chunk),
+            body,
             state,
             chunks,
             unroll=min(cfg.scan_unroll, chunks.shape[0]),
@@ -397,6 +417,28 @@ def make_track_block_fn(
         return state_cols, outs
 
     return jax.jit(track_block)
+
+
+def make_farm_track_block_fn(
+    config: TrackingConfig,
+    samples_per_prn: int,
+    sample_rate: float,
+    n_channels: int,
+    stream_of_channel: np.ndarray,  # [S] int — which stream each channel reads
+):
+    """Multi-stream ("replay farm") block tracker: each channel consumes its
+    own IQ stream — N independent captures / antennas tracked in one device
+    dispatch (the production batch axis; the reference is single-stream by
+    construction).
+
+    Returns ``f(state, samples_block [B, N, L, 2] f32 planes,
+    replicas_tiled [S, >=2L+2K] f32) -> (state', TrackBlockOutputs [B, S])``;
+    ``stream_of_channel[s]`` selects the stream channel s correlates against.
+    """
+    return make_track_block_fn(
+        config, samples_per_prn, sample_rate, n_channels,
+        stream_of_channel=stream_of_channel,
+    )
 
 
 def _make_block_kernel_wrapper(cfg, length, fs, n_channels):
