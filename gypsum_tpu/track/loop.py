@@ -363,8 +363,11 @@ def make_track_block_fn(
         farm_idx = np.asarray(stream_of_channel, dtype=np.int32)
         assert farm_idx.shape == (n_channels,)
 
-    use_block_kernel = cfg.use_pallas_block_tracker and farm_idx is None
-    if use_block_kernel is None and farm_idx is None:
+    if farm_idx is not None:
+        use_block_kernel = False  # the block kernel assumes one shared stream
+    else:
+        use_block_kernel = cfg.use_pallas_block_tracker
+    if use_block_kernel is None:
         # Measured on TPU v5e at 32 channels x 1000 ms: 22 ms/block vs 29 ms
         # for the XLA hoisted scan (the kernel keeps the lag matrix VMEM-
         # resident and pays no per-iteration sequencing). Interpret mode is
