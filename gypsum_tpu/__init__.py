@@ -34,3 +34,25 @@ Reference parity notes are cited throughout as ``reference: <file>:<lines>``
 __version__ = "0.1.0"
 
 from gypsum_tpu.core import constants  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps ``import gypsum_tpu`` light — jax and the
+    submodule graph load only when first touched)."""
+    lazy = {
+        "Receiver": ("gypsum_tpu.runtime.receiver", "Receiver"),
+        "ReceiverConfig": ("gypsum_tpu.core.config", "ReceiverConfig"),
+        "AcquisitionEngine": ("gypsum_tpu.acquire.engine", "AcquisitionEngine"),
+        "TrackerBank": ("gypsum_tpu.track.loop", "TrackerBank"),
+        "WorldModel": ("gypsum_tpu.solve.world", "WorldModel"),
+        "FileSampleSource": ("gypsum_tpu.io.sources", "FileSampleSource"),
+        "ArraySampleSource": ("gypsum_tpu.io.sources", "ArraySampleSource"),
+        "DecimatingSampleSource": ("gypsum_tpu.io.sources", "DecimatingSampleSource"),
+        "RecordingInfo": ("gypsum_tpu.io.sources", "RecordingInfo"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'gypsum_tpu' has no attribute {name!r}")
