@@ -58,7 +58,13 @@ def dilution_of_precision(
     los = np.asarray(sat_positions, dtype=np.float64) - np.asarray(receiver_ecef)[None, :]
     e = los / np.linalg.norm(los, axis=1, keepdims=True)
     g = np.concatenate([e, np.ones((e.shape[0], 1))], axis=1)  # [N, 4]
-    q = np.linalg.inv(g.T @ g)
+    try:
+        q = np.linalg.inv(g.T @ g)
+    except np.linalg.LinAlgError:
+        # Degenerate geometry (e.g. all satellites on one cone): the DOP is
+        # unbounded; report infinities rather than failing the fix.
+        inf = float("inf")
+        return {"gdop": inf, "pdop": inf, "tdop": inf}
     d = np.diag(q)
     return {
         "gdop": float(np.sqrt(d.sum())),

@@ -241,7 +241,7 @@ class WorldModel:
             # (reference: gypsum/world_model.py:631).
             self.receiver_clock_slide -= bias
         lat, lon, alt = ecef_to_lla(pos)
-        velocity, drift = self._solve_velocity(prns, pos)
+        velocity, drift = self._solve_velocity(prns, pos, sat_pos)
         dop = dilution_of_precision(sat_pos, pos)
         solution = ReceiverSolution(
             clock_bias_s=bias,
@@ -258,24 +258,28 @@ class WorldModel:
         self.position_fixes.append(solution)
         return solution
 
-    def _solve_velocity(self, prns: list[int], rx_ecef: np.ndarray):
+    def _solve_velocity(
+        self, prns: list[int], rx_ecef: np.ndarray, sat_pos_all: np.ndarray
+    ):
         """Doppler-based velocity + clock drift (solve/velocity.py); the
-        reference has no analogue."""
+        reference has no analogue. Satellite positions are reused from the
+        position solve's final round."""
         from gypsum_tpu.solve.velocity import satellite_velocity, solve_velocity
 
-        usable = [p for p in prns if self._sats[p].doppler_hz is not None]
+        usable = [
+            i for i, p in enumerate(prns) if self._sats[p].doppler_hz is not None
+        ]
         if len(usable) < 4:
             return None, None
-        sat_pos = np.empty((len(usable), 3))
+        sat_pos = sat_pos_all[usable]
         sat_vel = np.empty((len(usable), 3))
         dopp = np.empty(len(usable))
-        for i, prn in enumerate(usable):
-            rec = self._sats[prn]
-            sv_tow = self.observed_sv_time_of_week(prn)
-            sat_pos[i] = satellite_position(
+        for j, i in enumerate(usable):
+            rec = self._sats[prns[i]]
+            sv_tow = self.observed_sv_time_of_week(prns[i])
+            sat_vel[j] = satellite_velocity(
                 rec.ephemeris, sv_tow, kepler_iterations=self.config.kepler_iterations
             )
-            sat_vel[i] = satellite_velocity(rec.ephemeris, sv_tow)
-            dopp[i] = rec.doppler_hz
+            dopp[j] = rec.doppler_hz
         v, drift = solve_velocity(sat_pos, sat_vel, rx_ecef, dopp)
         return v, drift

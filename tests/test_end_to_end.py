@@ -165,9 +165,10 @@ def test_velocity_solve_static_receiver(completed_receiver):
     vel_fixes = [f for f in fixes if f.velocity_ecef_mps is not None]
     assert vel_fixes, "no fix carried a velocity solution"
     speeds = [float(np.linalg.norm(f.velocity_ecef_mps)) for f in vel_fixes]
-    assert min(speeds) < 2.0, f"static receiver reported moving: {speeds}"
     drifts = [abs(f.clock_drift_s_per_s) for f in vel_fixes]
-    assert min(drifts) < 5e-9, f"clock drift should be ~0: {drifts}"
+    # Every steady-state fix must be near-static (not just one lucky fix).
+    assert max(speeds) < 2.0, f"static receiver reported moving: {speeds}"
+    assert max(drifts) < 5e-9, f"clock drift should be ~0: {drifts}"
 
 
 def test_native_processing_at_4x_rate():
@@ -175,11 +176,8 @@ def test_native_processing_at_4x_rate():
     nothing in the signal chain may assume the 2.046 Msps default (the
     reference hard-codes its 2x rate in the tracker's mod-2046,
     gypsum/tracker.py:301)."""
-    import numpy as np
-
     from gypsum_tpu.acquire.engine import AcquisitionEngine
     from gypsum_tpu.core.config import TrackingConfig
-    from gypsum_tpu.signal.prn import replica_table
     from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
     from gypsum_tpu.track.loop import TrackerBank
 

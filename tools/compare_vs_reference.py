@@ -183,6 +183,7 @@ def main():
         ours_by_key[key_of(prn, d.subframe.subframe_id.value, d.handover.time_of_week_seconds)] = d
 
     matched = 0
+    fields_compared = 0
     mismatches = []
     missing = []
     for prn, ev in ref:
@@ -200,6 +201,7 @@ def main():
             if rv is None or ov is None:
                 mismatches.append((k, rf, rv, of, ov))
                 continue
+            fields_compared += 1
             if float(rv) != float(ov):
                 mismatches.append((k, rf, rv, of, ov))
         matched += 1
@@ -208,11 +210,12 @@ def main():
           f"(prn, id, TOW): {matched}; missing from ours: {len(missing)}")
     for k in missing[:10]:
         print(f"  missing: {k}")
-    if matched == 0:
-        print("NO OVERLAP — nothing compared")
+    if matched == 0 or fields_compared == 0:
+        print(f"NO OVERLAP — {matched} subframes matched but "
+              f"{fields_compared} comparable fields")
         sys.exit(1)
     if not mismatches:
-        print("ALL MATCHED FIELDS BIT-EXACT")
+        print(f"ALL {fields_compared} MATCHED FIELDS BIT-EXACT")
         return
 
     # Disagreements get adjudicated against the synthesis ground truth: the
@@ -224,27 +227,36 @@ def main():
     from gypsum_tpu.signal.scenarios import demo_constellation
 
     truth = {s.prn: s.ephemeris for s in demo_constellation(prns)}
+    # Subframe attr -> Ephemeris truth attr where the names differ.
+    truth_attr = {"week_number_mod_1024": "week_number"}
     ours_right = ref_right = unknown = 0
     print(f"FIELD DISAGREEMENTS: {len(mismatches)} (adjudicating vs synthesis truth)")
     for k, rf, rv, of, ov in mismatches:
-        tv = getattr(truth.get(k[0]), of, None)
-        if tv is None:
+        tv = getattr(truth.get(k[0]), truth_attr.get(of, of), None)
+        if of == "week_number_mod_1024" and tv is not None:
+            tv = float(tv) % 1024
+        if tv is None or rv is None or ov is None:
             unknown += 1
-            verdict = "no truth field"
+            verdict = "UNADJUDICABLE (missing field or truth)"
         else:
             # Compare against the ICD-quantized truth (both decoders return
             # quantized values, so a correct decode is within one LSB).
-            if ov is not None and abs(float(ov) - float(tv)) <= abs(float(rv or 0) - float(tv)):
+            ours_err = abs(float(ov) - float(tv))
+            ref_err = abs(float(rv) - float(tv))
+            if ours_err < ref_err:
                 ours_right += 1
                 verdict = "OURS matches truth"
-            else:
+            elif ref_err < ours_err:
                 ref_right += 1
                 verdict = "REFERENCE matches truth"
+            else:
+                unknown += 1
+                verdict = "TIE (both equidistant from truth)"
         print(f"  {k}: reference.{rf}={rv!r} vs ours.{of}={ov!r} "
               f"(truth={tv!r}) -> {verdict}")
     print(f"adjudication: ours correct {ours_right}, reference correct {ref_right}, "
-          f"no-truth {unknown}")
-    if ref_right:
+          f"unadjudicable {unknown}")
+    if ref_right or unknown:
         sys.exit(1)
     print("ALL DISAGREEMENTS WERE REFERENCE DECODE ERRORS; OUR DECODE IS "
           "BIT-EXACT TO TRUTH")
