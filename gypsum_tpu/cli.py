@@ -193,9 +193,10 @@ def cmd_synth(args) -> int:
 
     prns = [int(p) for p in args.prns] if args.prns else None
     rx = lla_to_ecef(args.lat, args.lon, args.alt)
+    velocity = np.array([float(x) for x in args.vel.split(",")]) if args.vel else None
     iq, truth = synthesize_constellation(
         demo_constellation(prns), rx, DEMO_GPS_START_SOW, args.duration,
-        args.rate, noise_sigma=args.noise,
+        args.rate, noise_sigma=args.noise, receiver_velocity_ecef=velocity,
     )
     if args.out.endswith(".npy"):
         np.save(args.out, iq)
@@ -273,6 +274,8 @@ def main(argv=None) -> int:
     p.add_argument("--lat", type=float, default=51.5)
     p.add_argument("--lon", type=float, default=-0.1)
     p.add_argument("--alt", type=float, default=80.0)
+    p.add_argument("--vel", default=None,
+                   help='receiver ECEF velocity "vx,vy,vz" in m/s (default static)')
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("bench", help="run the tracked-throughput benchmark")

@@ -58,11 +58,12 @@ class ConstellationSatellite:
 class ConstellationTruth:
     """Ground truth for end-to-end assertions."""
 
-    receiver_ecef: np.ndarray
+    receiver_ecef: np.ndarray  # at t=0
     gps_start_time_sow: float
     doppler_hz: dict[int, float]  # at t=0
     code_phase_samples: dict[int, float]  # acquisition lag at t=0
     transit_time_s: dict[int, float]  # tau at t=0
+    receiver_velocity_ecef: np.ndarray | None = None  # m/s (None = static)
 
 
 def _nav_bits(
@@ -91,15 +92,23 @@ def synthesize_constellation(
     subframe_pattern: str = "123",
     seed: int = 0,
     chunk_seconds: float = 1.0,
+    receiver_velocity_ecef: np.ndarray | None = None,
 ) -> tuple[np.ndarray, ConstellationTruth]:
     """Generate ``duration_s`` of baseband IQ for the scene.
 
     Stream timestamp r corresponds to GPS system time gps_start_time_sow + r
-    (the receiver discovers that mapping itself via handover words). Returns
-    (iq complex64, truth). Synthesis proceeds in ~1 s chunks to bound float64
-    temporaries.
+    (the receiver discovers that mapping itself via handover words). With
+    ``receiver_velocity_ecef`` the receiver moves rx(t) = rx0 + v (t - t0):
+    the light-time iteration then bakes the motion into every satellite's
+    Doppler, code rate and pseudorange (ground truth for the velocity solve).
+    Returns (iq complex64, truth). Synthesis proceeds in ~1 s chunks to bound
+    float64 temporaries.
     """
     rx = np.asarray(receiver_ecef, dtype=np.float64)
+    v_rx = (
+        np.zeros(3) if receiver_velocity_ecef is None
+        else np.asarray(receiver_velocity_ecef, dtype=np.float64)
+    )
     n_samples = int(round(duration_s * sample_rate))
     out = np.zeros(n_samples, dtype=np.complex64)
 
@@ -125,11 +134,13 @@ def synthesize_constellation(
         code = ca_code(sat.prn).astype(np.float64) * 2.0 - 1.0
         bits = _nav_bits(sat, first_tow_count, n_subframes, subframe_pattern)
 
-        # Light-time solution on the grid: tau = |sat(t - tau) - rx| / c.
+        # Light-time solution on the grid: tau = |sat(t - tau) - rx(t)| / c
+        # (the signal arrives at the receiver's position at RECEPTION time).
+        rx_g = rx[None, :] + v_rx[None, :] * (grid - gps_start_time_sow)[:, None]
         tau_g = np.full(grid.shape, 0.07)
         for _ in range(3):
             sat_pos = satellite_position(eph, grid - tau_g)
-            tau_g = np.linalg.norm(sat_pos - rx[None, :], axis=-1) / C
+            tau_g = np.linalg.norm(sat_pos - rx_g, axis=-1) / C
         dtsv_g = clock_correction(eph, grid - tau_g)
 
         # Ground truth at the first sample.
@@ -187,5 +198,6 @@ def synthesize_constellation(
         doppler_hz=truth_doppler,
         code_phase_samples=truth_code_phase,
         transit_time_s=truth_transit,
+        receiver_velocity_ecef=None if receiver_velocity_ecef is None else v_rx,
     )
     return out, truth

@@ -200,3 +200,34 @@ def test_native_processing_at_4x_rate():
     # per 20 ms pseudosymbol stretch.
     assert float(obs.quality[-1]) > 0.8
     assert abs(float(obs.dopplers[-1]) - (-2100.0)) < 20.0
+
+
+def test_moving_receiver_velocity_recovered():
+    """A receiver moving at tens of m/s: the Doppler velocity solve must
+    recover the true ECEF velocity, and position fixes must follow the
+    trajectory (capability absent from the reference)."""
+    import numpy as np
+
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import DEMO_GPS_START_SOW, demo_constellation
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+
+    rx0 = lla_to_ecef(51.5, -0.1, 80.0)
+    v_true = np.array([25.0, -15.0, 8.0])  # ~31 m/s ground+vertical speed
+    iq, truth = synthesize_constellation(
+        demo_constellation(), rx0, DEMO_GPS_START_SOW, 26.0, 2.046e6,
+        noise_sigma=0.3, receiver_velocity_ecef=v_true,
+    )
+    recv = Receiver(ArraySampleSource(iq, 2.046e6))
+    recv.run(until_fix=True)
+    fixes = recv.world.position_fixes
+    assert fixes, "no fix on the moving-receiver capture"
+    fix = fixes[-1]
+    assert fix.velocity_ecef_mps is not None
+    np.testing.assert_allclose(fix.velocity_ecef_mps, v_true, atol=1.5)
+    # The position fix tracks the trajectory (receiver clock epoch is within
+    # ~a block of the fix timestamp).
+    expected = rx0 + v_true * fix.receiver_timestamp
+    assert np.linalg.norm(fix.ecef - expected) < 150.0
