@@ -93,6 +93,7 @@ def synthesize_constellation(
     seed: int = 0,
     chunk_seconds: float = 1.0,
     receiver_velocity_ecef: np.ndarray | None = None,
+    receiver_clock_drift: float = 0.0,
 ) -> tuple[np.ndarray, ConstellationTruth]:
     """Generate ``duration_s`` of baseband IQ for the scene.
 
@@ -148,14 +149,20 @@ def synthesize_constellation(
         d_step = min(0.1, duration_s / 2.0)
         dtau_dt = float((np.interp(gps_start_time_sow + d_step, grid, tau_g) - tau0) / d_step)
         truth_transit[sat.prn] = tau0
-        truth_doppler[sat.prn] = -GPS_L1_FREQUENCY_HZ * dtau_dt
+        # Measured baseband Doppler in *stream* time: d/dr of the carrier
+        # phase -f_L1 tau(t(r)) plus the sampler-rate term (the receiver's
+        # fast/slow clock shows up as a common frequency offset).
+        truth_doppler[sat.prn] = -GPS_L1_FREQUENCY_HZ * (
+            dtau_dt * (1.0 + receiver_clock_drift) + receiver_clock_drift
+        )
         t_sv0 = gps_start_time_sow - tau0 + float(np.interp(gps_start_time_sow, grid, dtsv_g))
         spp = sample_rate / 1000.0
         truth_code_phase[sat.prn] = float((-t_sv0 * sample_rate) % spp)
 
         for lo in range(0, n_samples, chunk):
             hi = min(lo + chunk, n_samples)
-            t = gps_start_time_sow + np.arange(lo, hi, dtype=np.float64) / sample_rate
+            r = np.arange(lo, hi, dtype=np.float64) / sample_rate  # stream s
+            t = gps_start_time_sow + r * (1.0 + receiver_clock_drift)
             tau = np.interp(t, grid, tau_g)
             dtsv = np.interp(t, grid, dtsv_g)
             t_sv = t - tau + dtsv
@@ -179,7 +186,10 @@ def synthesize_constellation(
             data = bits[np.clip(bit_idx, 0, len(bits) - 1)]
 
             # Baseband phase: keep only the fractional cycle count in f64.
-            cycles = -GPS_L1_FREQUENCY_HZ * tau
+            # A drifting oscillator also skews the downconversion LO
+            # (f_L1 (1+d) derived from the same clock), leaving a common
+            # -f_L1 d baseband offset on every satellite.
+            cycles = -GPS_L1_FREQUENCY_HZ * (tau + receiver_clock_drift * r)
             phase = 2.0 * np.pi * (cycles - np.round(cycles))
             out[lo:hi] += (sat.amplitude * chips * data * np.exp(1j * phase)).astype(
                 np.complex64

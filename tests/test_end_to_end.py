@@ -231,3 +231,35 @@ def test_moving_receiver_velocity_recovered():
     # ~a block of the fix timestamp).
     expected = rx0 + v_true * fix.receiver_timestamp
     assert np.linalg.norm(fix.ecef - expected) < 150.0
+
+
+def test_receiver_oscillator_drift_estimated():
+    """Fault injection (SURVEY.md §5): a 0.1 ppm receiver-oscillator drift
+    shifts every Doppler by ~ -158 Hz common-mode; the receiver must still
+    fix, and the Doppler LSQ must attribute the offset to clock drift (not
+    velocity)."""
+    import numpy as np
+
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import DEMO_GPS_START_SOW, demo_constellation
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+
+    drift_true = 1e-7  # s/s (0.1 ppm — a mediocre TCXO)
+    rx0 = lla_to_ecef(51.5, -0.1, 80.0)
+    iq, truth = synthesize_constellation(
+        demo_constellation(), rx0, DEMO_GPS_START_SOW, 26.0, 2.046e6,
+        noise_sigma=0.3, receiver_clock_drift=drift_true,
+    )
+    recv = Receiver(ArraySampleSource(iq, 2.046e6))
+    recv.run(until_fix=True)
+    fixes = recv.world.position_fixes
+    assert fixes, "no fix with oscillator drift injected"
+    fix = fixes[-1]
+    # Velocity stays ~0 (the common-mode Doppler lands in the drift term)...
+    assert np.linalg.norm(fix.velocity_ecef_mps) < 2.0
+    # ...and the estimated drift matches the injected truth.
+    assert abs(fix.clock_drift_s_per_s - drift_true) < 5e-9, fix.clock_drift_s_per_s
+    # Position is unaffected.
+    assert np.linalg.norm(fix.ecef - rx0) < 150.0
