@@ -178,6 +178,12 @@ class SolverConfig:
     # A satellite's time base is stale for a fix after this many PRN ticks
     # without a handover word (reference: gypsum/world_model.py:582-587).
     max_prn_ticks_since_handover: int = 6000
+    # Carrier-smoothed pseudoranges (Hatch filter): the noisy sub-sample
+    # code-phase measurement is blended with the carrier-Doppler-propagated
+    # previous value over this many observations (0 disables). Code noise
+    # shrinks ~ sqrt(N) while the carrier delta is mm-level per second; the
+    # reference uses raw whole-millisecond pseudoranges with no smoothing.
+    carrier_smoothing_window: int = 20
 
 
 @dataclass(frozen=True)

@@ -222,6 +222,8 @@ class Receiver:
         # quantization is ~147 m of range at 2.046 Msps).
         cp_delay = float(obs.code_phases_measured[-1]) / self.sample_rate
         doppler = float(obs.dopplers[-1])
+        # Once-per-block observables (carrier-smoothed pseudorange update).
+        self.world.handle_channel_block(obs.prn, cp_delay, doppler, block_ms)
         consumed = 0
         for t_edge, sf_event in sorted(subframe_edges, key=lambda x: x[0]):
             k_done = int(np.floor((t_edge - block_start) / 1e-3))  # chunks completed

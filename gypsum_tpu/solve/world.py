@@ -85,6 +85,10 @@ class _SatelliteRecord:
     counting: bool = False
     code_phase_delay_s: float = 0.0  # sub-ms arrival offset of the PRN edge
     doppler_hz: float | None = None  # last measured carrier Doppler
+    # Hatch-filtered sub-ms delay (carrier-smoothed pseudorange) + its
+    # averaging depth (grows until the configured window).
+    smoothed_delay_s: float | None = None
+    smoothing_depth: int = 0
 
     def try_complete(self) -> Ephemeris | None:
         if self.sf1 is None or self.sf2 is None or self.sf3 is None:
@@ -127,6 +131,49 @@ class WorldModel:
         if doppler_hz is not None:
             rec.doppler_hz = doppler_hz
 
+    def handle_channel_block(
+        self, prn: int, code_phase_delay_s: float, doppler_hz: float, block_ms: int
+    ) -> None:
+        """Once-per-block channel observables: updates the carrier-smoothed
+        pseudorange. Must be called exactly once per tracking block (the
+        measurement is the block-end code phase; smoothing must propagate the
+        previous value by exactly one block of carrier, so it cannot ride the
+        tick-split handle_prn_observed calls)."""
+        rec = self._record(prn)
+        self._update_carrier_smoothing(rec, code_phase_delay_s, block_ms, doppler_hz)
+
+    def _update_carrier_smoothing(
+        self, rec: _SatelliteRecord, measured_s: float, count: int, doppler_hz: float | None
+    ) -> None:
+        """Hatch filter: blend the (noisy) code measurement with the
+        carrier-propagated previous smoothed delay. The carrier predicts the
+        delay's evolution as d(delay)/dt = -doppler / f_L1 (the same relation
+        carrier aiding uses in the tracker) with mm-per-second noise, so a
+        window-N blend shrinks code noise ~ sqrt(N)."""
+        n_max = self.config.carrier_smoothing_window
+        if n_max <= 1 or doppler_hz is None:
+            rec.smoothed_delay_s = measured_s
+            rec.smoothing_depth = 1
+            return
+        from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
+
+        if rec.smoothed_delay_s is None:
+            rec.smoothed_delay_s = measured_s
+            rec.smoothing_depth = 1
+            return
+        dt = count * 1e-3
+        predicted = rec.smoothed_delay_s - (doppler_hz / GPS_L1_FREQUENCY_HZ) * dt
+        # A cycle slip / code wrap makes prediction and measurement diverge;
+        # reset rather than smooth across it (delays live mod 1 ms).
+        if abs(predicted - measured_s) > 0.25e-3:
+            rec.smoothed_delay_s = measured_s
+            rec.smoothing_depth = 1
+            return
+        depth = min(rec.smoothing_depth + 1, n_max)
+        alpha = 1.0 / depth
+        rec.smoothed_delay_s = alpha * measured_s + (1.0 - alpha) * predicted
+        rec.smoothing_depth = depth
+
     def handle_subframe_emitted(self, prn: int, event: EmitSubframeEvent) -> list[Event]:
         """A decoded subframe resets the SV's PRN-tick time base and updates
         the clock slide (reference: gypsum/world_model.py:707-807)."""
@@ -158,11 +205,15 @@ class WorldModel:
 
     def handle_lost_satellite_lock(self, prn: int) -> None:
         """PRN counting is no longer reliable; invalidate the SV's time base
-        but keep its ephemeris (reference: gypsum/world_model.py:314-328)."""
+        but keep its ephemeris (reference: gypsum/world_model.py:314-328).
+        Carrier smoothing restarts too (re-acquisition re-seats the code
+        phase discontinuously)."""
         rec = self._record(prn)
         rec.counting = False
         rec.prn_ticks_since_subframe = 0
         rec.tow_at_last_subframe = None
+        rec.smoothed_delay_s = None
+        rec.smoothing_depth = 0
 
     # ------------------------------------------------------------- queries
 
@@ -226,7 +277,12 @@ class WorldModel:
                 # numbers PRN edges under exactly that convention — using the
                 # raw delay would bias those satellites' pseudoranges by a
                 # full code period (~300 km).
-                delay = rec.code_phase_delay_s
+                delay = (
+                    rec.smoothed_delay_s
+                    if self.config.carrier_smoothing_window > 1
+                    and rec.smoothed_delay_s is not None
+                    else rec.code_phase_delay_s
+                )
                 delay = ((delay + 0.5e-3) % 1e-3) - 0.5e-3
                 arrival = receiver_timestamp + delay
                 transit[i] = (self.receiver_clock_slide + arrival) - sv_tow
