@@ -122,3 +122,37 @@ def test_pallas_peak_reduce_path_matches_xla_path(rng):
         assert abs(a[prn].doppler_hz - b[prn].doppler_hz) < 1e-3, prn
         assert abs(a[prn].strength - b[prn].strength) < 1e-3 * max(1.0, a[prn].strength), prn
     assert b[17].detected and b[4].detected
+
+
+def test_weak_signal_longer_integration(rng):
+    """Longer non-coherent integration buys detection *margin*: the
+    peak/mean-of-rest strength of noise-only PRNs shrinks toward 1 as more
+    milliseconds average, so the gap between a weak true satellite and the
+    strongest absent PRN widens (the reference's integration length is a
+    constant, gypsum/config.py:4; here it is a config knob)."""
+    import dataclasses
+
+    from gypsum_tpu.acquire.engine import AcquisitionEngine
+    from gypsum_tpu.core.config import AcquisitionConfig
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+
+    fs, L = 2.046e6, 2046
+    sat = SyntheticSatellite(prn=14, doppler_hz=2200.0, delay_samples=1234, amplitude=0.045)
+    iq = synthesize_iq([sat], 30 * L, fs, noise_sigma=0.5, seed=77).reshape(30, L)
+
+    def margin(results):
+        by = {r.prn: r for r in results}
+        others = max(r.strength for r in results if r.prn != 14)
+        return by[14], by[14].strength - others
+
+    short = AcquisitionEngine(fs, L, AcquisitionConfig())
+    hit10, margin10 = margin(short.acquire_all(iq[:10]))
+
+    long_cfg = dataclasses.replace(AcquisitionConfig(), integration_period_ms=30)
+    long_eng = AcquisitionEngine(fs, L, long_cfg)
+    hit30, margin30 = margin(long_eng.acquire_all(iq))
+
+    assert margin30 > margin10, (margin10, margin30)
+    assert hit30.detected
+    assert hit30.code_phase_samples == 1234
+    assert abs(hit30.doppler_hz - 2200.0) < 15.0
