@@ -193,7 +193,14 @@ def cmd_synth(args) -> int:
 
     prns = [int(p) for p in args.prns] if args.prns else None
     rx = lla_to_ecef(args.lat, args.lon, args.alt)
-    velocity = np.array([float(x) for x in args.vel.split(",")]) if args.vel else None
+    velocity = None
+    if args.vel:
+        try:
+            velocity = np.array([float(x) for x in args.vel.split(",")])
+            if velocity.shape != (3,):
+                raise ValueError
+        except ValueError:
+            raise SystemExit(f'--vel expects "vx,vy,vz" in m/s, got {args.vel!r}')
     iq, truth = synthesize_constellation(
         demo_constellation(prns), rx, DEMO_GPS_START_SOW, args.duration,
         args.rate, noise_sigma=args.noise, receiver_velocity_ecef=velocity,

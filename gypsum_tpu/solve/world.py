@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from gypsum_tpu.core.config import SolverConfig
-from gypsum_tpu.core.constants import ONE_MILLISECOND
+from gypsum_tpu.core.constants import ONE_MILLISECOND, GPS_L1_FREQUENCY_HZ
 from gypsum_tpu.core.events import Event
 from gypsum_tpu.nav.frames import EmitSubframeEvent
 from gypsum_tpu.nav.subframes import (
@@ -151,27 +151,23 @@ class WorldModel:
         carrier aiding uses in the tracker) with mm-per-second noise, so a
         window-N blend shrinks code noise ~ sqrt(N)."""
         n_max = self.config.carrier_smoothing_window
-        if n_max <= 1 or doppler_hz is None:
-            rec.smoothed_delay_s = measured_s
-            rec.smoothing_depth = 1
-            return
-        from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
-
-        if rec.smoothed_delay_s is None:
+        if n_max <= 1 or doppler_hz is None or rec.smoothed_delay_s is None:
             rec.smoothed_delay_s = measured_s
             rec.smoothing_depth = 1
             return
         dt = count * 1e-3
         predicted = rec.smoothed_delay_s - (doppler_hz / GPS_L1_FREQUENCY_HZ) * dt
-        # A cycle slip / code wrap makes prediction and measurement diverge;
-        # reset rather than smooth across it (delays live mod 1 ms).
-        if abs(predicted - measured_s) > 0.25e-3:
+        # Delays live mod 1 ms, so wrap the innovation to [-0.5, 0.5) ms: the
+        # routine 0 <-> 1 ms code-phase wrap then smooths straight through
+        # (it is deterministic, not a slip), while a genuine cycle slip still
+        # shows up as a large wrapped innovation and resets the filter.
+        innovation = ((measured_s - predicted + 0.5e-3) % 1e-3) - 0.5e-3
+        if abs(innovation) > 0.25e-3:
             rec.smoothed_delay_s = measured_s
             rec.smoothing_depth = 1
             return
         depth = min(rec.smoothing_depth + 1, n_max)
-        alpha = 1.0 / depth
-        rec.smoothed_delay_s = alpha * measured_s + (1.0 - alpha) * predicted
+        rec.smoothed_delay_s = (predicted + innovation / depth) % 1e-3
         rec.smoothing_depth = depth
 
     def handle_subframe_emitted(self, prn: int, event: EmitSubframeEvent) -> list[Event]:

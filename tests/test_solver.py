@@ -283,3 +283,24 @@ def test_dilution_of_precision():
     assert good["gdop"] < 10 < bad["gdop"]
     assert good["pdop"] < good["gdop"]
     assert {"gdop", "pdop", "tdop"} <= set(good)
+
+
+def test_carrier_smoothing_survives_code_phase_wrap():
+    """The routine 0 <-> 1 ms delay wrap is deterministic (high-Doppler code
+    drift), so the Hatch filter must smooth through it; only a genuine slip
+    (large wrapped innovation) resets the depth."""
+    from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
+    from gypsum_tpu.solve.world import WorldModel
+
+    w = WorldModel()
+    doppler = -4000.0  # delay grows ~2.54 us per 1 s block
+    rate = -doppler / GPS_L1_FREQUENCY_HZ  # s of delay per s
+    delay = 0.999e-3  # start just below the wrap
+    for block in range(8):
+        w.handle_channel_block(7, delay % 1e-3, doppler, 1000)
+        delay += rate * 1.0
+    rec = w._sats[7]
+    assert rec.smoothing_depth == 8, rec.smoothing_depth  # no reset at wrap
+    # A genuine slip (measurement jumps half a millisecond) resets.
+    w.handle_channel_block(7, (delay + 0.4e-3) % 1e-3, doppler, 1000)
+    assert w._sats[7].smoothing_depth == 1
