@@ -43,18 +43,25 @@ def make_ephemeris(
     )
 
 
-# Visible from ~(51.5N, 0.1W) at t ~ 21600 s (elevations 17-57 deg for the
-# first four; 5-6 are below the horizon, useful as absent-satellite controls).
+# Visible from ~(51.5N, 0.1W) at t ~ 21600 s: the first EIGHT slots are
+# above 20 deg elevation with azimuths spread around the full sky (3/56/82/
+# 146/147/172/212/287 deg), so scenes of 4-8 satellites have good geometry;
+# the last two are below the horizon, useful as absent-satellite controls.
 DEMO_EPHEMERIDES: list[Ephemeris] = [
     make_ephemeris(omega0=-0.30, m0=0.40, a_f0=1.2e-4),
     make_ephemeris(omega0=-0.90, m0=1.90, a_f0=-0.8e-4),
     make_ephemeris(omega0=0.60, m0=0.60, a_f0=0.5e-4),
     make_ephemeris(omega0=0.10, m0=1.10, omega=1.2, a_f0=2.0e-4),
-    make_ephemeris(omega0=-1.60, m0=2.70, a_f0=-1.5e-4),
-    make_ephemeris(omega0=1.00, m0=0.30, omega=0.2, a_f0=0.9e-4),
+    make_ephemeris(omega0=0.10, m0=0.90, a_f0=-0.4e-4),  # az ~4, el ~85
+    make_ephemeris(omega0=1.35, m0=0.90, a_f0=1.6e-4),  # az ~56, el ~38
+    make_ephemeris(omega0=-1.40, m0=2.40, omega=0.3, a_f0=-1.1e-4),  # az ~172, el ~33
+    make_ephemeris(omega0=-1.65, m0=2.10, a_f0=0.7e-4),  # az ~212, el ~45
+    make_ephemeris(omega0=-1.60, m0=2.70, a_f0=-1.5e-4),  # below horizon
+    make_ephemeris(omega0=1.00, m0=0.30, omega=0.2, a_f0=0.9e-4),  # below horizon
 ]
 
 DEMO_PRNS = [25, 28, 31, 32]
+DEMO_PRNS_8 = [25, 28, 31, 32, 3, 7, 14, 19]
 DEMO_RECEIVER_LLA = (51.5, -0.1, 80.0)
 DEMO_GPS_START_SOW = 21600.0
 

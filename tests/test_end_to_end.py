@@ -289,3 +289,34 @@ def test_carrier_smoothing_improves_fix_accuracy(scene):
     smoothed = run(20)
     assert smoothed.mean() < raw.mean(), (smoothed.mean(), raw.mean())
     assert smoothed.mean() < 25.0, f"smoothed mean 3D error {smoothed.mean():.1f} m"
+
+
+def test_eight_satellite_scene_improves_geometry():
+    """8 visible satellites tracked simultaneously: all acquired, all
+    contribute to the fix, DOP improves over the 4-SV scene, and accuracy
+    holds (the reference's capture tops out at 4 usable SVs)."""
+    import numpy as np
+
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GPS_START_SOW,
+        DEMO_PRNS_8,
+        demo_constellation,
+    )
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+
+    rx = lla_to_ecef(51.5, -0.1, 80.0)
+    iq, _ = synthesize_constellation(
+        demo_constellation(DEMO_PRNS_8), rx, DEMO_GPS_START_SOW, 26.0, 2.046e6,
+        noise_sigma=0.35,
+    )
+    recv = Receiver(ArraySampleSource(iq, 2.046e6))
+    recv.run(until_fix=True)
+    fixes = recv.world.position_fixes
+    assert fixes, "no fix from the 8-SV scene"
+    fix = fixes[-1]
+    assert len(fix.satellites_used) == 8, fix.satellites_used
+    assert fix.dop["gdop"] < 3.0, fix.dop  # 4-SV demo scene measures ~4.9
+    assert np.linalg.norm(fix.ecef - rx) < 60.0
