@@ -346,3 +346,61 @@ class DecimatingSampleSource(SampleSource):
         ts, block = self.peek_block(n_ms)
         self._out_cursor += n_ms * self._spp_out
         return ts, block
+
+
+class RtlSdrSampleSource(SampleSource):
+    """Live RTL-SDR front end (requires the optional ``pyrtlsdr`` package —
+    the reference ships the dependency commented out and never implemented a
+    live path, reference: requirements.in:8-10).
+
+    Streams complex baseband from the dongle at 2.046 Msps tuned to L1;
+    blocks are read synchronously (the dongle buffers internally). Pair with
+    DecimatingSampleSource for other dongle rates.
+    """
+
+    def __init__(
+        self,
+        sample_rate: float = 2.046e6,
+        center_freq: float = 1575.42e6,
+        gain: str | float = "auto",
+    ) -> None:
+        try:
+            from rtlsdr import RtlSdr  # type: ignore[import-not-found]
+        except ImportError as exc:  # pragma: no cover - optional hardware dep
+            raise RuntimeError(
+                "live SDR input needs the optional 'pyrtlsdr' package "
+                "(pip install pyrtlsdr) and an RTL-SDR dongle"
+            ) from exc
+        self._sdr = RtlSdr()
+        self._sdr.sample_rate = sample_rate
+        self._sdr.center_freq = center_freq
+        self._sdr.gain = gain
+        self._rate = float(sample_rate)
+        self._spp = int(round(self._rate / PRN_REPETITIONS_PER_SECOND))
+        self._consumed = 0
+        self._peeked: np.ndarray | None = None
+
+    @property
+    def attributes(self) -> StreamAttributes:
+        return StreamAttributes(self._rate, self._spp)
+
+    @property
+    def seconds_consumed(self) -> float:
+        return self._consumed / self._rate
+
+    def peek_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        n = n_ms * self._spp
+        if self._peeked is None or len(self._peeked) != n:
+            self._peeked = np.asarray(
+                self._sdr.read_samples(n), dtype=np.complex64
+            )
+        return self.seconds_consumed, self._peeked.reshape(n_ms, self._spp)
+
+    def read_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        ts, block = self.peek_block(n_ms)
+        self._peeked = None
+        self._consumed += n_ms * self._spp
+        return ts, block
+
+    def close(self) -> None:  # pragma: no cover - hardware
+        self._sdr.close()

@@ -154,3 +154,20 @@ def test_recording_format_registry(tmp_path):
 
     with pytest.raises(KeyError):
         recording_info_for("does_not_exist", path)
+
+
+def test_live_sdr_source_gated_cleanly():
+    """The live RTL-SDR source (parity with the reference's commented-out
+    pyrtlsdr intent) raises a clear RuntimeError when the optional package
+    is absent, instead of an ImportError at module import time."""
+    import pytest
+
+    from gypsum_tpu.io.sources import RtlSdrSampleSource
+
+    try:
+        import rtlsdr  # noqa: F401
+        pytest.skip("pyrtlsdr installed; gate untestable")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="pyrtlsdr"):
+        RtlSdrSampleSource()
