@@ -108,15 +108,15 @@ def cmd_replay(args) -> int:
         _logger.info("resumed from %s at stream t=%.1fs", args.checkpoint, stream_s)
 
     visualizer = None
-    if args.render_figures:
+    if args.render_figures or args.show_tracker:
         from gypsum_tpu.obs.visualizer import TrackerVisualizer
 
-        visualizer = TrackerVisualizer()
+        visualizer = TrackerVisualizer(live_window=args.show_tracker)
     if args.web_ui:
         from gypsum_tpu.obs.dashboard_client import DashboardClient
 
         receiver.add_block_listener(DashboardClient(config.obs, visualizer=visualizer).on_block)
-    elif visualizer is not None:
+    elif visualizer is not None:  # no dashboard: save PNGs locally
         # No dashboard: drive the renderer directly and save PNGs locally.
         import base64
         import pathlib
@@ -261,8 +261,11 @@ def main(argv=None) -> int:
     p.add_argument("--block-ms", type=int, default=None, help="tracking block size")
     p.add_argument("--web-ui", action="store_true", help="push state to the web dashboard")
     p.add_argument("--render-figures", action="store_true",
-                   help="render the 20-panel per-satellite tracker figures and push them "
-                   "to the web dashboard (reference: --present_matplotlib_sat_tracker)")
+                   help="render the 20-panel per-satellite tracker figures (pushed to the "
+                   "web dashboard with --web-ui, else saved to tracker_figures/)")
+    p.add_argument("--show-tracker", action="store_true",
+                   help="live matplotlib tracker window per satellite "
+                   "(reference: --present_matplotlib_sat_tracker)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file: resumed from if it exists, written on exit "
                    "(the reference always cold-starts, SURVEY.md §5)")

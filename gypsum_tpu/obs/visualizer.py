@@ -43,11 +43,18 @@ class TrackerVisualizer:
     """Attach via DashboardClient(visualizer=...) or
     receiver.add_block_listener(vis.on_block)."""
 
-    def __init__(self, render_period_s: float = 1.0) -> None:
+    def __init__(self, render_period_s: float = 1.0, live_window: bool = False) -> None:
+        """``live_window`` opens an interactive matplotlib window per
+        satellite and refreshes it in place (the reference's
+        --present_matplotlib_sat_tracker mode, tracker_visualizer.py:203-210);
+        it silently downgrades to off-screen rendering on a display-less
+        backend (Agg cannot show windows)."""
         self.render_period_s = render_period_s
+        self.live_window = live_window
         self._history: dict[int, _ChannelHistory] = {}
         self._last_render: float | None = None
         self.rendered_png_base64: dict[int, str] = {}
+        self._live_figs: dict[int, object] = {}
 
     def on_block(self, receiver, report) -> None:
         for obs in report.observations:
@@ -76,8 +83,15 @@ class TrackerVisualizer:
         try:
             import matplotlib
 
-            matplotlib.use("Agg")
+            if not self.live_window:
+                matplotlib.use("Agg")
             import matplotlib.pyplot as plt
+
+            if self.live_window and matplotlib.get_backend().lower() == "agg":
+                _logger.warning("no interactive matplotlib backend; rendering off-screen")
+                self.live_window = False
+            if self.live_window:
+                plt.ion()
         except Exception:  # pragma: no cover - matplotlib unavailable
             return
         for prn, h in self._history.items():
@@ -187,7 +201,15 @@ class TrackerVisualizer:
         fig.tight_layout()
         buf = io.BytesIO()
         fig.savefig(buf, format="png")
-        plt.close(fig)
+        if self.live_window:  # pragma: no cover - needs a display
+            fig.show()
+            old = self._live_figs.pop(prn, None)
+            if old is not None:
+                plt.close(old)
+            self._live_figs[prn] = fig
+            plt.pause(0.001)
+        else:
+            plt.close(fig)
         return base64.b64encode(buf.getvalue()).decode()
 
     @staticmethod
