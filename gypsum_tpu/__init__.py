@@ -8,7 +8,7 @@ A from-scratch re-design of the capabilities of the reference receiver
 - ``io``       : streaming IQ sample sources (file-backed w/ native C++ reader,
                  synthetic, in-memory) and the input registry.
 - ``ops``      : device compute kernels — batched FFT circular correlation,
-                 matmul-DFT correlation, lag-window correlators, FIR/polyphase
+                 circulant-matmul correlation (MXU), lag-window correlators, FIR/polyphase
                  decimation.
 - ``acquire``  : one-shot batched acquisition over the full
                  [satellite x Doppler x code-phase] grid with static

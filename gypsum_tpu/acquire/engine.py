@@ -95,6 +95,19 @@ class AcquisitionEngine:
         # materialized through the complex transfer path this environment's
         # TPU backend lacks (see core/planes.py).
         self._prn_fft_planes = to_planes(replica_fft_conj_table(reps))
+        self._correlator = cfg.correlator or (
+            "matmul" if jax.default_backend() == "tpu" else "fft"
+        )
+        self._circulant = None
+        if self._correlator == "matmul":
+            from gypsum_tpu.ops.correlate import circulant_replica_table
+
+            # Device-resident bf16 circulant tables, passed as an ARGUMENT to
+            # the jitted program (a closure constant this large would bloat
+            # the lowered HLO).
+            self._circulant = jax.device_put(
+                jnp.asarray(circulant_replica_table(reps))
+            )
         self._replica_tiled = np.concatenate([reps, reps], axis=1)  # [32, 2L]
         self._coarse_dopplers = np.arange(
             -cfg.doppler_max_hz, cfg.doppler_max_hz + 1e-6, cfg.coarse_step_hz
@@ -106,7 +119,7 @@ class AcquisitionEngine:
 
     # ---------------------------------------------------------------- device
 
-    def _acquire_all(self, samples_planes: jax.Array):
+    def _acquire_all(self, samples_planes: jax.Array, circulant: jax.Array | None = None):
         """samples_planes: [M, L, 2] float32 I/Q planes -> per-sat (doppler,
         code phase, carrier phase, strength), all [32] (packed rank-2)."""
         fs = self.sample_rate
@@ -115,12 +128,20 @@ class AcquisitionEngine:
         m_count = samples_ms.shape[0]
         coarse_dopplers = jnp.asarray(self._coarse_dopplers)
         fine_offsets = jnp.asarray(self._fine_offsets)
-        prn_fft_conj = to_complex(jnp.asarray(self._prn_fft_planes))  # [S, L]
 
-        # ---- Stage 1: coarse non-coherent sweep over the full grid.
-        noncoh = noncoherent_acquisition_sweep(
-            samples_ms, coarse_dopplers, prn_fft_conj, fs
-        )  # [S, D, L]
+        # ---- Stage 1: coarse non-coherent sweep over the full grid —
+        # circulant MXU matmuls on TPU, FFT elsewhere (config.correlator).
+        if circulant is not None:
+            from gypsum_tpu.ops.correlate import noncoherent_acquisition_sweep_matmul
+
+            noncoh = noncoherent_acquisition_sweep_matmul(
+                samples_ms, coarse_dopplers, circulant, fs
+            )  # [S, D, L]
+        else:
+            prn_fft_conj = to_complex(jnp.asarray(self._prn_fft_planes))  # [S, L]
+            noncoh = noncoherent_acquisition_sweep(
+                samples_ms, coarse_dopplers, prn_fft_conj, fs
+            )  # [S, D, L]
         s_count, d_count, _ = noncoh.shape
         use_pallas = self.config.use_pallas_peak_reduce
         if use_pallas is None:
@@ -225,7 +246,9 @@ class AcquisitionEngine:
                 f"expected [{self.config.integration_period_ms}, {self.samples_per_prn}] "
                 f"samples, got {samples.shape}"
             )
-        packed = jax.device_get(self._acquire_jit(jnp.asarray(to_planes(samples))))
+        packed = jax.device_get(
+            self._acquire_jit(jnp.asarray(to_planes(samples)), self._circulant)
+        )
         doppler, code_phase, carrier_phase, strength = packed
         results = [
             AcquisitionResult(

@@ -40,6 +40,12 @@ class AcquisitionConfig:
     # Final refinement: estimate residual Doppler from the phase slope of the
     # per-ms coherent prompts (squared to cancel BPSK flips).
     phase_slope_refinement: bool = True
+    # Coarse-sweep correlator: "matmul" evaluates circular correlation as
+    # batched MXU matmuls against +/-1 circulant replica tables (bf16,
+    # ~256 MB device-resident, measured 8.4 vs 18.6 ms per full sweep on
+    # v5e); "fft" is the classic FFT -> pointwise -> IFFT path. None =
+    # matmul on TPU, fft elsewhere (the circulant path is hopeless on CPU).
+    correlator: str | None = None
     # Use the fused Pallas max/argmax/sum kernel for the coarse-grid peak
     # search instead of XLA's argmax + gather + re-read. Measured on TPU v5e:
     # identical results, 42 vs 38 ms per full sweep (XLA's fused reduction

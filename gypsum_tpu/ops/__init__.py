@@ -1,4 +1,4 @@
-"""Device compute kernels: batched correlation, DFT-as-matmul, decimation."""
+"""Device compute kernels: batched FFT and circulant-matmul correlation, Pallas kernels, decimation."""
 
 from gypsum_tpu.ops.correlate import (  # noqa: F401
     circular_correlate,

@@ -156,3 +156,30 @@ def test_weak_signal_longer_integration(rng):
     assert hit30.detected
     assert hit30.code_phase_samples == 1234
     assert abs(hit30.doppler_hz - 2200.0) < 15.0
+
+
+def test_matmul_correlator_matches_fft_path(rng):
+    """The circulant-matmul coarse sweep (TPU default) must find the same
+    peaks as the FFT path (CPU check at reduced grid size; identical
+    end-to-end behavior is covered by the engine parity below)."""
+    import dataclasses
+
+    from gypsum_tpu.acquire.engine import AcquisitionEngine
+    from gypsum_tpu.core.config import AcquisitionConfig
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+
+    fs, L = 2.046e6, 2046
+    iq = synthesize_iq(
+        [SyntheticSatellite(prn=17, doppler_hz=1500.0, delay_samples=321, amplitude=0.35)],
+        4 * L, fs, noise_sigma=0.25, seed=12,
+    ).reshape(4, L)
+    base = AcquisitionConfig(integration_period_ms=4, doppler_max_hz=2500.0)
+    eng_fft = AcquisitionEngine(fs, L, dataclasses.replace(base, correlator="fft"))
+    eng_mat = AcquisitionEngine(fs, L, dataclasses.replace(base, correlator="matmul"))
+    a = {r.prn: r for r in eng_fft.acquire_all(iq)}
+    b = {r.prn: r for r in eng_mat.acquire_all(iq)}
+    assert b[17].detected
+    assert b[17].code_phase_samples == a[17].code_phase_samples == 321
+    assert abs(b[17].doppler_hz - a[17].doppler_hz) < 2.0
+    for prn in range(1, 33):
+        assert abs(a[prn].strength - b[prn].strength) < 0.05 * max(1.0, a[prn].strength), prn
