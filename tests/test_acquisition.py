@@ -183,3 +183,45 @@ def test_matmul_correlator_matches_fft_path(rng):
     assert abs(b[17].doppler_hz - a[17].doppler_hz) < 2.0
     for prn in range(1, 33):
         assert abs(a[prn].strength - b[prn].strength) < 0.05 * max(1.0, a[prn].strength), prn
+
+
+def test_acquisition_randomized_scenarios(rng):
+    """Fuzz the acquisition envelope: random Doppler across the full +/-7 kHz
+    span (including the grid edges), random code phase including the 0/L
+    wrap, random SNR down to threshold — detection, code phase and Doppler
+    must hold everywhere."""
+    from gypsum_tpu.acquire.engine import AcquisitionEngine
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+
+    fs, L = 2.046e6, 2046
+    eng = AcquisitionEngine(fs, L)
+    cases = [
+        # (prn, doppler, delay, amplitude)
+        (1, -6990.0, 0, 0.25),       # Doppler at the grid edge, zero delay
+        (32, 6990.0, L - 1, 0.25),   # other edge, delay at the wrap
+        (9, 0.0, 1023, 0.3),         # zero Doppler
+        (17, -249.0, 7, 0.3),        # half-bin Doppler offset
+    ]
+    for prn, dopp, delay, amp in cases:
+        iq = synthesize_iq(
+            [SyntheticSatellite(prn=prn, doppler_hz=dopp, delay_samples=delay, amplitude=amp)],
+            10 * L, fs, noise_sigma=0.3, seed=prn,
+        ).reshape(10, L)
+        hits = eng.detect(iq)
+        assert hits and hits[0].prn == prn, (prn, dopp, delay)
+        assert abs(hits[0].doppler_hz - dopp) < 10.0, (prn, hits[0].doppler_hz, dopp)
+        cp_err = abs(hits[0].code_phase_samples - delay)
+        assert min(cp_err, L - cp_err) <= 1, (prn, hits[0].code_phase_samples, delay)
+    for trial in range(4):
+        prn = int(rng.integers(1, 33))
+        dopp = float(rng.uniform(-7000, 7000))
+        delay = int(rng.integers(0, L))
+        iq = synthesize_iq(
+            [SyntheticSatellite(prn=prn, doppler_hz=dopp, delay_samples=delay, amplitude=0.28)],
+            10 * L, fs, noise_sigma=0.35, seed=100 + trial,
+        ).reshape(10, L)
+        hits = eng.detect(iq)
+        assert hits and hits[0].prn == prn, (trial, prn, dopp, delay)
+        assert abs(hits[0].doppler_hz - dopp) < 10.0
+        cp_err = abs(hits[0].code_phase_samples - delay)
+        assert min(cp_err, L - cp_err) <= 1
