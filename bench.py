@@ -219,15 +219,20 @@ def acquisition_wallclock_s() -> dict:
     x = jnp.asarray(to_planes(iq))
 
     t0 = time.perf_counter()
-    out = jax.device_get(eng._acquire_jit(x))  # fetch forces completion
+    # Same call the receiver makes (matmul circulant correlator on TPU).
+    out = jax.device_get(eng._acquire_jit(x, eng._circulant))  # fetch forces completion
     cold = time.perf_counter() - t0
 
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        out = jax.device_get(eng._acquire_jit(x))
+        out = jax.device_get(eng._acquire_jit(x, eng._circulant))
     warm = (time.perf_counter() - t0) / n
-    return {"acquisition_cold_s": cold, "acquisition_warm_s": warm}
+    return {
+        "acquisition_cold_s": cold,
+        "acquisition_warm_s": warm,
+        "acquisition_correlator": eng._correlator,
+    }
 
 
 def _worker(platform: str) -> None:

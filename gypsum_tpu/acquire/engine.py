@@ -95,6 +95,11 @@ class AcquisitionEngine:
         # materialized through the complex transfer path this environment's
         # TPU backend lacks (see core/planes.py).
         self._prn_fft_planes = to_planes(replica_fft_conj_table(reps))
+        if cfg.correlator not in (None, "matmul", "fft"):
+            raise ValueError(
+                f"AcquisitionConfig.correlator must be 'matmul', 'fft' or None, "
+                f"got {cfg.correlator!r}"
+            )
         self._correlator = cfg.correlator or (
             "matmul" if jax.default_backend() == "tpu" else "fft"
         )

@@ -25,7 +25,10 @@ _logger = logging.getLogger("gypsum_tpu")
 
 
 def _add_file_source_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--file", required=True, help="capture path (with .json sidecar) or .npy IQ")
+    p.add_argument("--file", default=None, help="capture path (with .json sidecar) or .npy IQ")
+    p.add_argument("--rtlsdr", action="store_true",
+                   help="read live from an RTL-SDR dongle (needs pyrtlsdr; "
+                   "tunes L1, streams via the async USB callback)")
     p.add_argument("--sample-rate", type=float, default=None,
                    help="override sample rate (else from sidecar; 2.046e6 for .npy)")
     p.add_argument("--format", default=None,
@@ -46,6 +49,12 @@ def _open_source(args):
         RecordingInfo,
     )
 
+    if getattr(args, "rtlsdr", False):
+        from gypsum_tpu.io.sources import RtlSdrSampleSource
+
+        return RtlSdrSampleSource(sample_rate=args.sample_rate or 2.046e6)
+    if not args.file:
+        raise SystemExit("provide --file CAPTURE or --rtlsdr")
     if args.file.endswith(".npy"):
         if getattr(args, "format", None):
             raise SystemExit(

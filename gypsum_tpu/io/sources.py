@@ -348,21 +348,90 @@ class DecimatingSampleSource(SampleSource):
         return ts, block
 
 
+class StreamBuffer:
+    """Thread-safe sample buffer between an asynchronous producer (e.g. the
+    RTL-SDR USB callback) and the receiver's blocking block reads, with a
+    peek/read contract that holds for mixed sizes: ``peek_block`` never
+    consumes, a following ``read_block`` of any size returns the peeked data
+    first. Bounded: on overflow the OLDEST samples drop and the overflow
+    counter records the loss (the stream is no longer gapless and trackers
+    should be re-acquired)."""
+
+    def __init__(self, capacity_samples: int) -> None:
+        import threading
+
+        self._capacity = int(capacity_samples)
+        self._chunks: list[np.ndarray] = []
+        self._buffered = 0
+        self._pending = np.zeros(0, dtype=np.complex64)  # peeked-but-unread
+        self._cond = threading.Condition()
+        self.overflow_samples = 0
+
+    def push(self, samples: np.ndarray) -> None:
+        samples = np.asarray(samples, dtype=np.complex64)
+        with self._cond:
+            self._chunks.append(samples)
+            self._buffered += len(samples)
+            while self._buffered > self._capacity and self._chunks:
+                dropped = self._chunks.pop(0)
+                self._buffered -= len(dropped)
+                self.overflow_samples += len(dropped)
+            self._cond.notify_all()
+
+    def _take(self, n: int, timeout: float) -> np.ndarray:
+        out = np.empty(n, dtype=np.complex64)
+        got = 0
+        with self._cond:
+            while got < n:
+                while not self._chunks:
+                    if not self._cond.wait(timeout):
+                        raise TimeoutError(
+                            f"no samples from the radio within {timeout}s"
+                        )
+                head = self._chunks[0]
+                take = min(len(head), n - got)
+                out[got : got + take] = head[:take]
+                got += take
+                if take == len(head):
+                    self._chunks.pop(0)
+                else:
+                    self._chunks[0] = head[take:]
+                self._buffered -= take
+        return out
+
+    def peek(self, n: int, timeout: float = 5.0) -> np.ndarray:
+        if len(self._pending) < n:
+            more = self._take(n - len(self._pending), timeout)
+            self._pending = np.concatenate([self._pending, more])
+        return self._pending[:n].copy()
+
+    def read(self, n: int, timeout: float = 5.0) -> np.ndarray:
+        out = self.peek(n, timeout)
+        self._pending = self._pending[n:]
+        return out
+
+
 class RtlSdrSampleSource(SampleSource):
     """Live RTL-SDR front end (requires the optional ``pyrtlsdr`` package —
     the reference ships the dependency commented out and never implemented a
     live path, reference: requirements.in:8-10).
 
-    Streams complex baseband from the dongle at 2.046 Msps tuned to L1;
-    blocks are read synchronously (the dongle buffers internally). Pair with
-    DecimatingSampleSource for other dongle rates.
+    librtlsdr streams continuously through the async-callback API into a
+    bounded StreamBuffer on a reader thread, so consecutive blocks are
+    gapless as long as the receiver keeps up (callback chunks are multiples
+    of 512 bytes as USB bulk transfers require). On overflow the oldest
+    samples drop and ``overflow_samples`` records the loss. Pair with
+    DecimatingSampleSource for dongle rates other than 2.046 Msps.
     """
+
+    _CALLBACK_CHUNK = 65536  # samples per async callback (131072 bytes)
 
     def __init__(
         self,
         sample_rate: float = 2.046e6,
         center_freq: float = 1575.42e6,
         gain: str | float = "auto",
+        buffer_seconds: float = 4.0,
     ) -> None:
         try:
             from rtlsdr import RtlSdr  # type: ignore[import-not-found]
@@ -371,6 +440,8 @@ class RtlSdrSampleSource(SampleSource):
                 "live SDR input needs the optional 'pyrtlsdr' package "
                 "(pip install pyrtlsdr) and an RTL-SDR dongle"
             ) from exc
+        import threading
+
         self._sdr = RtlSdr()
         self._sdr.sample_rate = sample_rate
         self._sdr.center_freq = center_freq
@@ -378,7 +449,19 @@ class RtlSdrSampleSource(SampleSource):
         self._rate = float(sample_rate)
         self._spp = int(round(self._rate / PRN_REPETITIONS_PER_SECOND))
         self._consumed = 0
-        self._peeked: np.ndarray | None = None
+        self.buffer = StreamBuffer(int(buffer_seconds * self._rate))
+        self._thread = threading.Thread(
+            target=self._stream, name="rtlsdr-reader", daemon=True
+        )
+        self._thread.start()
+
+    def _stream(self) -> None:  # pragma: no cover - hardware
+        # read_samples_async keeps the USB transfer queue running between
+        # callbacks (unlike per-call sync reads, which drop samples while
+        # the host computes).
+        self._sdr.read_samples_async(
+            lambda samples, ctx: self.buffer.push(samples), self._CALLBACK_CHUNK
+        )
 
     @property
     def attributes(self) -> StreamAttributes:
@@ -390,17 +473,16 @@ class RtlSdrSampleSource(SampleSource):
 
     def peek_block(self, n_ms: int) -> tuple[float, np.ndarray]:
         n = n_ms * self._spp
-        if self._peeked is None or len(self._peeked) != n:
-            self._peeked = np.asarray(
-                self._sdr.read_samples(n), dtype=np.complex64
-            )
-        return self.seconds_consumed, self._peeked.reshape(n_ms, self._spp)
+        return self.seconds_consumed, self.buffer.peek(n).reshape(n_ms, self._spp)
 
     def read_block(self, n_ms: int) -> tuple[float, np.ndarray]:
-        ts, block = self.peek_block(n_ms)
-        self._peeked = None
-        self._consumed += n_ms * self._spp
+        n = n_ms * self._spp
+        block = self.buffer.read(n).reshape(n_ms, self._spp)
+        ts = self.seconds_consumed
+        self._consumed += n
         return ts, block
 
     def close(self) -> None:  # pragma: no cover - hardware
+        self._sdr.cancel_read_async()
+        self._thread.join(timeout=2.0)
         self._sdr.close()

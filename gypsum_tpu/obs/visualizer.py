@@ -72,6 +72,11 @@ class TrackerVisualizer:
         for prn in report.dropped_prns:
             self._history.pop(prn, None)
             self.rendered_png_base64.pop(prn, None)
+            fig = self._live_figs.pop(prn, None)
+            if fig is not None:  # pragma: no cover - needs a display
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
         now = report.block_end
         if self._last_render is None or now - self._last_render >= self.render_period_s:
             self._last_render = now
@@ -100,7 +105,14 @@ class TrackerVisualizer:
             self.rendered_png_base64[prn] = self._render_one(plt, receiver, prn, h, now)
 
     def _render_one(self, plt, receiver, prn: int, h: _ChannelHistory, now: float) -> str:
-        fig, axes = plt.subplots(5, 4, figsize=(13, 12), dpi=70)
+        if self.live_window and prn in self._live_figs:  # pragma: no cover
+            # Refresh the existing window in place (clear + redraw) instead
+            # of opening a new one every render period.
+            fig = self._live_figs[prn]
+            fig.clf()
+            axes = fig.subplots(5, 4)
+        else:
+            fig, axes = plt.subplots(5, 4, figsize=(13, 12), dpi=70)
         fig.suptitle(f"PRN {prn} @ {now:.1f}s")
         prompts = np.asarray(h.prompts)
         A = axes.ravel()
@@ -202,11 +214,9 @@ class TrackerVisualizer:
         buf = io.BytesIO()
         fig.savefig(buf, format="png")
         if self.live_window:  # pragma: no cover - needs a display
-            fig.show()
-            old = self._live_figs.pop(prn, None)
-            if old is not None:
-                plt.close(old)
             self._live_figs[prn] = fig
+            fig.show()
+            fig.canvas.draw_idle()
             plt.pause(0.001)
         else:
             plt.close(fig)

@@ -183,7 +183,10 @@ def circulant_replica_table(replica_table_f32: np.ndarray) -> np.ndarray:
 
     length = replica_table_f32.shape[-1]
     idx = (np.arange(length)[:, None] - np.arange(length)[None, :]) % length
-    return replica_table_f32[:, idx].astype(ml_dtypes.bfloat16)
+    # Cast the 256 KB replica table to bf16 BEFORE the fancy index so the
+    # host-side peak allocation is the 256 MB result, not a 512 MB f32
+    # intermediate (+/-1 chips are bf16-exact).
+    return replica_table_f32.astype(ml_dtypes.bfloat16)[:, idx]
 
 
 def noncoherent_acquisition_sweep_matmul(

@@ -171,3 +171,40 @@ def test_live_sdr_source_gated_cleanly():
         pass
     with pytest.raises(RuntimeError, match="pyrtlsdr"):
         RtlSdrSampleSource()
+
+
+def test_stream_buffer_peek_read_contract():
+    """The live-source StreamBuffer honors the SampleSource contract for
+    mixed peek/read sizes (peek never consumes; a following read of any size
+    returns the peeked data first) and bounds memory by dropping oldest."""
+    import numpy as np
+
+    from gypsum_tpu.io.sources import StreamBuffer
+
+    buf = StreamBuffer(capacity_samples=10_000)
+    data = (np.arange(6000) + 1j * np.arange(6000)).astype(np.complex64)
+    buf.push(data[:2500])
+    buf.push(data[2500:6000])
+
+    peeked = buf.peek(4000)
+    np.testing.assert_array_equal(peeked, data[:4000])
+    # peek again with a SMALLER size: same leading data, still unconsumed
+    np.testing.assert_array_equal(buf.peek(100), data[:100])
+    # read smaller than the peek: consumes exactly that prefix
+    np.testing.assert_array_equal(buf.read(1500), data[:1500])
+    # read larger than what remains pending: splices pending + fresh
+    np.testing.assert_array_equal(buf.read(3000), data[1500:4500])
+    np.testing.assert_array_equal(buf.read(1500), data[4500:6000])
+
+    # overflow drops the OLDEST samples and records the loss
+    buf2 = StreamBuffer(capacity_samples=1000)
+    buf2.push(data[:800])
+    buf2.push(data[800:1600])
+    assert buf2.overflow_samples == 800
+    np.testing.assert_array_equal(buf2.read(100), data[800:900])
+
+    # timeout path: an empty buffer raises rather than hanging forever
+    import pytest
+
+    with pytest.raises(TimeoutError):
+        StreamBuffer(100).read(10, timeout=0.05)
