@@ -25,7 +25,11 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from gypsum_tpu.core.config import SolverConfig
-from gypsum_tpu.core.constants import ONE_MILLISECOND, GPS_L1_FREQUENCY_HZ
+from gypsum_tpu.core.constants import (
+    ONE_MILLISECOND,
+    GPS_L1_FREQUENCY_HZ,
+    SPEED_OF_LIGHT_M_PER_S as C,
+)
 from gypsum_tpu.core.events import Event
 from gypsum_tpu.nav.frames import EmitSubframeEvent
 from gypsum_tpu.nav.subframes import (
@@ -130,6 +134,11 @@ class WorldModel:
         rec.code_phase_delay_s = code_phase_delay_s
         if doppler_hz is not None:
             rec.doppler_hz = doppler_hz
+        if rec.smoothing_depth <= 1:
+            # No carrier-smoothing history yet (e.g. observations fed
+            # directly without block updates): keep the anchored delay in
+            # step with the raw measurement.
+            rec.smoothed_delay_s = ((code_phase_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
 
     def handle_channel_block(
         self, prn: int, code_phase_delay_s: float, doppler_hz: float, block_ms: int
@@ -150,24 +159,26 @@ class WorldModel:
         delay's evolution as d(delay)/dt = -doppler / f_L1 (the same relation
         carrier aiding uses in the tracker) with mm-per-second noise, so a
         window-N blend shrinks code noise ~ sqrt(N)."""
-        n_max = self.config.carrier_smoothing_window
-        if n_max <= 1 or doppler_hz is None or rec.smoothed_delay_s is None:
+        n_max = max(1, self.config.carrier_smoothing_window)
+        if doppler_hz is None or rec.smoothed_delay_s is None:
             rec.smoothed_delay_s = measured_s
             rec.smoothing_depth = 1
             return
         dt = count * 1e-3
         predicted = rec.smoothed_delay_s - (doppler_hz / GPS_L1_FREQUENCY_HZ) * dt
-        # Delays live mod 1 ms, so wrap the innovation to [-0.5, 0.5) ms: the
-        # routine 0 <-> 1 ms code-phase wrap then smooths straight through
-        # (it is deterministic, not a slip), while a genuine cycle slip still
-        # shows up as a large wrapped innovation and resets the filter.
+        # The raw measurement lives mod 1 ms but the maintained delay is
+        # CONTINUOUS (it may walk past +/-0.5 ms — its millisecond is pinned
+        # to the tick anchor, handle_subframe_emitted). Wrapping the
+        # innovation to [-0.5, 0.5) ms folds the measurement onto the
+        # continuous track; a genuine cycle slip shows up as a large wrapped
+        # innovation and resets (the next subframe re-anchors the ms).
         innovation = ((measured_s - predicted + 0.5e-3) % 1e-3) - 0.5e-3
         if abs(innovation) > 0.25e-3:
             rec.smoothed_delay_s = measured_s
             rec.smoothing_depth = 1
             return
         depth = min(rec.smoothing_depth + 1, n_max)
-        rec.smoothed_delay_s = (predicted + innovation / depth) % 1e-3
+        rec.smoothed_delay_s = predicted + innovation / depth
         rec.smoothing_depth = depth
 
     def handle_subframe_emitted(self, prn: int, event: EmitSubframeEvent) -> list[Event]:
@@ -182,6 +193,19 @@ class WorldModel:
         rec.tow_at_last_subframe = tow_s
         rec.prn_ticks_since_subframe = 0
         rec.counting = True
+        # Re-anchor the continuous pseudorange delay: at the tick anchor the
+        # sub-ms delay is wrapped to [-0.5, 0.5) ms (the chunk-edge convention
+        # the tick counter numbers PRN edges under); from here on it evolves
+        # CONTINUOUSLY via the carrier so a later drift across the +/-0.5 ms
+        # boundary cannot flip its millisecond (1 ms = ~300 km of range —
+        # randomized-campaign failure before this anchoring existed).
+        seed = (
+            rec.smoothed_delay_s
+            if rec.smoothed_delay_s is not None
+            else rec.code_phase_delay_s
+        )
+        rec.smoothed_delay_s = ((seed + 0.5e-3) % 1e-3) - 0.5e-3
+        rec.smoothing_depth = max(rec.smoothing_depth, 1)
         # Re-synchronize the receiver clock slide on every subframe
         # (reference :749-752 — the `or True` makes it every subframe).
         self.receiver_clock_slide = tow_s - event.trailing_edge_receiver_timestamp
@@ -273,13 +297,13 @@ class WorldModel:
                 # numbers PRN edges under exactly that convention — using the
                 # raw delay would bias those satellites' pseudoranges by a
                 # full code period (~300 km).
-                delay = (
-                    rec.smoothed_delay_s
-                    if self.config.carrier_smoothing_window > 1
-                    and rec.smoothed_delay_s is not None
-                    else rec.code_phase_delay_s
-                )
-                delay = ((delay + 0.5e-3) % 1e-3) - 0.5e-3
+                if rec.smoothed_delay_s is not None:
+                    # Continuous since the tick anchor: NO re-wrapping (a
+                    # drift across +/-0.5 ms since the anchor is real range
+                    # motion, not a different millisecond).
+                    delay = rec.smoothed_delay_s
+                else:
+                    delay = ((rec.code_phase_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
                 arrival = receiver_timestamp + delay
                 transit[i] = (self.receiver_clock_slide + arrival) - sv_tow
                 sat_pos[i] = satellite_position(
@@ -289,6 +313,9 @@ class WorldModel:
                 sat_pos, transit, initial_position=pos, initial_bias=bias,
                 iterations=cfg.newton_iterations,
             )
+            # Persisted into the tick counters, so later rounds (and later
+            # fixes until the next subframe re-anchor) rebuild consistently.
+            self._repair_millisecond_ambiguities(prns, sat_pos, transit, pos, bias)
             # Each round folds the solved bias back into the clock slide
             # (reference: gypsum/world_model.py:631).
             self.receiver_clock_slide -= bias
@@ -309,6 +336,91 @@ class WorldModel:
         )
         self.position_fixes.append(solution)
         return solution
+
+    def _repair_millisecond_ambiguities(
+        self,
+        prns: list[int],
+        sat_pos: np.ndarray,
+        transit: np.ndarray,
+        pos: np.ndarray,
+        bias: float,
+    ) -> np.ndarray:
+        """Detect and repair per-satellite integer-millisecond pseudorange
+        errors (the classic coarse-time GNSS ambiguity repair).
+
+        A +/-1 navigation-bit-phase error in the integrator shifts every
+        timestamp of that satellite by exactly one pseudosymbol (1 ms =
+        ~300 km of range) while its bits still decode — randomized campaigns
+        produced exactly this failure. With >= 5 satellites the wrong one
+        sticks out as a ~ k * 300 km residual against the solved position;
+        snap it back by the integer millisecond and let the next outer round
+        re-solve. (With only 4 satellites the system is exactly determined
+        and residuals vanish, so nothing can be detected here — the 1 ms
+        error is then visible only as an implausible fix.)"""
+        if len(prns) < 5:
+            return transit
+
+        def rms_m(tr, p, b):
+            ranges = np.linalg.norm(sat_pos - p[None, :], axis=1)
+            r = C * (tr - b) - ranges
+            r = r - r.mean()  # common part belongs to the clock bias
+            return float(np.sqrt(np.mean(r * r)))
+
+        def plausible(p, b):
+            # Terrestrial receiver shell (+/- ~60 km of the geoid) and a sane
+            # clock bias: integer-ms lattice points other than the truth are
+            # near-degenerate in RMS but land far off the Earth's surface.
+            return 6.30e6 < float(np.linalg.norm(p)) < 6.44e6 and abs(b) < 0.01
+
+        base_rms = rms_m(transit, pos, bias)
+        if base_rms < 1000.0:  # meters — consistent set, nothing to repair
+            return transit
+        # Newton smears a 1 ms outlier across every residual (the wrong
+        # position absorbs most of it), so integer-snapping single residuals
+        # fails. Search per-satellite integer-ms shifts instead, accepting
+        # only candidates whose re-solved position stays on the Earth shell
+        # (the integer lattice has false minima ~1000 km up). Tick
+        # corrections commit only if the search lands a consistent,
+        # plausible solution — otherwise everything is left untouched.
+        best = (base_rms, transit.copy(), np.zeros(len(prns), dtype=int))
+        for _pass in range(3):
+            improved = False
+            for i in range(len(prns)):
+                for dk in (-1, 1):
+                    cand = best[1].copy()
+                    cand[i] += dk * 1e-3
+                    p2, b2 = solve_position(
+                        sat_pos, cand, initial_position=None, initial_bias=0.0,
+                        iterations=self.config.newton_iterations,
+                    )
+                    r2 = rms_m(cand, p2, b2)
+                    if r2 < 0.5 * best[0] and plausible(p2, b2):
+                        k2 = best[2].copy()
+                        k2[i] += dk
+                        best = (r2, cand, k2)
+                        improved = True
+                        break
+            if not improved or best[0] < 1000.0:
+                break
+        final_rms, final_transit, k_vec = best
+        if final_rms >= 1000.0 or not k_vec.any():
+            if k_vec.any() or base_rms >= 1000.0:
+                _logger.warning(
+                    "pseudorange set inconsistent (residual RMS %.0f m) and "
+                    "no plausible integer-ms repair found; leaving as-is",
+                    base_rms,
+                )
+            return transit
+        for i in np.where(k_vec != 0)[0]:
+            _logger.warning(
+                "PRN %d pseudorange off by %+d ms (navigation bit-phase "
+                "slip); repaired (residual RMS %.0f -> %.0f m)",
+                prns[i], -k_vec[i], base_rms, final_rms,
+            )
+            # transit = arrival - sv_tow: lowering transit by 1 ms
+            # persistently means one more counted tick.
+            self._sats[prns[i]].prn_ticks_since_subframe += -k_vec[i]
+        return final_transit
 
     def _solve_velocity(
         self, prns: list[int], rx_ecef: np.ndarray, sat_pos_all: np.ndarray

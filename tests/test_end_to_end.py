@@ -320,3 +320,38 @@ def test_eight_satellite_scene_improves_geometry():
     assert len(fix.satellites_used) == 8, fix.satellites_used
     assert fix.dop["gdop"] < 3.0, fix.dop  # 4-SV demo scene measures ~4.9
     assert np.linalg.norm(fix.ecef - rx) < 60.0
+
+
+def test_millisecond_ambiguity_repair():
+    """Regression (found by randomized campaign): a +/-1 navigation-bit-phase
+    slip shifts one satellite's every timestamp by exactly 1 ms while its
+    bits still decode — a ~300 km pseudorange error Newton smears across all
+    residuals. The solver's integer-millisecond coordinate-descent repair
+    must identify and fix the offending satellite (needs >= 5 SVs)."""
+    import numpy as np
+
+    from gypsum_tpu.core.config import ReceiverConfig, TrackingConfig
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import DEMO_GPS_START_SOW, demo_constellation
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+
+    # The exact randomized-campaign scenario that reproduced the slip
+    # (PRN 32's bit phase lands one pseudosymbol off at this noise/seed).
+    prns = [7, 14, 31, 28, 25, 19, 32]
+    rx = lla_to_ecef(51.8964053525005, 1.2410974084251962, 170.8973619700565)
+    vel = np.array([29.76847141, -15.40707214, -14.58795197])
+    iq, _ = synthesize_constellation(
+        demo_constellation(prns), rx, DEMO_GPS_START_SOW, 26.0, 2.046e6,
+        noise_sigma=0.3859173224171139, receiver_velocity_ecef=vel, seed=7,
+    )
+    recv = Receiver(
+        ArraySampleSource(iq, 2.046e6),
+        ReceiverConfig(tracking=TrackingConfig(block_size_ms=500)),
+    )
+    recv.run(until_fix=True)
+    fix = recv.world.position_fixes[-1]
+    expected = rx + vel * fix.receiver_timestamp
+    err = float(np.linalg.norm(fix.ecef - expected))
+    assert err < 50.0, f"ms-ambiguity not repaired: fix error {err:.0f} m"
