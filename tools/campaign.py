@@ -1,0 +1,211 @@
+"""Randomized end-to-end campaign: synthesize many receiver scenarios with
+known ground truth and verify the full chain (acquire -> track -> decode ->
+fix) lands on it.
+
+This is the harness that exposed the integer-millisecond pseudorange slip
+(see WorldModel._repair_millisecond_ambiguities): single hand-picked e2e
+scenes pass for years while a 1-in-30 bit-phase outcome silently moves the
+fix 300 km. Each trial randomizes the constellation size, receiver
+position/velocity, oscillator drift, noise level, and block size, then
+asserts the first fix (position and, when present, velocity) against the
+synthesized truth. Failures dump the full scenario parameters so they can be
+replayed verbatim as a regression test (tests/test_end_to_end.py shows the
+pattern).
+
+The reference has no analogue — its only end-to-end check is a replay of one
+vendored recording (reference: README.md:23-35, gypsum/radio_input.py:101-105).
+
+Usage:
+    python tools/campaign.py --trials 30 --jobs 4 --out /tmp/campaign.jsonl
+    python tools/campaign.py --replay-seed 1234   # re-run one trial verbosely
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures
+import json
+import os
+import sys
+import time
+from dataclasses import asdict, dataclass
+
+# Campaigns are CPU-only: trials fork worker processes, and the TPU tunnel
+# (single real chip, minutes-long warmup) must never be touched from them.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+POSITION_TOLERANCE_M = 75.0
+VELOCITY_TOLERANCE_MPS = 2.0
+
+
+@dataclass(frozen=True)
+class Scenario:
+    """Everything needed to reproduce one trial bit-for-bit."""
+
+    seed: int
+    prns: tuple[int, ...]
+    lat_deg: float
+    lon_deg: float
+    alt_m: float
+    velocity_ecef: tuple[float, float, float]
+    clock_drift: float  # s/s
+    noise_sigma: float
+    duration_s: float
+    block_size_ms: int
+
+
+def make_scenario(seed: int) -> Scenario:
+    """Deterministically derive a random-but-plausible scenario from a seed.
+
+    Bounds: receiver within ~3 deg of the demo site (keeps all eight
+    ephemeris slots above the horizon — signal/scenarios.py slots 0-7),
+    pedestrian-to-highway speeds, oscillator drift to 0.2 ppm (a mediocre
+    TCXO), noise spanning comfortable to weak-signal margins.
+    """
+    rng = np.random.default_rng(seed)
+    n_sats = int(rng.integers(4, 9))  # 4..8
+    prns = tuple(int(p) for p in rng.choice(np.arange(1, 33), size=n_sats, replace=False))
+    lat = 51.5 + float(rng.uniform(-3.0, 3.0))
+    lon = -0.1 + float(rng.uniform(-3.0, 3.0))
+    alt = float(rng.uniform(0.0, 500.0))
+    if rng.random() < 0.5:
+        speed = float(rng.uniform(0.0, 40.0))
+        direction = rng.normal(size=3)
+        direction /= np.linalg.norm(direction)
+        vel = tuple(float(v) for v in speed * direction)
+    else:
+        vel = (0.0, 0.0, 0.0)
+    drift = float(rng.uniform(-2e-7, 2e-7)) if rng.random() < 0.5 else 0.0
+    noise = float(rng.uniform(0.25, 0.45))
+    duration = float(rng.uniform(26.0, 32.0))
+    block_ms = int(rng.choice([200, 500]))
+    return Scenario(seed, prns, lat, lon, alt, vel, drift, noise, duration, block_ms)
+
+
+def run_trial(seed: int) -> dict:
+    """Synthesize the scenario, run the receiver to first fix, judge it."""
+    from gypsum_tpu.core.config import ReceiverConfig, TrackingConfig
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import DEMO_GPS_START_SOW, demo_constellation
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+
+    sc = make_scenario(seed)
+    result: dict = {"scenario": asdict(sc)}
+    t0 = time.monotonic()
+    try:
+        rx = lla_to_ecef(sc.lat_deg, sc.lon_deg, sc.alt_m)
+        vel = np.array(sc.velocity_ecef)
+        iq, _truth = synthesize_constellation(
+            demo_constellation(list(sc.prns)),
+            rx,
+            DEMO_GPS_START_SOW,
+            sc.duration_s,
+            2.046e6,
+            noise_sigma=sc.noise_sigma,
+            seed=sc.seed,
+            receiver_velocity_ecef=vel if np.any(vel) else None,
+            receiver_clock_drift=sc.clock_drift,
+        )
+        recv = Receiver(
+            ArraySampleSource(iq, 2.046e6),
+            ReceiverConfig(tracking=TrackingConfig(block_size_ms=sc.block_size_ms)),
+        )
+        recv.run(until_fix=True)
+        fixes = recv.world.position_fixes
+        if not fixes:
+            result.update(status="no_fix", elapsed_s=time.monotonic() - t0)
+            return result
+        fix = fixes[-1]
+        expected = rx + vel * fix.receiver_timestamp
+        pos_err = float(np.linalg.norm(fix.ecef - expected))
+        vel_err = (
+            float(np.linalg.norm(fix.velocity_ecef_mps - vel))
+            if fix.velocity_ecef_mps is not None
+            else None
+        )
+        ok = pos_err < POSITION_TOLERANCE_M and (
+            vel_err is None or vel_err < VELOCITY_TOLERANCE_MPS
+        )
+        result.update(
+            status="pass" if ok else "bad_fix",
+            fix_time_s=float(fix.receiver_timestamp),
+            position_error_m=pos_err,
+            velocity_error_mps=vel_err,
+            satellites_used=list(fix.satellites_used),
+            gdop=fix.dop["gdop"] if fix.dop else None,
+            elapsed_s=time.monotonic() - t0,
+        )
+    except Exception as exc:  # a crash is a campaign finding, not an abort
+        result.update(
+            status="error",
+            error=f"{type(exc).__name__}: {exc}",
+            elapsed_s=time.monotonic() - t0,
+        )
+    return result
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=0, help="first trial seed")
+    ap.add_argument("--jobs", type=int, default=max(1, (os.cpu_count() or 2) // 2))
+    ap.add_argument("--out", default=None, help="JSONL results path (appended)")
+    ap.add_argument("--replay-seed", type=int, default=None,
+                    help="run exactly one trial with this seed and full logs")
+    args = ap.parse_args()
+
+    if args.replay_seed is not None:
+        import logging
+
+        logging.basicConfig(level=logging.INFO)
+        res = run_trial(args.replay_seed)
+        print(json.dumps(res, indent=2))
+        return 0 if res["status"] == "pass" else 1
+
+    seeds = list(range(args.seed, args.seed + args.trials))
+    out_f = open(args.out, "a") if args.out else None
+    failures: list[dict] = []
+    n_done = 0
+    with concurrent.futures.ProcessPoolExecutor(max_workers=args.jobs) as pool:
+        for res in pool.map(run_trial, seeds):
+            n_done += 1
+            sc = res["scenario"]
+            line = (
+                f"[{n_done}/{len(seeds)}] seed={sc['seed']} {res['status']:7s} "
+                f"sats={len(sc['prns'])} noise={sc['noise_sigma']:.2f} "
+                f"block={sc['block_size_ms']}ms"
+            )
+            if res["status"] in ("pass", "bad_fix"):
+                line += (
+                    f" err={res['position_error_m']:.1f}m"
+                    f" fix@{res['fix_time_s']:.0f}s"
+                )
+                if res.get("velocity_error_mps") is not None:
+                    line += f" verr={res['velocity_error_mps']:.2f}m/s"
+            elif res["status"] == "error":
+                line += f" {res['error']}"
+            print(line, flush=True)
+            if res["status"] != "pass":
+                failures.append(res)
+            if out_f:
+                out_f.write(json.dumps(res) + "\n")
+                out_f.flush()
+    if out_f:
+        out_f.close()
+    print(f"\n{len(seeds) - len(failures)}/{len(seeds)} passed")
+    for res in failures:
+        print("FAILED:", json.dumps(res))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
