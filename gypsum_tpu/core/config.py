@@ -52,6 +52,13 @@ class AcquisitionConfig:
     # already streams the grid once), so the XLA path is the default; the
     # kernel remains available and parity-tested.
     use_pallas_peak_reduce: bool | None = None
+    # Almanac-aided warm start (solve/almanac.py): once a fix and orbit data
+    # (decoded ephemeris or relayed almanac pages) exist, skip scanning SVs
+    # predicted below this elevation. The margin below 0 deg absorbs
+    # almanac-grade orbit error and receiver drift since the last fix.
+    # None disables the mask (every eligible SV is always scanned — the
+    # reference's behavior, gypsum/receiver.py:148-174).
+    horizon_mask_deg: float | None = -5.0
 
 
 @dataclass(frozen=True)

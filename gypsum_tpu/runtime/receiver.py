@@ -164,11 +164,36 @@ class Receiver:
             return True
         return now - self._last_scan_time >= self.config.acquisition.scan_period_s
 
+    def _scan_candidates(self, now: float) -> set[int]:
+        """Eligible PRNs minus those the almanac/ephemeris predicts below the
+        horizon (warm start, solve/almanac.py). A PRN with no orbit data is
+        always scanned; the mask only ever *skips* satellites we can place in
+        the sky, so a stale prediction costs one scan period, not the SV."""
+        mask = self.config.acquisition.horizon_mask_deg
+        if mask is None or not self.eligible_prns:
+            return set(self.eligible_prns)
+        sky = self.world.predicted_sky(now)
+        if not sky:
+            return set(self.eligible_prns)
+        skipped = {
+            p for p in self.eligible_prns
+            if p in sky and sky[p].elevation_deg < mask
+        }
+        if skipped:
+            _logger.info(
+                "scan skipping %d below-horizon SV(s): %s",
+                len(skipped), sorted(skipped),
+            )
+        return self.eligible_prns - skipped
+
     def _acquire(self, block: np.ndarray, block_start: float, report: BlockReport) -> None:
         n_ms = self.config.acquisition.integration_period_ms
         if block.shape[0] < n_ms:
             return
-        hits = self.acquisition.detect(block[:n_ms], eligible_prns=self.eligible_prns)
+        candidates = self._scan_candidates(block_start)
+        if not candidates:
+            return
+        hits = self.acquisition.detect(block[:n_ms], eligible_prns=candidates)
         for hit in hits:
             if not self.bank.free_slots:
                 break

@@ -33,7 +33,7 @@ from gypsum_tpu.core.constants import (
     PRN_CHIP_COUNT,
     SPEED_OF_LIGHT_M_PER_S as C,
 )
-from gypsum_tpu.nav.subframes import Subframe4, encode_subframe
+from gypsum_tpu.nav.subframes import Subframe4, Subframe5, encode_subframe
 from gypsum_tpu.signal.prn import ca_code
 from gypsum_tpu.solve.ephemeris import (
     Ephemeris,
@@ -52,6 +52,11 @@ class ConstellationSatellite:
     ephemeris: Ephemeris
     amplitude: float = 0.2
     sf4: Subframe4 = field(default_factory=lambda: Subframe4(data_id=1, page_id=1))
+    # Almanac pages this SV relays on subframe 5, cycled in order of
+    # occurrence (every real SV broadcasts the whole constellation's almanac;
+    # see almanac_pages_for_scene). Empty -> subframe-5 slots carry sf4's
+    # payload, as before.
+    sf5_pages: list[Subframe5] = field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -73,10 +78,14 @@ def _nav_bits(
     Each subframe's HOW carries the *next* subframe's TOW count."""
     sf1, sf2, sf3 = subframes_from_ephemeris(sat.ephemeris)
     chunks = []
+    n_sf5 = 0
     for k in range(n_subframes):
         tow = first_tow_count + k
         sid = (tow % 5) + 1 if pattern == "live" else int(pattern[k % len(pattern)])
         payload = {1: sf1, 2: sf2, 3: sf3}.get(sid, sat.sf4)
+        if sid == 5 and sat.sf5_pages:
+            payload = sat.sf5_pages[n_sf5 % len(sat.sf5_pages)]
+            n_sf5 += 1
         chunks.append(encode_subframe(payload, tow_count=(tow + 1) % (1 << 17)))
     stream01 = np.concatenate(chunks)
     return (stream01.astype(np.int8) * 2 - 1).astype(np.int8)

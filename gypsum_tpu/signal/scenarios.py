@@ -44,9 +44,12 @@ def make_ephemeris(
 
 
 # Visible from ~(51.5N, 0.1W) at t ~ 21600 s: the first EIGHT slots are
-# above 20 deg elevation with azimuths spread around the full sky (3/56/82/
-# 146/147/172/212/287 deg), so scenes of 4-8 satellites have good geometry;
-# the last two are below the horizon, useful as absent-satellite controls.
+# above 15 deg elevation with azimuths spread around the full sky (4/56/82/
+# 146/150/176/189/212/287 deg), so scenes of 4-8 satellites have good
+# geometry; the last two sit below -25 deg elevation throughout the first
+# minute (verified by solve/geodesy.py:elevation_azimuth — tests/
+# test_almanac.py pins both claims), useful as absent-satellite controls and
+# for the almanac horizon-mask tests.
 DEMO_EPHEMERIDES: list[Ephemeris] = [
     make_ephemeris(omega0=-0.30, m0=0.40, a_f0=1.2e-4),
     make_ephemeris(omega0=-0.90, m0=1.90, a_f0=-0.8e-4),
@@ -54,10 +57,10 @@ DEMO_EPHEMERIDES: list[Ephemeris] = [
     make_ephemeris(omega0=0.10, m0=1.10, omega=1.2, a_f0=2.0e-4),
     make_ephemeris(omega0=0.10, m0=0.90, a_f0=-0.4e-4),  # az ~4, el ~85
     make_ephemeris(omega0=1.35, m0=0.90, a_f0=1.6e-4),  # az ~56, el ~38
-    make_ephemeris(omega0=-1.40, m0=2.40, omega=0.3, a_f0=-1.1e-4),  # az ~172, el ~33
+    make_ephemeris(omega0=-1.40, m0=2.40, omega=0.3, a_f0=-1.1e-4),  # az ~189, el ~49
     make_ephemeris(omega0=-1.65, m0=2.10, a_f0=0.7e-4),  # az ~212, el ~45
-    make_ephemeris(omega0=-1.60, m0=2.70, a_f0=-1.5e-4),  # below horizon
-    make_ephemeris(omega0=1.00, m0=0.30, omega=0.2, a_f0=0.9e-4),  # below horizon
+    make_ephemeris(omega0=-2.75, m0=4.50, a_f0=-1.5e-4),  # el ~ -34: below horizon
+    make_ephemeris(omega0=-3.00, m0=4.20, omega=0.2, a_f0=0.9e-4),  # el ~ -29: below horizon
 ]
 
 DEMO_PRNS = [25, 28, 31, 32]

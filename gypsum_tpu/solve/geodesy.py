@@ -25,6 +25,31 @@ def lla_to_ecef(lat_deg: float, lon_deg: float, alt_m: float) -> np.ndarray:
     return np.array([x, y, z])
 
 
+def elevation_azimuth(
+    receiver_ecef: np.ndarray, sat_ecef: np.ndarray
+) -> tuple[float, float]:
+    """Satellite look angles from the receiver: (elevation_deg, azimuth_deg),
+    azimuth clockwise from true north. Absent from the reference (it never
+    computes geometry relative to the receiver); used here for almanac-aided
+    visibility prediction and DOP diagnostics."""
+    lat_deg, lon_deg, _ = ecef_to_lla(np.asarray(receiver_ecef, dtype=np.float64))
+    lat, lon = np.radians(lat_deg), np.radians(lon_deg)
+    east = np.array([-np.sin(lon), np.cos(lon), 0.0])
+    north = np.array(
+        [-np.sin(lat) * np.cos(lon), -np.sin(lat) * np.sin(lon), np.cos(lat)]
+    )
+    up = np.array(
+        [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)]
+    )
+    los = np.asarray(sat_ecef, dtype=np.float64) - np.asarray(
+        receiver_ecef, dtype=np.float64
+    )
+    los = los / np.linalg.norm(los)
+    el = np.degrees(np.arcsin(np.clip(los @ up, -1.0, 1.0)))
+    az = np.degrees(np.arctan2(los @ east, los @ north)) % 360.0
+    return float(el), float(az)
+
+
 def ecef_to_lla(ecef: np.ndarray) -> tuple[float, float, float]:
     """Returns (lat_deg, lon_deg, alt_m), iterating latitude to convergence."""
     x, y, z = float(ecef[0]), float(ecef[1]), float(ecef[2])

@@ -44,6 +44,7 @@ from gypsum_tpu.solve.ephemeris import (
     ephemeris_from_subframes,
     satellite_position,
 )
+from gypsum_tpu.solve.almanac import AlmanacStore, SkyPrediction, predict_sky
 from gypsum_tpu.solve.fix import solve_position, dilution_of_precision
 from gypsum_tpu.solve.geodesy import ecef_to_lla
 
@@ -108,6 +109,9 @@ class WorldModel:
         self._sats: dict[int, _SatelliteRecord] = {}
         self.receiver_clock_slide: float | None = None
         self.position_fixes: list[ReceiverSolution] = []
+        # Constellation almanac, merged across all tracked channels (the
+        # reference parses subframe-5 pages then drops them; solve/almanac.py).
+        self.almanac = AlmanacStore()
 
     def _record(self, prn: int) -> _SatelliteRecord:
         if prn not in self._sats:
@@ -217,6 +221,12 @@ class WorldModel:
             rec.sf2 = sf
         elif decoded.handover.subframe_id == GpsSubframeId.THREE:
             rec.sf3 = sf
+        elif decoded.handover.subframe_id == GpsSubframeId.FIVE:
+            if self.almanac.ingest(sf):
+                _logger.debug(
+                    "almanac page for SV %d (via PRN %d); %d SVs known",
+                    sf.almanac_sv_id, prn, len(self.almanac),
+                )
         newly_complete = rec.try_complete()
         if newly_complete is not None:
             _logger.info("determined orbit of PRN %d", prn)
@@ -239,6 +249,34 @@ class WorldModel:
 
     def satellites_with_ephemeris(self) -> list[int]:
         return [p for p, r in self._sats.items() if r.ephemeris is not None]
+
+    def predicted_sky(
+        self, receiver_timestamp: float, receiver_ecef: np.ndarray | None = None
+    ) -> dict[int, "SkyPrediction"]:
+        """Predicted (elevation, azimuth, Doppler) per known SV at stream
+        time ``receiver_timestamp`` — precise ephemerides where decoded,
+        almanac-grade orbits for the rest (solve/almanac.py). Empty until a
+        GPS time base (any subframe) and a receiver position (argument or
+        last fix) exist."""
+        if receiver_ecef is None:
+            if not self.position_fixes:
+                return {}
+            receiver_ecef = self.position_fixes[-1].ecef
+        if self.receiver_clock_slide is None:
+            return {}
+        tow = receiver_timestamp + self.receiver_clock_slide
+        precise = {
+            p: r.ephemeris for p, r in self._sats.items() if r.ephemeris is not None
+        }
+        week = next((e.week_number for e in precise.values()), None)
+        reduced = {
+            p: e
+            for p, e in self.almanac.orbits(week).items()
+            if p not in precise
+        }
+        out = predict_sky(reduced, receiver_ecef, tow, from_almanac=True)
+        out.update(predict_sky(precise, receiver_ecef, tow, from_almanac=False))
+        return out
 
     def _fix_ready_satellites(self) -> list[int]:
         cfg = self.config
