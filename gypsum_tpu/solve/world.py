@@ -394,9 +394,12 @@ class WorldModel:
         snap it back by the integer millisecond and let the next outer round
         re-solve. (With only 4 satellites the system is exactly determined
         and residuals vanish, so nothing can be detected here — the 1 ms
-        error is then visible only as an implausible fix.)"""
-        if len(prns) < 5:
+        error is then visible only as an implausible fix — the 4-SV branch
+        detects exactly that and enumerates the hypothesis lattice.)"""
+        if len(prns) < 4:
             return transit
+        if len(prns) == 4:
+            return self._repair_four_satellite(prns, sat_pos, transit, pos, bias)
 
         def rms_m(tr, p, b):
             ranges = np.linalg.norm(sat_pos - p[None, :], axis=1)
@@ -459,6 +462,70 @@ class WorldModel:
             # persistently means one more counted tick.
             self._sats[prns[i]].prn_ticks_since_subframe += -k_vec[i]
         return final_transit
+
+    def _repair_four_satellite(
+        self,
+        prns: list[int],
+        sat_pos: np.ndarray,
+        transit: np.ndarray,
+        pos: np.ndarray,
+        bias: float,
+    ) -> np.ndarray:
+        """Integer-millisecond repair for the exactly-determined 4-SV case.
+
+        Residuals vanish with 4 satellites, so a slip is visible only as an
+        implausible *fix* (the seed-11 campaign failure solved 226 km below
+        the ellipsoid). When the base solution leaves the plausible-receiver
+        shell, enumerate the integer-ms lattice: a common shift across all
+        satellites is absorbed by the clock bias, so hypotheses are
+        canonicalized with dk[0] = 0 (27 solves). Accept only if exactly ONE
+        distinct position is plausible (altitude within [-1, +20] km covers
+        terrestrial through aviation receivers; the false lattice points
+        solve ~100 km off); among equivalent hypotheses for that position,
+        commit the fewest-slips representative. Ambiguous or empty -> leave
+        untouched (a detected-but-unrepairable fix beats a wrong repair)."""
+        import itertools
+
+        def plausible_alt_bias(p, b):
+            alt = ecef_to_lla(p)[2]
+            return -1000.0 < alt < 20_000.0 and abs(b) < 0.01
+
+        if plausible_alt_bias(pos, bias):
+            return transit
+        groups: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        for dks in itertools.product((-1, 0, 1), repeat=len(prns) - 1):
+            dk = np.array((0,) + dks, dtype=int)
+            cand = transit + dk * 1e-3
+            p2, b2 = solve_position(
+                sat_pos, cand, initial_position=None, initial_bias=0.0,
+                iterations=self.config.newton_iterations,
+            )
+            if not plausible_alt_bias(p2, b2):
+                continue
+            key = tuple(np.round(p2 / 200.0).astype(int))  # merge equivalents
+            cur = groups.get(key)
+            if cur is None or np.abs(dk).sum() < np.abs(cur[0]).sum():
+                groups[key] = (dk, cand)
+        if len(groups) != 1:
+            _logger.warning(
+                "4-SV fix implausible (alt %.0f km) and integer-ms repair %s; "
+                "leaving as-is",
+                ecef_to_lla(pos)[2] / 1e3,
+                "ambiguous" if groups else "found no plausible hypothesis",
+            )
+            return transit
+        dk, cand = next(iter(groups.values()))
+        if not dk.any():  # base was the unique plausible one after all
+            return transit
+        for i in np.where(dk != 0)[0]:
+            _logger.warning(
+                "PRN %d pseudorange off by %+d ms (navigation bit-phase "
+                "slip, 4-SV lattice repair)", prns[i], -dk[i],
+            )
+            # Same persistence as the >= 5 branch: shorter transit = one
+            # more counted PRN tick.
+            self._sats[prns[i]].prn_ticks_since_subframe += -dk[i]
+        return cand
 
     def _solve_velocity(
         self, prns: list[int], rx_ecef: np.ndarray, sat_pos_all: np.ndarray

@@ -322,6 +322,20 @@ def test_eight_satellite_scene_improves_geometry():
     assert np.linalg.norm(fix.ecef - rx) < 60.0
 
 
+def test_four_satellite_millisecond_ambiguity_repair():
+    """Regression (campaign seed 11): with exactly 4 satellites residuals
+    vanish, so a 1 ms bit-phase slip surfaced as a fix 226 km below the
+    ellipsoid. The 4-SV lattice repair must recognize the implausible
+    altitude, enumerate canonical integer-ms hypotheses, and land the unique
+    plausible one within tolerance. Runs the scenario through the campaign
+    harness itself (tools/campaign.py) so the judged criteria stay shared."""
+    from tools.campaign import run_trial
+
+    result = run_trial(11)
+    assert result["status"] == "pass", result
+    assert result["position_error_m"] < 50.0, result
+
+
 def test_millisecond_ambiguity_repair():
     """Regression (found by randomized campaign): a +/-1 navigation-bit-phase
     slip shifts one satellite's every timestamp by exactly 1 ms while its
