@@ -174,6 +174,17 @@ def cmd_replay(args) -> int:
     print(f"processed {source.seconds_consumed:.1f}s; "
           f"{receiver.subframe_count} subframes; "
           f"{len(receiver.world.position_fixes)} fixes")
+    # Predicted sky view from everything learned this run (decoded
+    # ephemerides + almanac pages relayed off the air, solve/almanac.py).
+    sky = receiver.world.predicted_sky(source.seconds_consumed)
+    if sky:
+        print("predicted sky (el/az/doppler; a=almanac-grade orbit):")
+        for prn in sorted(sky, key=lambda p: -sky[p].elevation_deg):
+            s = sky[prn]
+            vis = "up  " if s.visible else "DOWN"
+            print(f"  PRN {prn:2d} {vis} el {s.elevation_deg:6.1f}  "
+                  f"az {s.azimuth_deg:5.1f}  doppler {s.doppler_hz:+7.1f} Hz"
+                  f"{'  a' if s.from_almanac else ''}")
     return 0
 
 
