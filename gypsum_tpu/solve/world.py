@@ -486,11 +486,16 @@ class WorldModel:
         untouched (a detected-but-unrepairable fix beats a wrong repair)."""
         import itertools
 
-        def plausible_alt_bias(p, b):
+        def plausible_alt(p):
+            # Altitude only: the clock bias is legitimately large on early
+            # fix rounds (the slide hasn't settled), and a common-mode shift
+            # can't be repaired by the canonical lattice anyway — gating on
+            # bias here fired spuriously in the campaign (seed 23) on a fix
+            # whose altitude was fine.
             alt = ecef_to_lla(p)[2]
-            return -1000.0 < alt < 20_000.0 and abs(b) < 0.01
+            return -1000.0 < alt < 20_000.0
 
-        if plausible_alt_bias(pos, bias):
+        if plausible_alt(pos):
             return transit
         groups: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
         for dks in itertools.product((-1, 0, 1), repeat=len(prns) - 1):
@@ -500,7 +505,7 @@ class WorldModel:
                 sat_pos, cand, initial_position=None, initial_bias=0.0,
                 iterations=self.config.newton_iterations,
             )
-            if not plausible_alt_bias(p2, b2):
+            if not plausible_alt(p2):
                 continue
             key = tuple(np.round(p2 / 200.0).astype(int))  # merge equivalents
             cur = groups.get(key)
