@@ -141,7 +141,25 @@ class TrackingConfig:
     # milliseconds and chunks stream through the pipelined input block.
     # None = on for the TPU backend (measured 22 vs 29 ms per 1000 ms block
     # at 32 channels), off elsewhere (interpret mode is slow on CPU).
+    # Superseded by the matmul tracker below when that is enabled.
     use_pallas_block_tracker: bool | None = None
+    # Two-phase MXU tracker (track/matmul.py): evaluate the whole block's
+    # lag correlations as ONE batched bf16 matmul against a phasor-folded
+    # replica matrix, then run the sequential loop-filter updates as a tiny
+    # [S]-vector scan. Removes the per-ms VPU wipeoff/correlate work
+    # entirely; also GSPMD-shardable (no pallas_call). None = on for the
+    # TPU backend, off elsewhere (CPU tests keep the reference scan path
+    # unless forced).
+    use_matmul_tracker: bool | None = None
+    # bf16 matmul inputs for the phase-1 contraction (f32 accumulation).
+    # f32 on CPU keeps parity tests exact; bf16 on TPU feeds the MXU at
+    # full rate (replica rows are +/-1, exact in bf16; sample quantization
+    # is ~0.4%, far below the noise floor).
+    matmul_tracker_bf16: bool = True
+    # lax.scan unroll for the phase-2 fixup scan (tiny per-ms bodies, so
+    # unrolling amortizes scan sequencing overhead without blowing up the
+    # program).
+    fixup_unroll: int = 8
 
 
 @dataclass(frozen=True)

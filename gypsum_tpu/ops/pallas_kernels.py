@@ -140,6 +140,11 @@ def fir_decimate_pallas(
         interpret = _default_interpret()
     from gypsum_tpu.core.planes import to_planes
 
+    if tile % _HALO:
+        # The halo BlockSpec addresses blocks in 128-lane units
+        # (blocks_per_tile = tile // 128); a non-multiple tile would silently
+        # misalign the halo and corrupt the decimator output.
+        raise ValueError(f"tile ({tile}) must be a multiple of {_HALO}")
     x = jnp.asarray(x)
     x_planes_in = x.astype(jnp.float32) if (x.ndim == 2 and x.shape[-1] == 2) else jnp.asarray(to_planes(x))
     taps = np.asarray(taps, dtype=np.float32)

@@ -19,7 +19,13 @@ import gzip
 import pickle
 from pathlib import Path
 
-CHECKPOINT_VERSION = 1
+# Version history:
+#   1 — initial format.
+#   2 — WorldModel gained the almanac store; _SatelliteRecord gained
+#       doppler_hz / smoothed_delay_s / smoothing_depth. A v1 checkpoint
+#       would unpickle but crash later with AttributeError, so the version
+#       gate rejects it cleanly instead.
+CHECKPOINT_VERSION = 2
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:

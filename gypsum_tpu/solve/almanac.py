@@ -170,6 +170,11 @@ class AlmanacStore:
         sv = page.almanac_sv_id
         if not (1 <= sv <= 32):
             return False
+        # An all-ones 8-bit health word marks the SV unusable
+        # (IS-GPS-200 §20.3.3.5.1.3): keep it out of sky prediction and the
+        # warm-start scan mask.
+        if page.sv_health == 0xFF:
+            return False
         self._pages[sv] = page
         return True
 

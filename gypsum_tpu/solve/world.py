@@ -353,7 +353,18 @@ class WorldModel:
             )
             # Persisted into the tick counters, so later rounds (and later
             # fixes until the next subframe re-anchor) rebuild consistently.
-            self._repair_millisecond_ambiguities(prns, sat_pos, transit, pos, bias)
+            repaired = self._repair_millisecond_ambiguities(
+                prns, sat_pos, transit, pos, bias
+            )
+            if not np.array_equal(repaired, transit):
+                # A repair committed this round: re-solve on the repaired
+                # transit immediately so the published solution (and the bias
+                # folded into the clock slide below) reflect it even when the
+                # slip is first detected on the final outer round.
+                pos, bias = solve_position(
+                    sat_pos, repaired, initial_position=None, initial_bias=0.0,
+                    iterations=cfg.newton_iterations,
+                )
             # Each round folds the solved bias back into the clock slide
             # (reference: gypsum/world_model.py:631).
             self.receiver_clock_slide -= bias

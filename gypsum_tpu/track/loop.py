@@ -363,6 +363,18 @@ def make_track_block_fn(
         farm_idx = np.asarray(stream_of_channel, dtype=np.int32)
         assert farm_idx.shape == (n_channels,)
 
+    # The two-phase MXU tracker (track/matmul.py) supersedes both the scan
+    # and the Pallas block kernel where enabled (default: TPU backend).
+    use_matmul = cfg.use_matmul_tracker
+    if use_matmul is None:
+        use_matmul = jax.default_backend() == "tpu"
+    if use_matmul:
+        from gypsum_tpu.track.matmul import make_matmul_track_block_fn
+
+        return make_matmul_track_block_fn(
+            cfg, length, fs, n_channels, stream_of_channel=farm_idx
+        )
+
     if farm_idx is not None:
         use_block_kernel = False  # the block kernel assumes one shared stream
     else:

@@ -106,6 +106,10 @@ def test_almanac_store_ingest_rules():
     store.ingest(newer)
     assert store.page(7) == newer
     assert set(store.orbits()) == {7}
+    # Pages for unhealthy SVs (all-ones health word, IS-GPS-200
+    # §20.3.3.5.1.3) stay out of the store.
+    assert not store.ingest(replace(page, almanac_sv_id=9, sv_health=0xFF))
+    assert 9 not in store
 
 
 def test_world_model_ingests_subframe5_and_predicts_sky():

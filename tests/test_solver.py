@@ -139,18 +139,18 @@ def test_geodesy_roundtrip():
 # ------------------------------------------------------ world-model fix
 
 
-def test_world_model_full_fix_from_constructed_observations():
-    """Feed the world model real decoded subframes + PRN ticks constructed to
-    be geometrically consistent with a known receiver position, through the
-    same ingestion path the live receiver uses; the fix must recover the
-    position."""
-    truth = lla_to_ecef(51.5, -0.1, 80.0)
+def _world_with_consistent_observations(
+    truth: np.ndarray, n_svs: int = 4, config: SolverConfig | None = None
+) -> tuple[WorldModel, float]:
+    """World model fed real decoded subframes + PRN ticks constructed to be
+    geometrically consistent with receiver position ``truth``; returns
+    (world, receiver_timestamp_now)."""
     t_gps = 3600.0 * 6  # GPS time-of-week "now"
     r_ts = 50.0  # receiver stream timestamp "now"
     delta_frames = t_gps - r_ts
 
-    world = WorldModel(SolverConfig())
-    used_ephs = TEST_EPHEMERIDES[:4]
+    world = WorldModel(config or SolverConfig())
+    used_ephs = TEST_EPHEMERIDES[:n_svs]
     for sv_idx, eph in enumerate(used_ephs):
         prn = sv_idx + 1
         # Emission time of the signal arriving at t_gps (fixed point).
@@ -181,13 +181,42 @@ def test_world_model_full_fix_from_constructed_observations():
             )
             world.handle_subframe_emitted(prn, event)
         world.handle_prn_observed(prn, cpd, count=ticks)
+    return world, r_ts
 
+
+def test_world_model_full_fix_from_constructed_observations():
+    """Feed the world model real decoded subframes + PRN ticks constructed to
+    be geometrically consistent with a known receiver position, through the
+    same ingestion path the live receiver uses; the fix must recover the
+    position."""
+    truth = lla_to_ecef(51.5, -0.1, 80.0)
+    world, r_ts = _world_with_consistent_observations(truth, n_svs=4)
     solution = world.attempt_position_fix(r_ts)
     assert solution is not None
     err = np.linalg.norm(solution.ecef - truth)
     assert err < 30.0, f"position error {err:.1f} m"
     assert solution.lat_deg == pytest.approx(51.5, abs=0.001)
     assert solution.lon_deg == pytest.approx(-0.1, abs=0.001)
+
+
+def test_repair_on_final_outer_round_publishes_repaired_fix():
+    """Regression (advisor finding): when the integer-ms ambiguity repair
+    first commits on the LAST outer solve round, the published solution must
+    be re-solved on the repaired transit — not the pre-repair position that
+    is hundreds of km off. Forced by outer_rounds=1 so the only round is the
+    final one."""
+    truth = lla_to_ecef(51.5, -0.1, 80.0)
+    world, r_ts = _world_with_consistent_observations(
+        truth, n_svs=5, config=SolverConfig(outer_rounds=1)
+    )
+    # Inject a 1 ms bit-phase slip on one SV: one extra counted PRN tick.
+    world._sats[3].prn_ticks_since_subframe += 1
+    solution = world.attempt_position_fix(r_ts)
+    assert solution is not None
+    # The repair must have corrected the tick counter...
+    err = np.linalg.norm(solution.ecef - truth)
+    # ...and the single-round fix itself must already reflect the repair.
+    assert err < 30.0, f"published fix not re-solved after repair: {err:.0f} m"
 
 
 def test_world_model_gates():
