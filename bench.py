@@ -237,11 +237,19 @@ def acquisition_wallclock_s() -> dict:
 
 def _worker(platform: str) -> None:
     """Runs the device-side measurements and prints one JSON blob."""
+    import os
+
     if platform != "default":
         import jax
 
         jax.config.update("jax_platforms", platform)
+    from gypsum_tpu.core.compile_cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    cache_entries_before = len(os.listdir(cache_dir)) if cache_dir else 0
     value, details = tracked_throughput_msamples_per_sec()
+    details["compile_cache_dir"] = cache_dir
+    details["compile_cache_entries_at_start"] = cache_entries_before
     try:
         details.update(acquisition_wallclock_s())
     except Exception as exc:  # acquisition sweep is secondary; don't fail bench

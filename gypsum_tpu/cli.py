@@ -316,6 +316,11 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    # Persistent compilation cache: later runs deserialize compiled programs
+    # instead of recompiling (multi-minute TPU cold starts -> seconds).
+    from gypsum_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if args.profile_dir:
         import jax
 

@@ -113,6 +113,18 @@ class TrackingConfig:
     # quality below the drop threshold flags the channel lost.
     watchdog_warmup_ms: int = 6000
     quality_drop_threshold: float = 0.2
+    # Rescue tier (reference: gypsum/tracker.py:380-387): a channel whose
+    # quality sits between the drop threshold and this value at a block
+    # boundary is rescued in place instead of riding down to a drop +
+    # reacquisition. The reference blindly nudges Doppler +/-5 Hz in the
+    # constellation-rotation direction; here the host measures the residual
+    # Doppler directly from the phase slope of the squared prompts (exact
+    # magnitude AND sign up to +/-250 Hz) and applies it, then resets the
+    # lock EMAs so the watchdog re-warms (the reference's 6 s cadence).
+    rescue_enabled: bool = True
+    rescue_quality_threshold: float = 0.45
+    rescue_period_s: float = 6.0
+    rescue_max_correction_hz: float = 100.0
     # lax.scan unroll factor for the per-ms loop. Measured on TPU v5e:
     # unrolling only hurts (each iteration is already one large fused kernel,
     # so unrolling multiplies program size without amortizing anything —
@@ -160,6 +172,17 @@ class TrackingConfig:
     # unrolling amortizes scan sequencing overhead without blowing up the
     # program).
     fixup_unroll: int = 8
+    # Phase-2 backend: "scan" (lax.scan, partitionable, works everywhere) or
+    # "pallas" (ops/pallas_fixup.py — groups fixup_group_ms milliseconds per
+    # Mosaic grid step; on this TPU runtime each sequential step costs
+    # ~16 us regardless of body size, so grouping is the difference between
+    # ~16 ms and <1 ms per 1000 ms block). None = pallas on TPU, scan
+    # elsewhere.
+    fixup_backend: str | None = None
+    # Milliseconds of loop-filter updates unrolled inside one fixup grid
+    # step (divisor of block_size_ms is picked automatically at or below
+    # this). Larger = fewer sequential steps but a bigger Mosaic program.
+    fixup_group_ms: int = 25
 
 
 @dataclass(frozen=True)

@@ -71,6 +71,7 @@ class BlockReport:
     tracked_prns: list[int] = field(default_factory=list)
     newly_acquired: list[AcquisitionResult] = field(default_factory=list)
     dropped_prns: list[int] = field(default_factory=list)
+    rescued_prns: list[int] = field(default_factory=list)
     subframes: list[tuple[int, EmitSubframeEvent]] = field(default_factory=list)
     fix: ReceiverSolution | None = None
     observations: list[ChannelObservation] = field(default_factory=list)
@@ -268,6 +269,16 @@ class Receiver:
 
         if lost:
             self._drop_satellite(obs.prn, report)
+        elif self.bank.maybe_rescue(obs, block_start + block_ms * 1e-3):
+            # Marginal-health rescue (reference: gypsum/tracker.py:380-387):
+            # Doppler corrected in place; the decode pipeline keeps its bit/
+            # subframe phase and resynchronizes through normal UNKNOWN-bit
+            # handling while the PLL resettles.
+            report.rescued_prns.append(obs.prn)
+            _logger.info(
+                "rescued marginal PRN %d in place (quality %.2f, attempt %d)",
+                obs.prn, float(obs.quality[-1]), self.bank.rescue_counts[obs.slot],
+            )
 
     def _drop_satellite(self, prn: int, report: BlockReport) -> None:
         """reference: gypsum/receiver.py:259-267."""

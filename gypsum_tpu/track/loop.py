@@ -561,6 +561,8 @@ class TrackerBank:
         ).astype(np.float32)  # [32, 2L + 2K]
         self.state = fresh_state(n_channels)
         self.slot_prn: list[int | None] = [None] * n_channels
+        self._last_rescue_time = np.full(n_channels, -np.inf)
+        self.rescue_counts = np.zeros(n_channels, dtype=int)
 
     # ----------------------------------------------------------- assignment
 
@@ -592,6 +594,64 @@ class TrackerBank:
     def release(self, slot: int) -> None:
         self.slot_prn[slot] = None
         self.state.lost[slot] = False
+        self._last_rescue_time[slot] = -np.inf
+        self.rescue_counts[slot] = 0
+
+    # -------------------------------------------------------------- rescue
+
+    def maybe_rescue(self, obs: "ChannelObservation", now: float) -> bool:
+        """Degradation short of drop (reference: gypsum/tracker.py:380-387):
+        when a channel's block-end quality sits in the marginal band
+        [quality_drop_threshold, rescue_quality_threshold), correct its
+        Doppler in place instead of letting it decay to a drop + 10 s-cadence
+        reacquisition + bit/subframe resync.
+
+        The reference nudges +/-5 Hz in the constellation-rotation direction;
+        here the residual Doppler is measured exactly (sign and magnitude,
+        unambiguous to +/-250 Hz) from the phase slope of the squared prompt
+        stream — the same BPSK-flip-cancelling trick the acquisition engine's
+        refinement stage uses (acquire/engine.py). Lock EMAs and the step
+        counter reset so the watchdog re-warms (the analogue of the
+        reference's 6 s adjustment cadence). Returns True if rescued."""
+        cfg = self.config
+        slot = obs.slot
+        if not cfg.rescue_enabled or obs.lost:
+            return False
+        quality = float(obs.quality[-1])
+        if quality >= cfg.rescue_quality_threshold:
+            self.rescue_counts[slot] = 0
+            return False
+        # Quality EMA must have had time to mean anything.
+        if int(self.state.step_count[slot]) < cfg.quality_window_ms:
+            return False
+        if now - self._last_rescue_time[slot] < cfg.rescue_period_s:
+            return False
+
+        # Residual Doppler from the squared-prompt phase slope over the last
+        # ~250 ms: z = p^2 rotates at twice the residual rate.
+        p = obs.prompts[-250:].astype(np.complex128)
+        z = p * p
+        if len(z) < 8:
+            return False
+        s = np.sum(z[1:] * np.conj(z[:-1]))
+        if abs(s) == 0.0:
+            return False
+        t_ms = self.samples_per_prn / self.sample_rate
+        residual_hz = float(np.angle(s)) / (2.0 * 2.0 * np.pi * t_ms)
+        residual_hz = float(
+            np.clip(residual_hz, -cfg.rescue_max_correction_hz, cfg.rescue_max_correction_hz)
+        )
+
+        st = self.state
+        st.doppler[slot] += residual_hz
+        st.ema_err[slot] = 0.0
+        st.ema_err_sq[slot] = 0.0
+        st.ema_quality[slot] = 0.0
+        st.step_count[slot] = 0
+        st.lost[slot] = False
+        self._last_rescue_time[slot] = now
+        self.rescue_counts[slot] += 1
+        return True
 
     @property
     def active_slots(self) -> list[int]:

@@ -285,6 +285,71 @@ def make_matmul_track_block_fn(
         )
         return new_state, outputs
 
+    fixup_backend = cfg.fixup_backend
+    if fixup_backend is None:
+        fixup_backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    pallas_fixup_fn = None
+    if fixup_backend == "pallas":
+        from gypsum_tpu.ops import pallas_fixup as pf
+
+        pallas_fixup_fn = pf.make_fixup_fn(
+            cfg, length, fs, n_channels, n_lags_eff
+        )
+
+    def run_fixup_scan(state, corr_bs, cpi0, theta0, f0):
+        new_state, outs = jax.lax.scan(
+            lambda c, x: fixup_step(c, x, cpi0, theta0, f0),
+            state,
+            corr_bs,
+            unroll=min(cfg.fixup_unroll, corr_bs[0].shape[0]),
+        )
+        return new_state, outs
+
+    def run_fixup_pallas(state, corr_bs, cpi0, theta0, f0):
+        from gypsum_tpu.ops import pallas_fixup as pf
+        from gypsum_tpu.track.loop import TrackBlockOutputs, TrackState
+
+        init = jnp.stack(
+            [
+                state.code_phase.astype(jnp.float32),
+                state.carrier_phase.astype(jnp.float32),
+                state.doppler.astype(jnp.float32),
+                state.ema_err.astype(jnp.float32),
+                state.ema_err_sq.astype(jnp.float32),
+                state.ema_quality.astype(jnp.float32),
+                state.step_count.astype(jnp.float32),
+                state.lost.astype(jnp.float32),
+                cpi0.astype(jnp.float32),
+                theta0.astype(jnp.float32),
+                f0.astype(jnp.float32),
+            ]
+        )  # [N_CARRY, S]
+        fin, outs = pallas_fixup_fn(init, corr_bs[0], corr_bs[1])
+        new_state = TrackState(
+            code_phase=fin[pf._CP, :],
+            carrier_phase=fin[pf._TH, :],
+            doppler=fin[pf._FD, :],
+            ema_err=fin[pf._EERR, :],
+            ema_err_sq=fin[pf._EERR2, :],
+            ema_quality=fin[pf._EQ, :],
+            step_count=fin[pf._STEP, :].astype(jnp.int32),
+            lost=fin[pf._LOST, :] > 0.5,
+        )
+        outputs = TrackBlockOutputs(
+            prompt_i=outs[:, pf._O_PI, :],
+            prompt_q=outs[:, pf._O_PQ, :],
+            code_phase=outs[:, pf._O_CP, :],
+            code_phase_measured=outs[:, pf._O_CPM, :],
+            doppler=outs[:, pf._O_FD, :],
+            carrier_phase=outs[:, pf._O_TH, :],
+            pll_error=outs[:, pf._O_PLL, :],
+            dll_error=outs[:, pf._O_DLL, :],
+            locked=outs[:, pf._O_LOCKED, :] > 0.5,
+            quality=outs[:, pf._O_QUAL, :],
+            lost=outs[:, pf._O_LOST, :] > 0.5,
+        )
+        return new_state, outputs
+
     def track_block(state, samples_block, replicas_wide):
         state = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a).reshape((a.shape[0],)), state
@@ -294,19 +359,14 @@ def make_matmul_track_block_fn(
         corr_r, corr_i = correlate_block(rows, state, chunks)  # [S, B, NLE]
 
         # Phase-rotation reference = the block-start state. The carry's
-        # theta/f evolve; theta0/f0 stay closed over the scan.
+        # theta/f evolve; theta0/f0 stay closed over the fixup.
         theta0 = state.carrier_phase
         f0 = state.doppler
 
-        # Scan over milliseconds: xs are the per-ms correlation rows
-        # ([B, S, NLE] so the scan slices the leading axis).
-        xs = (jnp.swapaxes(corr_r, 0, 1), jnp.swapaxes(corr_i, 0, 1))
-        new_state, outs = jax.lax.scan(
-            lambda c, x: fixup_step(c, x, cpi0, theta0, f0),
-            state,
-            xs,
-            unroll=min(cfg.fixup_unroll, chunks.shape[0]),
-        )
+        # Fixup consumes ms-major correlation planes [B, S, NLE].
+        corr_bs = (jnp.swapaxes(corr_r, 0, 1), jnp.swapaxes(corr_i, 0, 1))
+        run = run_fixup_pallas if fixup_backend == "pallas" else run_fixup_scan
+        new_state, outs = run(state, corr_bs, cpi0, theta0, f0)
         state_cols = jax.tree_util.tree_map(lambda a: a[:, None], new_state)
         return state_cols, outs
 

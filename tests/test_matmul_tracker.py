@@ -130,6 +130,42 @@ def test_matmul_tracker_through_tracker_bank():
     np.testing.assert_allclose(b.code_phases, a.code_phases, atol=0.01)
 
 
+def test_fixup_kernel_matches_scan():
+    """Phase-2 grouped Pallas fixup (ops/pallas_fixup.py, interpret mode on
+    CPU) vs the lax.scan fixup: identical state evolution and observables."""
+    S, B = 8, 48
+    sat = SyntheticSatellite(prn=9, doppler_hz=700.0, delay_samples=100, amplitude=0.3)
+    iq = synthesize_iq([sat], B * L, FS, noise_sigma=0.2, seed=9).reshape(B, L)
+    planes = jnp.asarray(to_planes(iq))
+    _, cfg_mm = _cfgs(B)
+    cfg_pallas = dataclasses.replace(cfg_mm, fixup_backend="pallas", fixup_group_ms=12)
+    replicas = _replicas(9, S, cfg_mm)
+    st = fresh_state(S)
+    st = st._replace(doppler=st.doppler + 700.0, code_phase=st.code_phase + 100.0)
+
+    sA, oA = jax.device_get(make_track_block_fn(cfg_mm, L, FS, S)(st, planes, replicas))
+    sB, oB = jax.device_get(make_track_block_fn(cfg_pallas, L, FS, S)(st, planes, replicas))
+    for name in ("code_phase", "carrier_phase", "doppler", "ema_err", "ema_quality"):
+        a = np.asarray(getattr(sA, name)).ravel()
+        b = np.asarray(getattr(sB, name)).ravel()
+        np.testing.assert_allclose(
+            b, a, atol=1e-4 * max(1.0, np.abs(a).max()), err_msg=name
+        )
+    assert np.array_equal(
+        np.asarray(sA.step_count).ravel(), np.asarray(sB.step_count).ravel()
+    )
+    for name in (
+        "prompt_i", "prompt_q", "code_phase", "code_phase_measured",
+        "doppler", "pll_error", "dll_error", "quality",
+    ):
+        a = np.asarray(getattr(oA, name))
+        b = np.asarray(getattr(oB, name))
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale, err_msg=name)
+    assert np.array_equal(np.asarray(oA.locked), np.asarray(oB.locked))
+    assert np.array_equal(np.asarray(oA.lost), np.asarray(oB.lost))
+
+
 def test_matmul_tracker_farm_mode_parity():
     """Per-channel streams (the farm batch axis): the matmul path gathers
     each channel's stream before the batched contraction."""

@@ -121,3 +121,55 @@ def test_channel_sharded_tracking_block():
     np.testing.assert_allclose(got_out.prompt_q, ref_out.prompt_q, rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(got_state.doppler, ref_state.doppler, rtol=1e-5)
     np.testing.assert_allclose(got_state.code_phase, ref_state.code_phase, rtol=1e-5)
+
+
+def test_shard_mapped_fast_tracker_matches_single_device():
+    """VERDICT round-1 item 4: multi-chip tracking must keep the fast
+    (matmul + Pallas fixup) path. make_sharded_track_block_fn runs the full
+    single-device program per shard inside shard_map — parity vs the
+    unsharded matmul tracker on the virtual mesh."""
+    import dataclasses
+
+    from gypsum_tpu.core.config import TrackingConfig
+    from gypsum_tpu.parallel.sharded import make_sharded_track_block_fn
+    from gypsum_tpu.signal.prn import replica_table
+    from gypsum_tpu.track.loop import fresh_state, make_track_block_fn
+
+    mesh = make_receiver_mesh()
+    n_channels = 8
+    cfg = TrackingConfig(
+        block_size_ms=12,
+        use_matmul_tracker=True,
+        matmul_tracker_bf16=False,
+        fixup_backend="pallas",  # interpret mode on CPU; Mosaic on TPU
+        fixup_group_ms=6,
+    )
+    sat = SyntheticSatellite(prn=9, doppler_hz=700.0, delay_samples=100, amplitude=0.3)
+    iq = synthesize_iq([sat], 12 * L, FS, noise_sigma=0.2, seed=9).reshape(12, L)
+    k = cfg.lag_window_half_width
+    reps = replica_table(L)
+    wide = np.concatenate([reps, reps, reps[:, : 2 * k]], axis=1).astype(np.float32)
+    replicas = jnp.asarray(np.tile(wide[8][None, :], (n_channels, 1)))
+
+    state = fresh_state(n_channels)
+    state = state._replace(
+        doppler=state.doppler + 700.0, code_phase=state.code_phase + 100.0
+    )
+    iq_planes = jnp.asarray(to_planes(iq))
+
+    ref_fn = make_track_block_fn(cfg, L, FS, n_channels)
+    ref_state, ref_out = jax.device_get(ref_fn(state, iq_planes, replicas))
+
+    sh_fn = make_sharded_track_block_fn(mesh, cfg, L, FS, n_channels)
+    got_state, got_out = jax.device_get(sh_fn(state, iq_planes, replicas))
+
+    np.testing.assert_allclose(got_out.prompt_i, ref_out.prompt_i, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(got_out.prompt_q, ref_out.prompt_q, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(got_state.doppler).ravel(), np.asarray(ref_state.doppler).ravel(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_state.code_phase).ravel(),
+        np.asarray(ref_state.code_phase).ravel(), rtol=1e-5,
+    )
+    assert np.array_equal(np.asarray(got_out.locked), np.asarray(ref_out.locked))
