@@ -183,6 +183,14 @@ class TrackingConfig:
     # step (divisor of block_size_ms is picked automatically at or below
     # this). Larger = fewer sequential steps but a bigger Mosaic program.
     fixup_group_ms: int = 25
+    # Pipeline the host/device boundary: keep the loop-filter carry
+    # device-resident across blocks and dispatch block k+1 before the host
+    # consumes block k's outputs (depth-1 software pipeline). The receiver
+    # then processes observations one block late; sample upload, device
+    # compute, and host-side nav decode overlap instead of serializing.
+    # None = on for the TPU backend, off elsewhere (CPU tests keep the
+    # synchronous order).
+    pipeline_tracking: bool | None = None
 
 
 @dataclass(frozen=True)
@@ -238,6 +246,16 @@ class SolverConfig:
     # shrinks ~ sqrt(N) while the carrier delta is mm-level per second; the
     # reference uses raw whole-millisecond pseudoranges with no smoothing.
     carrier_smoothing_window: int = 20
+    # Apply the broadcast Klobuchar ionospheric correction (solve/iono.py)
+    # once subframe 4 page 18 has been decoded. The reference never decodes
+    # the page, so False reproduces its (uncorrected) behavior.
+    apply_iono_correction: bool = True
+    # 4-SV integer-ms ambiguity tie-break: when several lattice hypotheses
+    # are altitude-plausible, commit the unique one within this distance of
+    # the last fix (lattice points sit ~300 km apart, so any position
+    # history separates them decisively; measured rates in
+    # tools/lattice_study.py).
+    ambiguity_tiebreak_radius_m: float = 50_000.0
 
 
 @dataclass(frozen=True)

@@ -156,6 +156,19 @@ class SampleSource(ABC):
     @abstractmethod
     def seconds_consumed(self) -> float: ...
 
+    def read_block_quantized(self, n_ms: int):
+        """Consume ``n_ms`` milliseconds WITHOUT dequantizing: returns
+        (start_timestamp_s, planes [n_ms, samples_per_prn, 2] in the
+        capture's integer dtype, component_offset) when the underlying
+        format is integer-quantized, else None (caller falls back to
+        read_block).
+
+        Rationale: on this environment host->device upload bandwidth is the
+        scarce resource (~45 MB/s through the tunnel); shipping rtl-sdr
+        uint8 / hackrf int8 words raw and dequantizing on device moves 4x
+        less than float32 planes."""
+        return None
+
 
 class ArraySampleSource(SampleSource):
     """In-memory IQ (synthetic captures, tests)."""
@@ -252,6 +265,23 @@ class FileSampleSource(SampleSource):
             # sequential and block sizes are stable).
             self._native.prefetch(self._cursor, n_ms * self._spp)
         return ts, block
+
+    def read_block_quantized(self, n_ms: int):
+        if self.info.component_dtype not in (np.int8, np.uint8, np.int16):
+            return None
+        n = n_ms * self._spp
+        if self._cursor + n > self._n_samples:
+            raise NoMoreSamplesError(
+                f"capture exhausted at {self.seconds_consumed:.2f}s "
+                f"({self._n_samples / self._rate:.2f}s total)"
+            )
+        ts = self._cursor / self._rate
+        # Interleaved words -> [n_ms, L, 2] is a pure reshape (zero copy of
+        # the memmap window aside from the materializing np.array).
+        words = np.array(self._words[2 * self._cursor : 2 * (self._cursor + n)])
+        planes = words.reshape(n_ms, self._spp, 2)
+        self._cursor += n
+        return ts, planes, float(self.info.component_offset)
 
 
 class DecimatingSampleSource(SampleSource):

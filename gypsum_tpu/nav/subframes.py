@@ -249,7 +249,8 @@ class Subframe3:
 @dataclass(frozen=True)
 class Subframe4:
     """Page id only, like the reference
-    (gypsum/navigation_message_parser.py:599-618)."""
+    (gypsum/navigation_message_parser.py:599-618) — except page 18, which
+    decodes into Subframe4Page18 below."""
 
     data_id: int
     page_id: int
@@ -257,6 +258,68 @@ class Subframe4:
     FIELDS = (
         Field("data_id", ((48, 2),), integer=True),
         Field("page_id", ((50, 6),), integer=True),
+    )
+
+    @property
+    def subframe_id(self) -> GpsSubframeId:
+        return GpsSubframeId.FOUR
+
+
+# The SV-ID field value that marks subframe 4 page 18 (IS-GPS-200 Table
+# 20-V: pages are identified by the SV ID they carry; page 18 uses ID 56).
+PAGE18_SV_ID = 56
+
+
+@dataclass(frozen=True)
+class Subframe4Page18:
+    """Ionospheric (Klobuchar) and UTC parameters, subframe 4 page 18
+    (IS-GPS-200 §20.3.3.5.1.6-1.8, Figure 20-1 sheet 8). The reference
+    skips every subframe-4 payload (gypsum/navigation_message_parser.py:
+    599-618); decoding this page is the accuracy lever that lets the solver
+    remove ionospheric group delay (solve/iono.py) and convert GPS time to
+    UTC."""
+
+    data_id: int
+    page_id: int
+    # Klobuchar ionosphere: vertical-delay amplitude polynomial (s,
+    # s/semicircle, ...) and period polynomial (s, s/semicircle, ...).
+    alpha0: float
+    alpha1: float
+    alpha2: float
+    alpha3: float
+    beta0: float
+    beta1: float
+    beta2: float
+    beta3: float
+    # UTC conversion: t_UTC = t_GPS - delta_t_ls - A0 - A1 (t - t_ot).
+    a1_utc: float  # s/s
+    a0_utc: float  # s
+    t_ot: float  # s of week (reference time for the UTC polynomial)
+    wn_t: int  # UTC reference week number (mod 256)
+    delta_t_ls: int  # s — current leap-second count
+    wn_lsf: int  # week number of a scheduled future leap second (mod 256)
+    dn: int  # day number of that event
+    delta_t_lsf: int  # s — leap seconds after the event
+
+    FIELDS = (
+        Field("data_id", ((48, 2),), integer=True),
+        Field("page_id", ((50, 6),), integer=True),
+        Field("alpha0", ((56, 8),), scale_exp2=-30, signed=True),
+        Field("alpha1", ((64, 8),), scale_exp2=-27, signed=True),
+        Field("alpha2", ((72, 8),), scale_exp2=-24, signed=True),
+        Field("alpha3", ((80, 8),), scale_exp2=-24, signed=True),
+        Field("beta0", ((88, 8),), scale_exp2=11, signed=True),
+        Field("beta1", ((96, 8),), scale_exp2=14, signed=True),
+        Field("beta2", ((104, 8),), scale_exp2=16, signed=True),
+        Field("beta3", ((112, 8),), scale_exp2=16, signed=True),
+        Field("a1_utc", ((120, 24),), scale_exp2=-50, signed=True),
+        Field("a0_utc", ((144, 24), (168, 8)), scale_exp2=-30, signed=True),
+        Field("t_ot", ((176, 8),), scale_exp2=12),
+        Field("wn_t", ((184, 8),), integer=True),
+        Field("delta_t_ls", ((192, 8),), integer=True, signed=True),
+        Field("wn_lsf", ((200, 8),), integer=True),
+        Field("dn", ((208, 8),), integer=True),
+        Field("delta_t_lsf", ((216, 8),), integer=True, signed=True),
     )
 
     @property
@@ -304,7 +367,7 @@ class Subframe5:
         return GpsSubframeId.FIVE
 
 
-Subframe = Subframe1 | Subframe2 | Subframe3 | Subframe4 | Subframe5
+Subframe = Subframe1 | Subframe2 | Subframe3 | Subframe4 | Subframe4Page18 | Subframe5
 
 _SUBFRAME_CLASSES: dict[GpsSubframeId, type] = {
     GpsSubframeId.ONE: Subframe1,
@@ -348,6 +411,8 @@ def decode_subframe(transmitted_bits: np.ndarray, strict_parity: bool = False) -
         subframe_id=GpsSubframeId.from_bits((int(source[43]), int(source[44]), int(source[45]))),
     )
     cls = _SUBFRAME_CLASSES[handover.subframe_id]
+    if cls is Subframe4 and decode_field(source, Subframe4.FIELDS[1]) == PAGE18_SV_ID:
+        cls = Subframe4Page18  # ionosphere/UTC page (IS-GPS-200 Table 20-V)
     values = {f.name: decode_field(source, f) for f in cls.FIELDS}
     return DecodedSubframe(
         telemetry=telemetry,

@@ -29,7 +29,17 @@ CHECKPOINT_VERSION = 2
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:
-    """Snapshot a Receiver (runtime/receiver.py) to ``path``."""
+    """Snapshot a Receiver (runtime/receiver.py) to ``path``.
+
+    The caller must have drained the tracking pipeline (Receiver.run does);
+    a checkpoint taken with blocks in flight would otherwise skip their
+    samples on resume."""
+    if receiver.bank.pending_blocks:
+        raise RuntimeError(
+            f"{receiver.bank.pending_blocks} tracking block(s) still in "
+            "flight; drain the pipeline before checkpointing"
+        )
+    receiver.bank.sync_host_state()
     blob = {
         "version": CHECKPOINT_VERSION,
         "stream_seconds": receiver.source.seconds_consumed,
@@ -58,6 +68,7 @@ def load_checkpoint(receiver, path: str | Path) -> float:
     if blob["version"] != CHECKPOINT_VERSION:
         raise ValueError(f"checkpoint version {blob['version']} != {CHECKPOINT_VERSION}")
     receiver.bank.state = blob["bank_state"]
+    receiver.bank.invalidate_device_state()
     receiver.bank.slot_prn = blob["slot_prn"]
     receiver.eligible_prns = blob["eligible_prns"]
     receiver.pipelines = blob["pipelines"]

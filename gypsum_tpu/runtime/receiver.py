@@ -93,11 +93,17 @@ class Receiver:
         self.acquisition = AcquisitionEngine(
             self.sample_rate, self.samples_per_prn, self.config.acquisition
         )
+        # Integer captures ship raw words to the device and dequantize
+        # in-graph (core/planes.py:dequantize_planes) — 4x less host->device
+        # traffic for 8-bit SDR formats.
+        info = getattr(source, "info", None)
+        self._input_offset = float(getattr(info, "component_offset", 0.0) or 0.0)
         self.bank = TrackerBank(
             self.sample_rate,
             self.samples_per_prn,
             self.config.tracking,
             n_channels=self.config.max_channels,
+            input_offset=self._input_offset,
         )
         self.world = WorldModel(self.config.solver)
         # reference: gypsum/receiver.py:61-64.
@@ -107,6 +113,16 @@ class Receiver:
         self.block_reports: list[BlockReport] = []
         self.subframe_count = 0
         self._block_listeners = []
+        # Depth-1 software pipeline over the host/device boundary
+        # (TrackingConfig.pipeline_tracking): dispatch block k, process
+        # block k-1's observations while k computes and k+1's samples
+        # upload. None = on for the TPU backend.
+        pipelined = self.config.tracking.pipeline_tracking
+        if pipelined is None:
+            import jax
+
+            pipelined = jax.default_backend() == "tpu"
+        self._pipeline_depth = 1 if pipelined else 0
 
     # ------------------------------------------------------------ lifecycle
 
@@ -117,7 +133,8 @@ class Receiver:
     def run(self, max_seconds: float | None = None, until_fix: bool = False) -> list[BlockReport]:
         """Process the stream until exhaustion / ``max_seconds`` / first fix."""
         start = self.source.seconds_consumed
-        while True:
+        stop = False
+        while not stop:
             if max_seconds is not None and self.source.seconds_consumed - start >= max_seconds:
                 break
             try:
@@ -125,14 +142,36 @@ class Receiver:
             except NoMoreSamplesError:
                 break
             if until_fix and report.fix is not None:
-                break
+                stop = True
+        # Drain the pipeline: process dispatched-but-uncollected blocks so
+        # the world model / checkpoints reflect every consumed sample
+        # (required even after an until_fix stop — a checkpoint taken with
+        # blocks in flight would skip their samples on resume).
+        while self.bank.pending_blocks:
+            self._drain_one()
         return self.block_reports
+
+    def _drain_one(self) -> BlockReport:
+        _outs, b, t0, _slots = self.bank._pending[0]
+        report = BlockReport(block_start=t0, block_end=t0 + b * 1e-3)
+        self._collect_into(report)
+        self.block_reports.append(report)
+        for fn in self._block_listeners:
+            fn(self, report)
+        return report
 
     # ------------------------------------------------------------- the loop
 
     def step_block(self) -> BlockReport:
         block_ms = self.config.tracking.block_size_ms
-        block_start, block = self.source.read_block(block_ms)
+        raw = self.source.read_block_quantized(block_ms)
+        if raw is None:
+            block_start, block = self.source.read_block(block_ms)
+            track_input = block
+        else:
+            block_start, planes, offset = raw
+            block = None  # complex view built lazily (scan blocks only)
+            track_input = planes
         block_end = block_start + block_ms * 1e-3
         report = BlockReport(block_start=block_start, block_end=block_end)
 
@@ -141,22 +180,40 @@ class Receiver:
         # window it was measured on.
         if self._should_scan(block_start):
             self._last_scan_time = block_start
+            if block is None:
+                n = min(self.config.acquisition.integration_period_ms, planes.shape[0])
+                head = planes[:n].astype(np.float32) - offset
+                block = (head[..., 0] + 1j * head[..., 1]).astype(np.complex64)
             self._acquire(block, block_start, report)
 
-        # --- one device dispatch tracks every channel for the whole block.
-        observations = self.bank.process_block(block, block_start)
-        report.observations = observations
-        report.tracked_prns = [o.prn for o in observations]
-
-        for obs in observations:
-            self._process_channel(obs, block_start, block_ms, report)
-
-        # --- position fix attempt (reference: gypsum/receiver.py:137).
-        report.fix = self.world.attempt_position_fix(block_end)
+        # --- one device dispatch tracks every channel for the whole block;
+        # with pipelining the dispatch returns immediately and the block
+        # processed below is the PREVIOUS one (sample upload + device
+        # compute + host nav decode overlap).
+        self.bank.dispatch_block(track_input, block_start)
+        if self.bank.pending_blocks > self._pipeline_depth:
+            self._collect_into(report)
         self.block_reports.append(report)
         for fn in self._block_listeners:
             fn(self, report)
         return report
+
+    def _collect_into(self, report: BlockReport) -> None:
+        """Collect the oldest dispatched block and run all host-side
+        navigation layers over it."""
+        t0, n_ms, observations = self.bank.collect_block()
+        report.observations = observations
+        report.tracked_prns = [o.prn for o in observations]
+        for obs in observations:
+            pipe = self.pipelines.get(obs.prn)
+            if pipe is None or pipe.slot != obs.slot:
+                continue  # dropped/reassigned after this block was dispatched
+            self._process_channel(obs, t0, n_ms, report)
+
+        # --- position fix attempt (reference: gypsum/receiver.py:137) at
+        # the PROCESSED block's end (the world model's tick counters are
+        # only advanced this far).
+        report.fix = self.world.attempt_position_fix(t0 + n_ms * 1e-3)
 
     def _should_scan(self, now: float) -> bool:
         if not self.eligible_prns or not self.bank.free_slots:

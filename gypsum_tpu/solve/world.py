@@ -37,6 +37,7 @@ from gypsum_tpu.nav.subframes import (
     Subframe1,
     Subframe2,
     Subframe3,
+    Subframe4Page18,
 )
 from gypsum_tpu.solve.ephemeris import (
     Ephemeris,
@@ -49,6 +50,48 @@ from gypsum_tpu.solve.fix import solve_position, dilution_of_precision
 from gypsum_tpu.solve.geodesy import ecef_to_lla
 
 _logger = logging.getLogger(__name__)
+
+
+def _plausible_altitude(p: np.ndarray) -> bool:
+    """Terrestrial-through-aviation receiver shell. Altitude only: the clock
+    bias is legitimately large on early fix rounds (the slide hasn't
+    settled), and a common-mode shift can't be repaired by the canonical
+    lattice anyway — gating on bias fired spuriously in the campaign
+    (seed 23) on a fix whose altitude was fine."""
+    alt = ecef_to_lla(p)[2]
+    return -1000.0 < alt < 20_000.0
+
+
+def enumerate_4sv_hypotheses(
+    sat_pos: np.ndarray, transit: np.ndarray, newton_iterations: int
+) -> dict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Enumerate the canonical +/-1 ms lattice around a 4-SV transit set.
+
+    A common shift across all satellites is absorbed by the clock bias, so
+    hypotheses are canonicalized with dk[0] = 0 (27 solves). Returns
+    {position_key: (dk, candidate_transit, position)} for every hypothesis
+    whose re-solved position lies in the plausible-receiver shell; among
+    equivalent hypotheses for one position the fewest-slips representative
+    is kept. Shared by WorldModel._repair_four_satellite and the ambiguity
+    measurement study (tools/lattice_study.py)."""
+    import itertools
+
+    n = len(transit)
+    groups: dict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for dks in itertools.product((-1, 0, 1), repeat=n - 1):
+        dk = np.array((0,) + dks, dtype=int)
+        cand = transit + dk * 1e-3
+        p2, b2 = solve_position(
+            sat_pos, cand, initial_position=None, initial_bias=0.0,
+            iterations=newton_iterations,
+        )
+        if not _plausible_altitude(p2):
+            continue
+        key = tuple(np.round(p2 / 200.0).astype(int))  # merge equivalents
+        cur = groups.get(key)
+        if cur is None or np.abs(dk).sum() < np.abs(cur[0]).sum():
+            groups[key] = (dk, cand, p2)
+    return groups
 
 
 @dataclass(frozen=True)
@@ -112,6 +155,9 @@ class WorldModel:
         # Constellation almanac, merged across all tracked channels (the
         # reference parses subframe-5 pages then drops them; solve/almanac.py).
         self.almanac = AlmanacStore()
+        # Klobuchar ionosphere + UTC parameters from subframe 4 page 18
+        # (solve/iono.py; the reference decodes no subframe-4 payload).
+        self.iono_utc = None
 
     def _record(self, prn: int) -> _SatelliteRecord:
         if prn not in self._sats:
@@ -221,6 +267,14 @@ class WorldModel:
             rec.sf2 = sf
         elif decoded.handover.subframe_id == GpsSubframeId.THREE:
             rec.sf3 = sf
+        elif isinstance(sf, Subframe4Page18):
+            from gypsum_tpu.solve.iono import IonoUtcParams
+
+            self.iono_utc = IonoUtcParams.from_page(sf)
+            _logger.info(
+                "ionosphere/UTC parameters decoded (via PRN %d): alpha0=%.2e "
+                "beta0=%.0f dtLS=%d", prn, sf.alpha0, sf.beta0, sf.delta_t_ls,
+            )
         elif decoded.handover.subframe_id == GpsSubframeId.FIVE:
             if self.almanac.ingest(sf):
                 _logger.debug(
@@ -347,6 +401,25 @@ class WorldModel:
                 sat_pos[i] = satellite_position(
                     rec.ephemeris, sv_tow, kepler_iterations=cfg.kepler_iterations
                 )
+                # Klobuchar ionospheric group delay (solve/iono.py): the
+                # code arrives LATE by T_iono, so subtract it from the
+                # transit. Needs a position estimate for the pierce-point
+                # geometry — rounds after the first have one (round 0 runs
+                # uncorrected, like a cold reference receiver).
+                if (
+                    cfg.apply_iono_correction
+                    and self.iono_utc is not None
+                    and np.linalg.norm(pos) > 6.0e6
+                ):
+                    from gypsum_tpu.solve.geodesy import elevation_azimuth
+                    from gypsum_tpu.solve.iono import klobuchar_delay_s
+
+                    lat_u, lon_u, _ = ecef_to_lla(pos)
+                    el, az = elevation_azimuth(pos, sat_pos[i])
+                    transit[i] -= klobuchar_delay_s(
+                        self.iono_utc, lat_u, lon_u, el, az,
+                        self.receiver_clock_slide + receiver_timestamp,
+                    )
             pos, bias = solve_position(
                 sat_pos, transit, initial_position=pos, initial_bias=bias,
                 iterations=cfg.newton_iterations,
@@ -487,42 +560,38 @@ class WorldModel:
         Residuals vanish with 4 satellites, so a slip is visible only as an
         implausible *fix* (the seed-11 campaign failure solved 226 km below
         the ellipsoid). When the base solution leaves the plausible-receiver
-        shell, enumerate the integer-ms lattice: a common shift across all
-        satellites is absorbed by the clock bias, so hypotheses are
-        canonicalized with dk[0] = 0 (27 solves). Accept only if exactly ONE
-        distinct position is plausible (altitude within [-1, +20] km covers
-        terrestrial through aviation receivers; the false lattice points
-        solve ~100 km off); among equivalent hypotheses for that position,
-        commit the fewest-slips representative. Ambiguous or empty -> leave
-        untouched (a detected-but-unrepairable fix beats a wrong repair)."""
-        import itertools
-
-        def plausible_alt(p):
-            # Altitude only: the clock bias is legitimately large on early
-            # fix rounds (the slide hasn't settled), and a common-mode shift
-            # can't be repaired by the canonical lattice anyway — gating on
-            # bias here fired spuriously in the campaign (seed 23) on a fix
-            # whose altitude was fine.
-            alt = ecef_to_lla(p)[2]
-            return -1000.0 < alt < 20_000.0
-
-        if plausible_alt(pos):
+        shell, enumerate the integer-ms lattice (enumerate_4sv_hypotheses).
+        Accept if exactly ONE distinct position is plausible; if SEVERAL
+        are, fall back to a prior-fix proximity tie-break: a hypothesis
+        within ``ambiguity_tiebreak_radius_m`` of the last committed fix is
+        taken when it is the unique such one (integer-ms lattice points are
+        ~300 km apart, so a receiver with any position history cannot
+        confuse them; measured ambiguity rates: tools/lattice_study.py).
+        Otherwise leave untouched (a detected-but-unrepairable fix beats a
+        wrong repair)."""
+        if _plausible_altitude(pos):
             return transit
-        groups: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
-        for dks in itertools.product((-1, 0, 1), repeat=len(prns) - 1):
-            dk = np.array((0,) + dks, dtype=int)
-            cand = transit + dk * 1e-3
-            p2, b2 = solve_position(
-                sat_pos, cand, initial_position=None, initial_bias=0.0,
-                iterations=self.config.newton_iterations,
-            )
-            if not plausible_alt(p2):
-                continue
-            key = tuple(np.round(p2 / 200.0).astype(int))  # merge equivalents
-            cur = groups.get(key)
-            if cur is None or np.abs(dk).sum() < np.abs(cur[0]).sum():
-                groups[key] = (dk, cand)
-        if len(groups) != 1:
+        groups = enumerate_4sv_hypotheses(
+            sat_pos, transit, self.config.newton_iterations
+        )
+        chosen = None
+        if len(groups) == 1:
+            chosen = next(iter(groups.values()))
+        elif len(groups) > 1 and self.position_fixes:
+            prior = self.position_fixes[-1].ecef
+            near = [
+                g for g in groups.values()
+                if np.linalg.norm(g[2] - prior) < self.config.ambiguity_tiebreak_radius_m
+            ]
+            if len(near) == 1:
+                chosen = near[0]
+                _logger.warning(
+                    "4-SV integer-ms ambiguity (%d plausible positions) "
+                    "broken by prior-fix proximity (%.1f km)",
+                    len(groups),
+                    np.linalg.norm(chosen[2] - prior) / 1e3,
+                )
+        if chosen is None:
             _logger.warning(
                 "4-SV fix implausible (alt %.0f km) and integer-ms repair %s; "
                 "leaving as-is",
@@ -530,7 +599,7 @@ class WorldModel:
                 "ambiguous" if groups else "found no plausible hypothesis",
             )
             return transit
-        dk, cand = next(iter(groups.values()))
+        dk, cand, _pos = chosen
         if not dk.any():  # base was the unique plausible one after all
             return transit
         for i in np.where(dk != 0)[0]:

@@ -39,7 +39,7 @@ import numpy as np
 
 from gypsum_tpu.core.config import TrackingConfig
 from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
-from gypsum_tpu.core.planes import to_complex, to_planes
+from gypsum_tpu.core.planes import dequantize_planes, to_complex, to_planes
 from gypsum_tpu.signal.prn import replica_table
 
 _EPS = 1e-12
@@ -110,6 +110,7 @@ def make_track_block_fn(
     sample_rate: float,
     n_channels: int,
     stream_of_channel: np.ndarray | None = None,
+    input_offset: float = 0.0,
 ):
     """Build the jitted block-tracking function.
 
@@ -372,7 +373,8 @@ def make_track_block_fn(
         from gypsum_tpu.track.matmul import make_matmul_track_block_fn
 
         return make_matmul_track_block_fn(
-            cfg, length, fs, n_channels, stream_of_channel=farm_idx
+            cfg, length, fs, n_channels, stream_of_channel=farm_idx,
+            input_offset=input_offset,
         )
 
     if farm_idx is not None:
@@ -401,12 +403,13 @@ def make_track_block_fn(
                 )
                 use_block_kernel = False
     if use_block_kernel:
-        return _make_block_kernel_wrapper(cfg, length, fs, n_channels)
+        return _make_block_kernel_wrapper(cfg, length, fs, n_channels, input_offset)
 
     def track_block(state: TrackState, samples_block: jax.Array, replicas_wide: jax.Array):
         # Accept either [S] or [S, 1] carry leaves (the function returns
         # columns; callers may feed them straight back in).
         state = jax.tree_util.tree_map(lambda a: jnp.asarray(a).reshape((a.shape[0],)), state)
+        samples_block = dequantize_planes(samples_block, input_offset)
         chunks = to_complex(samples_block)  # [B, L] (or [B, N, L]) c64
         correlate = (
             make_hoisted_correlate(replicas_wide, state)
@@ -456,7 +459,7 @@ def make_farm_track_block_fn(
     )
 
 
-def _make_block_kernel_wrapper(cfg, length, fs, n_channels):
+def _make_block_kernel_wrapper(cfg, length, fs, n_channels, input_offset=0.0):
     """Adapt the whole-block Pallas kernel (ops/pallas_track.py) to the
     TrackState/TrackBlockOutputs contract of the scan path."""
     from gypsum_tpu.ops import pallas_track as pt
@@ -467,6 +470,7 @@ def _make_block_kernel_wrapper(cfg, length, fs, n_channels):
         state = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a).reshape((a.shape[0],)), state
         )
+        samples_block = dequantize_planes(samples_block, input_offset)
         rows = jnp.stack(
             [
                 state.code_phase.astype(jnp.float32),
@@ -546,13 +550,15 @@ class TrackerBank:
         samples_per_prn: int,
         config: TrackingConfig | None = None,
         n_channels: int = 12,
+        input_offset: float = 0.0,
     ) -> None:
         self.config = config or TrackingConfig()
         self.sample_rate = float(sample_rate)
         self.samples_per_prn = int(samples_per_prn)
         self.n_channels = n_channels
         self._fn = make_track_block_fn(
-            self.config, self.samples_per_prn, self.sample_rate, n_channels
+            self.config, self.samples_per_prn, self.sample_rate, n_channels,
+            input_offset=input_offset,
         )
         k = self.config.lag_window_half_width
         reps = replica_table(self.samples_per_prn)  # [32, L]
@@ -563,8 +569,27 @@ class TrackerBank:
         self.slot_prn: list[int | None] = [None] * n_channels
         self._last_rescue_time = np.full(n_channels, -np.inf)
         self.rescue_counts = np.zeros(n_channels, dtype=int)
+        # Pipelining (config.pipeline_tracking): the carry stays
+        # device-resident between dispatches; host edits force a sync.
+        self._device_state = None  # [S, 1]-column device tree or None
+        self._pending: list = []  # dispatched-but-uncollected blocks
+        self._replica_cache: tuple[bytes | None, object] = (None, None)
 
     # ----------------------------------------------------------- assignment
+
+    def sync_host_state(self) -> None:
+        """Bring the authoritative carry back to host numpy (fetches the
+        latest dispatched state when the carry is device-resident). Host
+        edits (assign/release/rescue) and checkpointing require this."""
+        if self._device_state is not None:
+            cols = jax.device_get(self._device_state)
+            self.state = TrackState(*(np.array(np.asarray(a)[:, 0]) for a in cols))
+            self._device_state = None
+
+    def invalidate_device_state(self) -> None:
+        """Forget any device-resident carry (after externally replacing
+        ``self.state``, e.g. checkpoint restore)."""
+        self._device_state = None
 
     def assign(
         self,
@@ -575,6 +600,7 @@ class TrackerBank:
     ) -> int:
         """Bind a free slot to a newly acquired satellite; returns the slot.
         State lives on the host (numpy), so this is a plain array edit."""
+        self.sync_host_state()
         try:
             slot = self.slot_prn.index(None)
         except ValueError:
@@ -592,6 +618,7 @@ class TrackerBank:
         return slot
 
     def release(self, slot: int) -> None:
+        self.sync_host_state()
         self.slot_prn[slot] = None
         self.state.lost[slot] = False
         self._last_rescue_time[slot] = -np.inf
@@ -621,6 +648,7 @@ class TrackerBank:
         if quality >= cfg.rescue_quality_threshold:
             self.rescue_counts[slot] = 0
             return False
+        self.sync_host_state()  # rescue edits the carry on the host
         # Quality EMA must have had time to mean anything.
         if int(self.state.step_count[slot]) < cfg.quality_window_ms:
             return False
@@ -667,30 +695,76 @@ class TrackerBank:
 
     # ------------------------------------------------------------ processing
 
+    def _device_replicas(self, prn_idx: np.ndarray):
+        """Device-resident replica rows for the current slot->PRN binding
+        (re-uploaded only when assignments change — the [S, 2L+2K] f32 table
+        is ~1 MB and host->device bandwidth is the scarce resource on this
+        environment's tunnel)."""
+        key = prn_idx.tobytes()
+        if self._replica_cache[0] != key:
+            self._replica_cache = (key, jnp.asarray(self._replicas_wide[prn_idx]))
+        return self._replica_cache[1]
+
+    def dispatch_block(self, samples_block: np.ndarray, block_start_time: float) -> None:
+        """Submit one [B, L] block to the device WITHOUT waiting for results.
+
+        The carry chains device-side from the previous dispatch (no host
+        round trip unless an edit intervened); sample upload and device
+        compute overlap the host's processing of earlier blocks. Collect
+        results in dispatch order with collect_block()."""
+        prn_idx = np.array(
+            [(p - 1) if p is not None else 0 for p in self.slot_prn], dtype=np.int32
+        )
+        replicas = self._device_replicas(prn_idx)
+        state_in = self._device_state if self._device_state is not None else self.state
+        if np.iscomplexobj(samples_block):
+            planes = to_planes(samples_block)
+        else:
+            # Already [B, L, 2] planes — float32 or raw integer words (the
+            # quantized-upload path; dequantization happens in-graph).
+            planes = samples_block
+        state_cols, outs = self._fn(state_in, jnp.asarray(planes), replicas)
+        self._device_state = state_cols
+        self._pending.append(
+            (outs, samples_block.shape[0], block_start_time, list(self.slot_prn))
+        )
+
+    @property
+    def pending_blocks(self) -> int:
+        return len(self._pending)
+
+    def collect_block(self) -> tuple[float, int, list[ChannelObservation]]:
+        """Fetch and unpack the OLDEST dispatched block. Returns
+        (block_start_time, n_ms, observations) — observations reflect the
+        slot->PRN binding at dispatch time."""
+        if not self._pending:
+            raise RuntimeError("no dispatched block to collect")
+        outs_dev, b, block_start_time, slot_prn = self._pending.pop(0)
+        outs = TrackBlockOutputs(*(np.asarray(a).T for a in jax.device_get(outs_dev)))
+        return block_start_time, b, self._build_observations(outs, b, block_start_time, slot_prn)
+
     def process_block(self, samples_block: np.ndarray, block_start_time: float) -> list[ChannelObservation]:
-        """Track one [B, L] block; returns observations for active channels.
+        """Track one [B, L] block synchronously (dispatch + collect).
 
         ``block_start_time`` is the receiver timestamp (s) of the block's first
         sample; pseudosymbol timestamps are code-phase corrected exactly like
         the reference (gypsum/tracker.py:319-328).
         """
-        b = samples_block.shape[0]
-        prn_idx = np.array(
-            [(p - 1) if p is not None else 0 for p in self.slot_prn], dtype=np.int32
-        )
-        replicas = jnp.asarray(self._replicas_wide[prn_idx])
-        state_cols, outs = self._fn(
-            self.state, jnp.asarray(to_planes(samples_block)), replicas
-        )
-        # Bring the carry home as rank-2 columns, store rank-1 numpy.
-        state_cols = jax.device_get(state_cols)
-        self.state = TrackState(*(np.array(a[:, 0]) for a in state_cols))  # writable copies
-        # Fetch [B, S] buffers and transpose on the host (free view).
-        outs = TrackBlockOutputs(*(np.asarray(a).T for a in jax.device_get(outs)))
+        self.dispatch_block(samples_block, block_start_time)
+        return self.collect_block()[2]
 
+    def _build_observations(
+        self,
+        outs: TrackBlockOutputs,
+        b: int,
+        block_start_time: float,
+        slot_prn: list[int | None],
+    ) -> list[ChannelObservation]:
         observations = []
         ms = np.arange(b, dtype=np.float64) * (self.samples_per_prn / self.sample_rate)
-        for slot in self.active_slots:
+        for slot, prn in enumerate(slot_prn):
+            if prn is None:
+                continue
             delay = (
                 outs.code_phase[slot].astype(np.float64) / self.samples_per_prn
             ) * (self.samples_per_prn / self.sample_rate)
@@ -701,7 +775,7 @@ class TrackerBank:
             prompts = (outs.prompt_i[slot] + 1j * outs.prompt_q[slot]).astype(np.complex64)
             observations.append(
                 ChannelObservation(
-                    prn=self.slot_prn[slot],
+                    prn=prn,
                     slot=slot,
                     pseudosymbol_signs=signs,
                     start_times=starts,

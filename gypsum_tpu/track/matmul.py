@@ -57,7 +57,7 @@ import numpy as np
 
 from gypsum_tpu.core.config import TrackingConfig
 from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
-from gypsum_tpu.core.planes import to_complex
+from gypsum_tpu.core.planes import dequantize_planes, to_complex
 
 _EPS = 1e-12
 
@@ -68,6 +68,7 @@ def make_matmul_track_block_fn(
     sample_rate: float,
     n_channels: int,
     stream_of_channel: np.ndarray | None = None,
+    input_offset: float = 0.0,
 ):
     """Build the two-phase (matmul + fixup-scan) block tracker.
 
@@ -354,6 +355,7 @@ def make_matmul_track_block_fn(
         state = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a).reshape((a.shape[0],)), state
         )
+        samples_block = dequantize_planes(samples_block, input_offset)
         chunks = to_complex(samples_block)  # [B, L] or [B, N, L] c64
         rows, cpi0 = build_rows(replicas_wide, state)
         corr_r, corr_i = correlate_block(rows, state, chunks)  # [S, B, NLE]

@@ -369,3 +369,41 @@ def test_millisecond_ambiguity_repair():
     expected = rx + vel * fix.receiver_timestamp
     err = float(np.linalg.norm(fix.ecef - expected))
     assert err < 50.0, f"ms-ambiguity not repaired: fix error {err:.0f} m"
+
+
+def test_uint8_rtlsdr_capture_end_to_end(tmp_path):
+    """RF-impairment gauntlet / quantized-upload path: a synthesized scene
+    quantized to the rtl_sdr wire format (interleaved uint8 biased at 127.5)
+    and replayed THROUGH FileSampleSource must still decode and fix. This
+    drives the read_block_quantized -> integer upload -> in-graph
+    dequantization path end-to-end (core/planes.py:dequantize_planes)."""
+    import numpy as np
+
+    from gypsum_tpu.io.sources import FileSampleSource, recording_info_for
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import DEMO_GPS_START_SOW, demo_constellation
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+
+    rx = lla_to_ecef(51.5, -0.1, 80.0)
+    iq, _ = synthesize_constellation(
+        demo_constellation([25, 28, 31, 32]), rx, DEMO_GPS_START_SOW, 26.0, 2.046e6,
+        noise_sigma=0.3,
+    )
+    # 8-bit ADC model: ~46 counts per unit amplitude, biased to mid-scale.
+    scale = 46.0
+    inter = np.empty(2 * iq.size, dtype=np.uint8)
+    inter[0::2] = np.clip(np.round(iq.real * scale + 127.5), 0, 255).astype(np.uint8)
+    inter[1::2] = np.clip(np.round(iq.imag * scale + 127.5), 0, 255).astype(np.uint8)
+    path = tmp_path / "cap.rtl"
+    inter.tofile(path)
+
+    src = FileSampleSource(recording_info_for("rtl_sdr", path))
+    # Confirm the quantized fast path is live for this format.
+    assert src.peek_block(1) is not None
+    recv = Receiver(src)
+    recv.run(until_fix=True)
+    fixes = recv.world.position_fixes
+    assert fixes, "no fix from the uint8 rtl_sdr capture"
+    err = np.linalg.norm(fixes[-1].ecef - rx)
+    assert err < 80.0, f"uint8-quantized fix error {err:.1f} m"

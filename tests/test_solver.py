@@ -333,3 +333,78 @@ def test_carrier_smoothing_survives_code_phase_wrap():
     # A genuine slip (measurement jumps half a millisecond) resets.
     w.handle_channel_block(7, (delay + 0.4e-3) % 1e-3, doppler, 1000)
     assert w._sats[7].smoothing_depth == 1
+
+
+def _ambiguous_4sv_case():
+    """Pinned ambiguous 4-SV lattice geometry (tools/lattice_study.py seed 6):
+    slip dk=(0,0,-1,0) yields TWO altitude-plausible hypotheses, the wrong
+    one ~1200 km from truth."""
+    from gypsum_tpu.core.constants import SPEED_OF_LIGHT_M_PER_S as C_MS
+    from gypsum_tpu.signal.scenarios import DEMO_EPHEMERIDES, DEMO_GPS_START_SOW
+    from gypsum_tpu.solve.ephemeris import satellite_position
+
+    rng = np.random.default_rng(6)
+    rx = lla_to_ecef(
+        51.5 + rng.uniform(-3, 3), -0.1 + rng.uniform(-3, 3), rng.uniform(0, 500)
+    )
+    slots = rng.choice(8, size=4, replace=False)
+    t = DEMO_GPS_START_SOW + rng.uniform(0, 60.0)
+    sat_pos = np.array([satellite_position(DEMO_EPHEMERIDES[s], t) for s in slots])
+    bias = rng.uniform(-2e-3, 2e-3)
+    transit = np.linalg.norm(sat_pos - rx[None, :], axis=1) / C_MS + bias
+    dk = None
+    while True:
+        dk = rng.integers(-1, 2, size=4)
+        dk[0] = 0
+        if dk.any():
+            break
+    return rx, sat_pos, transit + dk * 1e-3, dk
+
+
+def test_ambiguous_4sv_lattice_is_detected():
+    """The pinned geometry must actually be ambiguous (2 plausible groups),
+    with the wrong hypothesis far from truth — the premise of the prior-fix
+    tie-break (measured rates: tools/lattice_study.py, ~7% of slipped 4-SV
+    geometries, separation always >> 50 km)."""
+    from gypsum_tpu.solve.world import enumerate_4sv_hypotheses
+
+    rx, sat_pos, slipped, _dk = _ambiguous_4sv_case()
+    groups = enumerate_4sv_hypotheses(sat_pos, slipped, 20)
+    assert len(groups) == 2, len(groups)
+    dists = sorted(np.linalg.norm(g[2] - rx) for g in groups.values())
+    assert dists[0] < 1_000.0  # truth is among them
+    assert dists[1] > 300_000.0  # the impostor is far beyond the tie-break
+
+
+def test_ambiguous_4sv_repair_tiebreaks_on_prior_fix():
+    """With a prior fix near truth, _repair_four_satellite must commit the
+    correct hypothesis instead of abstaining; without any prior fix it must
+    leave the transit untouched (abstain)."""
+    from gypsum_tpu.solve.world import ReceiverSolution, WorldModel
+
+    rx, sat_pos, slipped, _dk = _ambiguous_4sv_case()
+    prns = [1, 2, 3, 4]
+
+    def make_world(with_prior):
+        w = WorldModel(SolverConfig())
+        for p in prns:
+            w._record(p)
+        if with_prior:
+            w.position_fixes.append(
+                ReceiverSolution(
+                    clock_bias_s=0.0, ecef=rx + 200.0, lat_deg=0, lon_deg=0,
+                    alt_m=0, satellites_used=tuple(prns), receiver_timestamp=0.0,
+                )
+            )
+        return w
+
+    # Abstains with no history...
+    w0 = make_world(False)
+    out0 = w0._repair_four_satellite(prns, sat_pos, slipped.copy(), rx + 9e5, 0.0)
+    np.testing.assert_array_equal(out0, slipped)
+    # ...and commits the truth-side hypothesis with one.
+    w1 = make_world(True)
+    out1 = w1._repair_four_satellite(prns, sat_pos, slipped.copy(), rx + 9e5, 0.0)
+    assert not np.array_equal(out1, slipped)
+    p2, _b = solve_position(sat_pos, out1, initial_position=None, initial_bias=0.0)
+    assert np.linalg.norm(p2 - rx) < 1_000.0

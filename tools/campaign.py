@@ -59,9 +59,40 @@ class Scenario:
     noise_sigma: float
     duration_s: float
     block_size_ms: int
+    impairment: str = "none"  # key into IMPAIRMENT_LEVELS
 
 
-def make_scenario(seed: int) -> Scenario:
+def _impairment_levels():
+    """RF-impairment gauntlet levels (VERDICT round-1 item 6). Each level is
+    an RfImpairments the trial's synthesis runs through; 'full' stacks a
+    realistic rtl-sdr front end: +/-700 kHz filter, TCXO phase noise, one
+    120 m multipath ray at half amplitude, 8-bit ADC."""
+    from gypsum_tpu.signal.constellation import RfImpairments
+
+    return {
+        "none": None,
+        "bandlimit": RfImpairments(frontend_bandwidth_hz=700e3),
+        "phase_noise": RfImpairments(phase_noise_rad_per_sqrt_s=0.5),
+        "multipath": RfImpairments(
+            multipath_delay_s=0.4e-6, multipath_amplitude=0.5
+        ),
+        "adc2": RfImpairments(adc_bits=2),
+        "full": RfImpairments(
+            frontend_bandwidth_hz=700e3,
+            phase_noise_rad_per_sqrt_s=0.3,
+            multipath_delay_s=0.4e-6,
+            multipath_amplitude=0.4,
+            adc_bits=8,
+        ),
+    }
+
+
+IMPAIRMENT_LEVELS = tuple(
+    ["none", "bandlimit", "phase_noise", "multipath", "adc2", "full"]
+)
+
+
+def make_scenario(seed: int, impairment: str = "none") -> Scenario:
     """Deterministically derive a random-but-plausible scenario from a seed.
 
     Bounds: receiver within ~3 deg of the demo site (keeps all eight
@@ -86,19 +117,30 @@ def make_scenario(seed: int) -> Scenario:
     noise = float(rng.uniform(0.25, 0.45))
     duration = float(rng.uniform(26.0, 32.0))
     block_ms = int(rng.choice([200, 500]))
-    return Scenario(seed, prns, lat, lon, alt, vel, drift, noise, duration, block_ms)
+    return Scenario(
+        seed, prns, lat, lon, alt, vel, drift, noise, duration, block_ms,
+        impairment=impairment,
+    )
 
 
-def run_trial(seed: int) -> dict:
+# Set by --no-resync-cutoff (inherited by forked pool workers): disables the
+# reference's 40 s bit-phase-resync band-aid
+# (NavConfig.bit_phase_resync_cutoff_s; reference:
+# gypsum/navigation_bit_intergrator.py:281-282) so the campaign can measure
+# whether the root-cause fixes in nav/bits.py made it redundant.
+NO_RESYNC_CUTOFF = False
+
+
+def run_trial(seed: int, impairment: str = "none") -> dict:
     """Synthesize the scenario, run the receiver to first fix, judge it."""
-    from gypsum_tpu.core.config import ReceiverConfig, TrackingConfig
+    from gypsum_tpu.core.config import NavConfig, ReceiverConfig, TrackingConfig
     from gypsum_tpu.io.sources import ArraySampleSource
     from gypsum_tpu.runtime.receiver import Receiver
     from gypsum_tpu.signal.constellation import synthesize_constellation
     from gypsum_tpu.signal.scenarios import DEMO_GPS_START_SOW, demo_constellation
     from gypsum_tpu.solve.geodesy import lla_to_ecef
 
-    sc = make_scenario(seed)
+    sc = make_scenario(seed, impairment)
     result: dict = {"scenario": asdict(sc)}
     t0 = time.monotonic()
     try:
@@ -114,11 +156,15 @@ def run_trial(seed: int) -> dict:
             seed=sc.seed,
             receiver_velocity_ecef=vel if np.any(vel) else None,
             receiver_clock_drift=sc.clock_drift,
+            impairments=_impairment_levels()[sc.impairment],
         )
-        recv = Receiver(
-            ArraySampleSource(iq, 2.046e6),
-            ReceiverConfig(tracking=TrackingConfig(block_size_ms=sc.block_size_ms)),
-        )
+        cfg = ReceiverConfig(tracking=TrackingConfig(block_size_ms=sc.block_size_ms))
+        if NO_RESYNC_CUTOFF:
+            cfg = ReceiverConfig(
+                tracking=cfg.tracking,
+                nav=NavConfig(bit_phase_resync_cutoff_s=float("inf")),
+            )
+        recv = Receiver(ArraySampleSource(iq, 2.046e6), cfg)
         recv.run(until_fix=True)
         fixes = recv.world.position_fixes
         if not fixes:
@@ -161,22 +207,59 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="JSONL results path (appended)")
     ap.add_argument("--replay-seed", type=int, default=None,
                     help="run exactly one trial with this seed and full logs")
+    ap.add_argument("--impairment", default="none", choices=IMPAIRMENT_LEVELS,
+                    help="RF-impairment level applied to every trial")
+    ap.add_argument("--gauntlet", action="store_true",
+                    help="run --trials seeds at EVERY impairment level and "
+                    "report the pass fraction per level")
+    ap.add_argument("--no-resync-cutoff", action="store_true",
+                    help="disable the 40 s bit-phase resync cutoff "
+                    "(band-aid inherited from the reference) for every trial")
     args = ap.parse_args()
+    global NO_RESYNC_CUTOFF
+    NO_RESYNC_CUTOFF = args.no_resync_cutoff
 
     if args.replay_seed is not None:
         import logging
 
         logging.basicConfig(level=logging.INFO)
-        res = run_trial(args.replay_seed)
+        res = run_trial(args.replay_seed, args.impairment)
         print(json.dumps(res, indent=2))
         return 0 if res["status"] == "pass" else 1
+
+    if args.gauntlet:
+        out_f = open(args.out, "a") if args.out else None
+        summary = {}
+        seeds = list(range(args.seed, args.seed + args.trials))
+        with concurrent.futures.ProcessPoolExecutor(max_workers=args.jobs) as pool:
+            for level in IMPAIRMENT_LEVELS:
+                results = list(pool.map(run_trial, seeds, [level] * len(seeds)))
+                n_pass = sum(r["status"] == "pass" for r in results)
+                errs = [r.get("position_error_m") for r in results
+                        if r.get("position_error_m") is not None]
+                summary[level] = {
+                    "passed": n_pass,
+                    "trials": len(seeds),
+                    "median_pos_err_m": float(np.median(errs)) if errs else None,
+                }
+                print(f"{level:12s}: {n_pass}/{len(seeds)} passed, "
+                      f"median err "
+                      f"{summary[level]['median_pos_err_m'] or float('nan'):.1f} m",
+                      flush=True)
+                if out_f:
+                    for r in results:
+                        out_f.write(json.dumps(r) + "\n")
+        if out_f:
+            out_f.close()
+        print(json.dumps(summary, indent=2))
+        return 0 if all(s["passed"] == s["trials"] for s in summary.values()) else 1
 
     seeds = list(range(args.seed, args.seed + args.trials))
     out_f = open(args.out, "a") if args.out else None
     failures: list[dict] = []
     n_done = 0
     with concurrent.futures.ProcessPoolExecutor(max_workers=args.jobs) as pool:
-        for res in pool.map(run_trial, seeds):
+        for res in pool.map(run_trial, seeds, [args.impairment] * len(seeds)):
             n_done += 1
             sc = res["scenario"]
             line = (
