@@ -212,10 +212,16 @@ class NavConfig:
     # Consecutive UNKNOWN bits before the bit phase resets
     # (reference: gypsum/navigation_bit_intergrator.py:164-171).
     max_sequential_unknown_bits: int = 30
-    # Stop resyncing bit phase after this much receiver time; mirrors the
-    # reference's stabilization band-aid
-    # (reference: gypsum/navigation_bit_intergrator.py:278-282).
-    bit_phase_resync_cutoff_s: float = 40.0
+    # Stop resyncing bit phase after this much receiver time. The reference
+    # ships this as a 40 s stabilization band-aid
+    # (gypsum/navigation_bit_intergrator.py:281-282) because late resyncs
+    # corrupted its established subframe sync. This framework fixed the two
+    # root causes (bit-window offset and sticky tie-break, nav/bits.py:
+    # 83-99), and a 28-seed randomized campaign passes with the cutoff
+    # disabled (tools/campaign.py --no-resync-cutoff, 2026-08-17: 28/28),
+    # so the default is now off. Set to e.g. 40.0 to restore the
+    # reference's behavior.
+    bit_phase_resync_cutoff_s: float = float("inf")
     # Give up on subframe phase after this many subframes' worth of bits
     # (reference: gypsum/navigation_message_decoder.py:155).
     max_subframes_of_bits_without_phase: int = 12
