@@ -462,9 +462,12 @@ def main() -> None:
          f"[measured in {time.perf_counter()-t_oracle0:.1f}s]")
 
     # Default platform (TPU when present), one retry, then CPU fallback.
-    result = _run_worker("default", timeout_s=900)
+    # First-ever run pays tunnel warmup + full compile (the persistent
+    # cache makes retries and later runs much cheaper, so the retry often
+    # succeeds even when the first attempt times out mid-compile).
+    result = _run_worker("default", timeout_s=1200)
     if result is None:
-        result = _run_worker("default", timeout_s=900)
+        result = _run_worker("default", timeout_s=1200)
     if result is None:
         _log("falling back to CPU backend")
         result = _run_worker("cpu", timeout_s=900)
