@@ -105,13 +105,15 @@ class AcquisitionEngine:
         )
         self._circulant = None
         if self._correlator == "matmul":
-            from gypsum_tpu.ops.correlate import circulant_replica_table
+            from gypsum_tpu.ops.correlate import build_circulant_table_device
 
             # Device-resident bf16 circulant tables, passed as an ARGUMENT to
             # the jitted program (a closure constant this large would bloat
-            # the lowered HLO).
-            self._circulant = jax.device_put(
-                jnp.asarray(circulant_replica_table(reps))
+            # the lowered HLO). Built ON DEVICE from the 256 KB replica rows:
+            # uploading the prebuilt 256 MB table cost ~3 s on this
+            # environment's tunnel and was the whole post-cache cold start.
+            self._circulant = jax.jit(build_circulant_table_device)(
+                jnp.asarray(reps)
             )
         self._replica_tiled = np.concatenate([reps, reps], axis=1)  # [32, 2L]
         self._coarse_dopplers = np.arange(

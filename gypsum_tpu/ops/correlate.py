@@ -189,6 +189,20 @@ def circulant_replica_table(replica_table_f32: np.ndarray) -> np.ndarray:
     return replica_table_f32.astype(ml_dtypes.bfloat16)[:, idx]
 
 
+def build_circulant_table_device(replica_table: jax.Array) -> jax.Array:
+    """Device-side construction of the [S, L, L] bf16 circulant tables from
+    the [S, L] replica rows (one gather). Host->device bandwidth is the
+    scarce resource in this environment (~45 MB/s tunnel): uploading the
+    256 KB replica table and expanding on device replaces a ~3 s 256 MB
+    table upload — the entirety of the measured acquisition cold-start
+    after compile caching."""
+    length = replica_table.shape[-1]
+    l = jax.lax.broadcasted_iota(jnp.int32, (length, length), 0)
+    tau = jax.lax.broadcasted_iota(jnp.int32, (length, length), 1)
+    idx = jnp.mod(l - tau, length)
+    return jnp.take(replica_table.astype(jnp.bfloat16), idx, axis=1)
+
+
 def noncoherent_acquisition_sweep_matmul(
     samples_ms: jax.Array,  # [M, L] complex64
     dopplers: jax.Array,  # [D] float32

@@ -103,3 +103,25 @@ def test_lag_window_matches_full_correlation(rng):
         got = np.asarray(lag_window_correlate(jnp.asarray(x), tiled, jnp.int32(cp), 3))
         lags = (cp + np.arange(-3, 4)) % L
         np.testing.assert_allclose(got, full[lags], rtol=2e-3, atol=2e-2)
+
+
+def test_device_circulant_table_matches_host_builder():
+    """build_circulant_table_device (the upload-free path the acquisition
+    engine uses) must equal the host-numpy construction exactly (+/-1 chips
+    are bf16-exact)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gypsum_tpu.ops.correlate import (
+        build_circulant_table_device,
+        circulant_replica_table,
+    )
+    from gypsum_tpu.signal.prn import replica_table
+
+    reps = replica_table(2046)[:3]
+    host = np.asarray(circulant_replica_table(reps)).astype(np.float32)
+    dev = np.asarray(
+        jax.jit(build_circulant_table_device)(jnp.asarray(reps))
+    ).astype(np.float32)
+    np.testing.assert_array_equal(dev, host)
