@@ -271,6 +271,34 @@ PAGE18_SV_ID = 56
 
 
 @dataclass(frozen=True)
+class Subframe4Almanac:
+    """Subframe 4 pages 2-5 and 7-10: almanac for SVs 25-32, in exactly the
+    subframe-5 layout (IS-GPS-200 §20.3.3.5.1.2 — 'the almanac data ...
+    for SV 25 through 32 ... shall be as shown for subframe 5'). The
+    reference drops these pages; decoding them completes the warm-start
+    almanac for the FULL constellation (subframe 5 only covers SVs 1-24).
+    Field set mirrors Subframe5 so AlmanacStore.ingest handles both."""
+
+    data_id: int
+    almanac_sv_id: int
+    eccentricity: float
+    t_oa: float
+    delta_i: float
+    omega_dot: float
+    sv_health: int
+    sqrt_a: float
+    omega0: float
+    omega: float
+    m0: float
+    a_f0: float
+    a_f1: float
+
+    @property
+    def subframe_id(self) -> GpsSubframeId:
+        return GpsSubframeId.FOUR
+
+
+@dataclass(frozen=True)
 class Subframe4Page18:
     """Ionospheric (Klobuchar) and UTC parameters, subframe 4 page 18
     (IS-GPS-200 §20.3.3.5.1.6-1.8, Figure 20-1 sheet 8). The reference
@@ -367,7 +395,15 @@ class Subframe5:
         return GpsSubframeId.FIVE
 
 
-Subframe = Subframe1 | Subframe2 | Subframe3 | Subframe4 | Subframe4Page18 | Subframe5
+# Subframe-4 almanac pages use subframe 5's exact field layout (ICD
+# §20.3.3.5.1.2); the SV-ID range 25-32 selects this decode in
+# decode_subframe.
+Subframe4Almanac.FIELDS = Subframe5.FIELDS
+
+Subframe = (
+    Subframe1 | Subframe2 | Subframe3 | Subframe4 | Subframe4Page18
+    | Subframe4Almanac | Subframe5
+)
 
 _SUBFRAME_CLASSES: dict[GpsSubframeId, type] = {
     GpsSubframeId.ONE: Subframe1,
@@ -411,8 +447,12 @@ def decode_subframe(transmitted_bits: np.ndarray, strict_parity: bool = False) -
         subframe_id=GpsSubframeId.from_bits((int(source[43]), int(source[44]), int(source[45]))),
     )
     cls = _SUBFRAME_CLASSES[handover.subframe_id]
-    if cls is Subframe4 and decode_field(source, Subframe4.FIELDS[1]) == PAGE18_SV_ID:
-        cls = Subframe4Page18  # ionosphere/UTC page (IS-GPS-200 Table 20-V)
+    if cls is Subframe4:
+        sv_id = decode_field(source, Subframe4.FIELDS[1])
+        if sv_id == PAGE18_SV_ID:
+            cls = Subframe4Page18  # ionosphere/UTC (IS-GPS-200 Table 20-V)
+        elif 25 <= sv_id <= 32:
+            cls = Subframe4Almanac  # almanac for SVs 25-32 (sf5 layout)
     values = {f.name: decode_field(source, f) for f in cls.FIELDS}
     return DecodedSubframe(
         telemetry=telemetry,

@@ -37,6 +37,7 @@ from gypsum_tpu.nav.subframes import (
     Subframe1,
     Subframe2,
     Subframe3,
+    Subframe4Almanac,
     Subframe4Page18,
 )
 from gypsum_tpu.solve.ephemeris import (
@@ -275,7 +276,11 @@ class WorldModel:
                 "ionosphere/UTC parameters decoded (via PRN %d): alpha0=%.2e "
                 "beta0=%.0f dtLS=%d", prn, sf.alpha0, sf.beta0, sf.delta_t_ls,
             )
-        elif decoded.handover.subframe_id == GpsSubframeId.FIVE:
+        elif isinstance(sf, Subframe4Almanac) or (
+            decoded.handover.subframe_id == GpsSubframeId.FIVE
+        ):
+            # Subframe-5 pages cover SVs 1-24; subframe-4 almanac pages
+            # (same layout) cover 25-32 — one shared store for both.
             if self.almanac.ingest(sf):
                 _logger.debug(
                     "almanac page for SV %d (via PRN %d); %d SVs known",

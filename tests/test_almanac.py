@@ -214,3 +214,35 @@ def test_receiver_scan_mask_skips_below_horizon():
     # Mask disabled -> full eligibility (the reference's behavior).
     object.__setattr__(recv.config.acquisition, "horizon_mask_deg", None)
     assert recv._scan_candidates(now) == {5, 9, 17}
+
+
+def test_subframe4_almanac_pages_cover_svs_25_to_32():
+    """Subframe-4 pages carrying SV 25-32 almanac (subframe-5 layout,
+    IS-GPS-200 §20.3.3.5.1.2) must decode into Subframe4Almanac and feed the
+    shared store — the reference drops them, leaving its warm start blind to
+    a quarter of the constellation."""
+    from dataclasses import asdict
+
+    from gypsum_tpu.nav.frames import EmitSubframeEvent
+    from gypsum_tpu.nav.subframes import (
+        Subframe4Almanac,
+        decode_subframe,
+        encode_subframe,
+    )
+    from gypsum_tpu.solve.world import WorldModel
+
+    page5 = almanac_page_from_ephemeris(27, DEMO_EPHEMERIDES[2])
+    page4 = Subframe4Almanac(**asdict(page5))
+    bits = encode_subframe(page4, tow_count=2000)
+    dec = decode_subframe(bits)
+    assert isinstance(dec.subframe, Subframe4Almanac)
+    assert dec.subframe.almanac_sv_id == 27
+    assert dec.handover.subframe_id.value == 4
+
+    world = WorldModel()
+    world.handle_subframe_emitted(
+        7, EmitSubframeEvent(0.0, 6.0, decoded=dec)
+    )
+    assert 27 in world.almanac
+    # The stored page converts to an orbit like any subframe-5 page.
+    assert 27 in world.almanac.orbits()
