@@ -158,10 +158,10 @@ class TrackingConfig:
     # Two-phase MXU tracker (track/matmul.py): evaluate the whole block's
     # lag correlations as ONE batched bf16 matmul against a phasor-folded
     # replica matrix, then run the sequential loop-filter updates as a tiny
-    # [S]-vector scan. Removes the per-ms VPU wipeoff/correlate work
-    # entirely; also GSPMD-shardable (no pallas_call). None = on for the
-    # TPU backend, off elsewhere (CPU tests keep the reference scan path
-    # unless forced).
+    # [S]-vector scan/kernel. Removes the per-ms VPU wipeoff/correlate work
+    # entirely; also GSPMD-shardable (no pallas_call in the matmul phase).
+    # None = on everywhere (fastest path on TPU and CPU) unless
+    # use_pallas_block_tracker=True explicitly selects the block kernel.
     use_matmul_tracker: bool | None = None
     # bf16 matmul inputs for the phase-1 contraction (f32 accumulation).
     # f32 on CPU keeps parity tests exact; bf16 on TPU feeds the MXU at
@@ -256,6 +256,10 @@ class SolverConfig:
     # once subframe 4 page 18 has been decoded. The reference never decodes
     # the page, so False reproduces its (uncorrected) behavior.
     apply_iono_correction: bool = True
+    # Apply the Saastamoinen tropospheric model (solve/tropo.py) once a
+    # position estimate exists. Needs no broadcast data; False reproduces
+    # the reference's (uncorrected) behavior.
+    apply_tropo_correction: bool = True
     # 4-SV integer-ms ambiguity tie-break: when several lattice hypotheses
     # are altitude-plausible, commit the unique one within this distance of
     # the last fix (lattice points sit ~300 km apart, so any position

@@ -302,8 +302,30 @@ class Receiver:
 
         # --- PRN-tick accounting around mid-block subframe resets. The
         # sub-sample *measured* code phase feeds pseudoranges (1 sample of
-        # quantization is ~147 m of range at 2.046 Msps).
-        cp_delay = float(obs.code_phases_measured[-1]) / self.sample_rate
+        # quantization is ~147 m of range at 2.046 Msps). Per-ms
+        # measurements are independent and unbiased (sigma ~0.03 samples),
+        # so project each onto the block end along the DETERMINISTIC code-
+        # Doppler drift and take the median of the last ~250: pseudorange
+        # noise drops ~sqrt(N) (a single final-millisecond reading, the
+        # previous behavior, was the receiver's dominant error at ~2-4 m;
+        # referencing against the loop cp instead would import the DLL's
+        # random walk, sigma ~0.2 samples).
+        from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
+
+        spp = float(self.samples_per_prn)
+        cm = np.asarray(obs.code_phases_measured, dtype=np.float64)
+        steps = (spp / GPS_L1_FREQUENCY_HZ) * np.asarray(obs.dopplers, np.float64)
+        # suffix[t] = sum(steps[t : -1]) — the drift between ms t and the
+        # block's final millisecond (cp advances by -steps_t per ms).
+        suffix = np.concatenate([np.cumsum(steps[:-1][::-1])[::-1], [0.0]])
+        pred_end = cm - suffix
+        n_avg = min(len(pred_end), 250)
+        w = pred_end[-n_avg:]
+        # Unwrap each prediction to the final reading's neighborhood, then
+        # median (robust to the occasional adjacent-lag argmax outlier).
+        w = (w - cm[-1] + spp / 2.0) % spp - spp / 2.0
+        cp_block_end = (cm[-1] + float(np.median(w))) % spp
+        cp_delay = cp_block_end / self.sample_rate
         doppler = float(obs.dopplers[-1])
         # Once-per-block observables (carrier-smoothed pseudorange update).
         self.world.handle_channel_block(obs.prn, cp_delay, doppler, block_ms)

@@ -202,6 +202,10 @@ def synthesize_constellation(
     receiver_clock_drift: float = 0.0,
     impairments: "RfImpairments | None" = None,
     iono=None,  # solve.iono.IonoUtcParams: inject Klobuchar-consistent delay
+    # Saastamoinen tropospheric delay: ON by default — real signals always
+    # carry it, and the solver's default correction removes it (set False
+    # for geometric-only fixtures).
+    tropo: bool = True,
 ) -> tuple[np.ndarray, ConstellationTruth]:
     """Generate ``duration_s`` of baseband IQ for the scene.
 
@@ -272,8 +276,21 @@ def synthesize_constellation(
             ])
         else:
             iono_g = np.zeros_like(tau_g)
-        tau_code_g = tau_g + iono_g
-        tau_phase_g = tau_g - iono_g
+        # Troposphere is non-dispersive: code and carrier delayed equally
+        # (solve/tropo.py — the same model the solver removes).
+        if tropo:
+            from gypsum_tpu.solve.geodesy import ecef_to_lla, elevation_azimuth
+            from gypsum_tpu.solve.tropo import tropo_delay_s
+
+            alt_u = ecef_to_lla(rx)[2]
+            tropo_g = np.array([
+                tropo_delay_s(elevation_azimuth(rx_g[i], sat_pos[i])[0], alt_u)
+                for i in range(len(grid))
+            ])
+        else:
+            tropo_g = np.zeros_like(tau_g)
+        tau_code_g = tau_g + iono_g + tropo_g
+        tau_phase_g = tau_g - iono_g + tropo_g
 
         # Ground truth at the first sample.
         tau0 = float(np.interp(gps_start_time_sow, grid, tau_g))

@@ -406,25 +406,33 @@ class WorldModel:
                 sat_pos[i] = satellite_position(
                     rec.ephemeris, sv_tow, kepler_iterations=cfg.kepler_iterations
                 )
-                # Klobuchar ionospheric group delay (solve/iono.py): the
-                # code arrives LATE by T_iono, so subtract it from the
-                # transit. Needs a position estimate for the pierce-point
-                # geometry — rounds after the first have one (round 0 runs
-                # uncorrected, like a cold reference receiver).
-                if (
-                    cfg.apply_iono_correction
-                    and self.iono_utc is not None
-                    and np.linalg.norm(pos) > 6.0e6
+                # Atmospheric corrections: both make the code arrive LATE,
+                # so subtract from the transit. They need a position
+                # estimate for the geometry — rounds after the first have
+                # one (round 0 runs uncorrected, like a cold reference
+                # receiver).
+                # - Klobuchar ionosphere (solve/iono.py), once subframe 4
+                #   page 18 has been decoded;
+                # - Saastamoinen troposphere (solve/tropo.py), model-only.
+                if np.linalg.norm(pos) > 6.0e6 and (
+                    cfg.apply_tropo_correction
+                    or (cfg.apply_iono_correction and self.iono_utc is not None)
                 ):
                     from gypsum_tpu.solve.geodesy import elevation_azimuth
-                    from gypsum_tpu.solve.iono import klobuchar_delay_s
 
-                    lat_u, lon_u, _ = ecef_to_lla(pos)
+                    lat_u, lon_u, alt_u = ecef_to_lla(pos)
                     el, az = elevation_azimuth(pos, sat_pos[i])
-                    transit[i] -= klobuchar_delay_s(
-                        self.iono_utc, lat_u, lon_u, el, az,
-                        self.receiver_clock_slide + receiver_timestamp,
-                    )
+                    if cfg.apply_iono_correction and self.iono_utc is not None:
+                        from gypsum_tpu.solve.iono import klobuchar_delay_s
+
+                        transit[i] -= klobuchar_delay_s(
+                            self.iono_utc, lat_u, lon_u, el, az,
+                            self.receiver_clock_slide + receiver_timestamp,
+                        )
+                    if cfg.apply_tropo_correction:
+                        from gypsum_tpu.solve.tropo import tropo_delay_s
+
+                        transit[i] -= tropo_delay_s(el, alt_u)
             pos, bias = solve_position(
                 sat_pos, transit, initial_position=pos, initial_bias=bias,
                 iterations=cfg.newton_iterations,

@@ -365,10 +365,13 @@ def make_track_block_fn(
         assert farm_idx.shape == (n_channels,)
 
     # The two-phase MXU tracker (track/matmul.py) supersedes both the scan
-    # and the Pallas block kernel where enabled (default: TPU backend).
+    # and the Pallas block kernel by default — it is the fastest path on
+    # BOTH backends (TPU: 16.8 -> ~3 ms per 1 s block; CPU: 727 -> ~60 ms).
+    # An explicit use_pallas_block_tracker=True still selects the block
+    # kernel (parity tests compare the implementations).
     use_matmul = cfg.use_matmul_tracker
     if use_matmul is None:
-        use_matmul = jax.default_backend() == "tpu"
+        use_matmul = cfg.use_pallas_block_tracker is not True
     if use_matmul:
         from gypsum_tpu.track.matmul import make_matmul_track_block_fn
 

@@ -25,7 +25,8 @@ def test_block_kernel_matches_scan_path():
     # Force the same margin on both paths (the block kernel uses a fixed
     # margin of 10 to keep its lag matrix within VMEM).
     cfg_scan = TrackingConfig(
-        block_size_ms=B, use_pallas_block_tracker=False, lag_window_block_margin=10
+        block_size_ms=B, use_pallas_block_tracker=False,
+        use_matmul_tracker=False, lag_window_block_margin=10
     )
     cfg_kernel = dataclasses.replace(cfg_scan, use_pallas_block_tracker=True)
     reps = replica_table(L)
@@ -69,6 +70,7 @@ def test_block_kernel_through_tracker_bank():
         cfg = TrackingConfig(
             block_size_ms=B,
             use_pallas_block_tracker=use_kernel,
+            use_matmul_tracker=False if not use_kernel else None,
             lag_window_block_margin=10,
         )
         bank = TrackerBank(FS, L, cfg, n_channels=4)
@@ -118,7 +120,7 @@ def test_block_kernel_tracks_high_doppler_full_drift():
     st = fresh_state(S)
     st = st._replace(doppler=st.doppler + dopp, code_phase=st.code_phase + 900.0)
 
-    cfg_scan = TrackingConfig(block_size_ms=B, use_pallas_block_tracker=False)
+    cfg_scan = TrackingConfig(block_size_ms=B, use_pallas_block_tracker=False, use_matmul_tracker=False)
     cfg_kern = TrackingConfig(block_size_ms=B, use_pallas_block_tracker=True)
     sA, oA = jax.device_get(make_track_block_fn(cfg_scan, L, FS, S)(st, planes, replicas))
     sB, oB = jax.device_get(make_track_block_fn(cfg_kern, L, FS, S)(st, planes, replicas))
