@@ -221,9 +221,20 @@ def cmd_synth(args) -> int:
                 raise ValueError
         except ValueError:
             raise SystemExit(f'--vel expects "vx,vy,vz" in m/s, got {args.vel!r}')
+    impairments = None
+    if args.bandwidth or args.phase_noise or args.multipath or args.adc_bits:
+        from gypsum_tpu.signal.constellation import RfImpairments
+
+        impairments = RfImpairments(
+            frontend_bandwidth_hz=args.bandwidth,
+            phase_noise_rad_per_sqrt_s=args.phase_noise or 0.0,
+            multipath_delay_s=args.multipath,
+            adc_bits=args.adc_bits,
+        )
     iq, truth = synthesize_constellation(
         demo_constellation(prns), rx, DEMO_GPS_START_SOW, args.duration,
         args.rate, noise_sigma=args.noise, receiver_velocity_ecef=velocity,
+        tropo=not args.no_tropo, impairments=impairments,
     )
     if args.out.endswith(".npy"):
         np.save(args.out, iq)
@@ -306,6 +317,16 @@ def main(argv=None) -> int:
     p.add_argument("--alt", type=float, default=80.0)
     p.add_argument("--vel", default=None,
                    help='receiver ECEF velocity "vx,vy,vz" in m/s (default static)')
+    p.add_argument("--no-tropo", action="store_true",
+                   help="omit the (default) Saastamoinen tropospheric delay")
+    p.add_argument("--bandwidth", type=float, default=None,
+                   help="front-end low-pass cutoff in Hz (RF impairment)")
+    p.add_argument("--phase-noise", type=float, default=None,
+                   help="TCXO phase-noise random walk in rad/sqrt(s)")
+    p.add_argument("--multipath", type=float, default=None,
+                   help="one multipath ray at this excess delay (seconds)")
+    p.add_argument("--adc-bits", type=int, default=None,
+                   help="quantize the capture to this many ADC bits per component")
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("bench", help="run the tracked-throughput benchmark")

@@ -39,11 +39,15 @@ class ReceiverMetrics:
     fix_count: int = 0
     acquisitions: int = 0
     drops: int = 0
+    rescues: int = 0
     counters: dict = field(default_factory=lambda: defaultdict(int))
     channels: dict = field(default_factory=dict)
     last_fix: dict | None = None
 
+    _iono_decoded: bool = False
+
     def on_block(self, receiver, report) -> None:
+        self._iono_decoded = receiver.world.iono_utc is not None
         block_samples = int(
             (report.block_end - report.block_start) * receiver.sample_rate
         )
@@ -53,6 +57,7 @@ class ReceiverMetrics:
         self.subframe_count = receiver.subframe_count
         self.acquisitions += len(report.newly_acquired)
         self.drops += len(report.dropped_prns)
+        self.rescues += len(getattr(report, "rescued_prns", []))
         for obs in report.observations:
             self.channels[obs.prn] = ChannelHealth(
                 prn=obs.prn,
@@ -106,6 +111,10 @@ class ReceiverMetrics:
             "fixes": self.fix_count,
             "acquisitions": self.acquisitions,
             "drops": self.drops,
+            "rescues": self.rescues,
+            # Atmospheric-correction state (solve/iono.py, solve/tropo.py):
+            # whether subframe 4 page 18 has been decoded yet.
+            "iono_utc_decoded": self._iono_decoded,
             "channels": {
                 prn: {
                     "doppler_hz": round(c.doppler_hz, 1),

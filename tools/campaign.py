@@ -41,7 +41,11 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-POSITION_TOLERANCE_M = 75.0
+# Tightened 75 -> 15 m after the drift-projected median pseudoranges +
+# atmospheric corrections (round 2): typical scenario error is now
+# sub-meter to a few meters, so 15 m still catches any systematic while
+# leaving margin for hard 4-SV geometries.
+POSITION_TOLERANCE_M = 15.0
 VELOCITY_TOLERANCE_MPS = 2.0
 
 
