@@ -252,6 +252,11 @@ class SolverConfig:
     # shrinks ~ sqrt(N) while the carrier delta is mm-level per second; the
     # reference uses raw whole-millisecond pseudoranges with no smoothing.
     carrier_smoothing_window: int = 20
+    # Per-ms code-phase measurements projected onto the block end (along
+    # the code-Doppler drift) and median-combined into the block's
+    # pseudorange reading; 1 reproduces the single-final-millisecond
+    # behavior.
+    pseudorange_projection_ms: int = 250
     # Apply the broadcast Klobuchar ionospheric correction (solve/iono.py)
     # once subframe 4 page 18 has been decoded. The reference never decodes
     # the page, so False reproduces its (uncorrected) behavior.

@@ -319,7 +319,7 @@ class Receiver:
         # block's final millisecond (cp advances by -steps_t per ms).
         suffix = np.concatenate([np.cumsum(steps[:-1][::-1])[::-1], [0.0]])
         pred_end = cm - suffix
-        n_avg = min(len(pred_end), 250)
+        n_avg = min(len(pred_end), max(1, self.config.solver.pseudorange_projection_ms))
         w = pred_end[-n_avg:]
         # Unwrap each prediction to the final reading's neighborhood, then
         # median (robust to the occasional adjacent-lag argmax outlier).

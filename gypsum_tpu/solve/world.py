@@ -515,14 +515,22 @@ class WorldModel:
             return transit
         # Newton smears a 1 ms outlier across every residual (the wrong
         # position absorbs most of it), so integer-snapping single residuals
-        # fails. Search per-satellite integer-ms shifts instead, accepting
-        # only candidates whose re-solved position stays on the Earth shell
-        # (the integer lattice has false minima ~1000 km up). Tick
-        # corrections commit only if the search lands a consistent,
-        # plausible solution — otherwise everything is left untouched.
-        best = (base_rms, transit.copy(), np.zeros(len(prns), dtype=int))
-        for _pass in range(3):
-            improved = False
+        # fails. Greedy coordinate descent over per-satellite integer-ms
+        # shifts instead. Acceptance is a 10% RMS improvement — NOT a
+        # halving, and NOT plausibility: with k simultaneous slips, fixing
+        # one of them improves RMS only ~sqrt((k-1)/k) (k=2 -> 0.71,
+        # k=4 -> 0.87), and the intermediate position is still far off the
+        # Earth shell (campaign seed 16: two +1 ms slips, unrepairable
+        # under the old halve-and-be-plausible step gate). Plausibility and
+        # consistency are enforced once, on the FINAL candidate, before any
+        # tick correction commits.
+        best = (base_rms, transit.copy(), np.zeros(len(prns), dtype=int), pos, bias)
+        for _pass in range(6):
+            # Evaluate EVERY single +/-1 ms step and take the best — first-
+            # qualifying greedy order walked into wrong satellites when a
+            # non-slipped step also cleared the threshold (two-slip sets
+            # have several ~0.88 decoys next to the true 0.37 step).
+            step_best = None
             for i in range(len(prns)):
                 for dk in (-1, 1):
                     cand = best[1].copy()
@@ -532,16 +540,18 @@ class WorldModel:
                         iterations=self.config.newton_iterations,
                     )
                     r2 = rms_m(cand, p2, b2)
-                    if r2 < 0.5 * best[0] and plausible(p2, b2):
-                        k2 = best[2].copy()
-                        k2[i] += dk
-                        best = (r2, cand, k2)
-                        improved = True
-                        break
-            if not improved or best[0] < 1000.0:
+                    if step_best is None or r2 < step_best[0]:
+                        step_best = (r2, cand, i, dk, p2, b2)
+            if step_best is None or step_best[0] >= 0.9 * best[0]:
                 break
-        final_rms, final_transit, k_vec = best
-        if final_rms >= 1000.0 or not k_vec.any():
+            r2, cand, i, dk, p2, b2 = step_best
+            k2 = best[2].copy()
+            k2[i] += dk
+            best = (r2, cand, k2, p2, b2)
+            if best[0] < 1000.0:
+                break
+        final_rms, final_transit, k_vec, final_pos, final_bias = best
+        if final_rms >= 1000.0 or not k_vec.any() or not plausible(final_pos, final_bias):
             if k_vec.any() or base_rms >= 1000.0:
                 _logger.warning(
                     "pseudorange set inconsistent (residual RMS %.0f m) and "

@@ -408,3 +408,21 @@ def test_ambiguous_4sv_repair_tiebreaks_on_prior_fix():
     assert not np.array_equal(out1, slipped)
     p2, _b = solve_position(sat_pos, out1, initial_position=None, initial_bias=0.0)
     assert np.linalg.norm(p2 - rx) < 1_000.0
+
+
+def test_multi_sv_millisecond_slip_repair():
+    """Regression (campaign seed 16 at sub-meter accuracy): TWO satellites
+    slipped +1 ms simultaneously. The old repair required each greedy step
+    to HALVE the residual RMS and stay on the Earth shell — impossible when
+    fixing one of two slips (RMS falls only ~sqrt(1/2), position still far
+    off) — so the set was declared unrepairable and the fix landed ~100 km
+    out. The descent now accepts 10% improvements and defers plausibility
+    to the final commit."""
+    truth = lla_to_ecef(51.5, -0.1, 80.0)
+    world, r_ts = _world_with_consistent_observations(truth, n_svs=6)
+    world._sats[3].prn_ticks_since_subframe += 1
+    world._sats[5].prn_ticks_since_subframe += 1
+    solution = world.attempt_position_fix(r_ts)
+    assert solution is not None
+    err = np.linalg.norm(solution.ecef - truth)
+    assert err < 30.0, f"multi-slip not repaired: {err:.0f} m"
