@@ -504,6 +504,18 @@ class WorldModel:
             r = r - r.mean()  # common part belongs to the clock bias
             return float(np.sqrt(np.mean(r * r)))
 
+        def median_snap(tr, p, b):
+            """Hypothesis straight from the residual structure: demean the
+            per-SV residuals by their MEDIAN (robust to a minority of
+            slipped satellites) and round to integer milliseconds. Catches
+            multi-slip patterns in one step where greedy descent falls into
+            the complement path's local minimum (campaign seed 26: 2 of 8
+            slipped; the 6-step complement walk plateaus)."""
+            ranges = np.linalg.norm(sat_pos - p[None, :], axis=1)
+            r = C * (tr - b) - ranges
+            r_ms = (r - np.median(r)) / (C * 1e-3)
+            return -np.round(r_ms).astype(int)
+
         def plausible(p, b):
             # Terrestrial receiver shell (+/- ~60 km of the geoid) and a sane
             # clock bias: integer-ms lattice points other than the truth are
@@ -525,7 +537,78 @@ class WorldModel:
         # consistency are enforced once, on the FINAL candidate, before any
         # tick correction commits.
         best = (base_rms, transit.copy(), np.zeros(len(prns), dtype=int), pos, bias)
+
+        def try_exclusion(state):
+            """Fault detection & exclusion, exhaustive leave-k-out: find the
+            smallest set of satellites whose removal leaves a self-consistent
+            subset (>= 5 kept, so consistency is a real statement), then
+            read each excluded SV's integer-ms offset directly against that
+            CLEAN solution — no smearing, so decoys snap to 0 and true
+            slips to their k. Exhaustive, not greedy-by-largest-residual:
+            with 2 of 8 slipped, Newton smearing makes a NON-slipped SV the
+            largest residual (campaign seed 26), so residual ranking chases
+            decoys. Cost is bounded: C(12,1)+C(12,2)+C(12,3) ~ 300 tiny
+            host-side solves in the worst case, on a path that only runs
+            for already-inconsistent epochs."""
+            import itertools
+
+            rms0, tr0, k0, _p0, _b0 = state
+            n = len(tr0)
+            found = None
+            for k in range(1, min(3, n - 5) + 1):
+                for excl in itertools.combinations(range(n), k):
+                    active = [i for i in range(n) if i not in excl]
+                    p_a, b_a = solve_position(
+                        sat_pos[active], tr0[active], initial_position=None,
+                        initial_bias=0.0, iterations=self.config.newton_iterations,
+                    )
+                    ranges = np.linalg.norm(sat_pos[active] - p_a[None, :], axis=1)
+                    r = C * (tr0[active] - b_a) - ranges
+                    r = r - r.mean()
+                    rms_sub = float(np.sqrt(np.mean(r * r)))
+                    if rms_sub < 1000.0 and (found is None or rms_sub < found[0]):
+                        found = (rms_sub, excl, p_a, b_a)
+                if found is not None:
+                    break
+            if found is None:
+                return state
+            _rms_sub, excl, p_a, b_a = found
+            dk = np.zeros(n, dtype=int)
+            for j in excl:
+                r_j = C * (tr0[j] - b_a) - np.linalg.norm(sat_pos[j] - p_a)
+                dk[j] = -int(np.round(r_j / (C * 1e-3)))
+            if not dk.any():
+                return state
+            cand = tr0 + dk * 1e-3
+            p2, b2 = solve_position(
+                sat_pos, cand, initial_position=None, initial_bias=0.0,
+                iterations=self.config.newton_iterations,
+            )
+            r2 = rms_m(cand, p2, b2)
+            if r2 < rms0:
+                return (r2, cand, k0 + dk, p2, b2)
+            return state
+
+        def try_snap(state):
+            rms0, tr0, k0, p0, b0 = state
+            dk = median_snap(tr0, p0, b0)
+            if not dk.any():
+                return state
+            cand = tr0 + dk * 1e-3
+            p2, b2 = solve_position(
+                sat_pos, cand, initial_position=None, initial_bias=0.0,
+                iterations=self.config.newton_iterations,
+            )
+            r2 = rms_m(cand, p2, b2)
+            if r2 < rms0:
+                return (r2, cand, k0 + dk, p2, b2)
+            return state
+
+        best = try_exclusion(best)
+        best = try_snap(best)
         for _pass in range(6):
+            if best[0] < 1000.0:
+                break
             # Evaluate EVERY single +/-1 ms step and take the best — first-
             # qualifying greedy order walked into wrong satellites when a
             # non-slipped step also cleared the threshold (two-slip sets
@@ -548,8 +631,10 @@ class WorldModel:
             k2 = best[2].copy()
             k2[i] += dk
             best = (r2, cand, k2, p2, b2)
-            if best[0] < 1000.0:
-                break
+            # Re-try the residual-structure snap from the new vantage: one
+            # accepted step often de-smears the residuals enough for the
+            # median round to read the remaining slips directly.
+            best = try_snap(best)
         final_rms, final_transit, k_vec, final_pos, final_bias = best
         if final_rms >= 1000.0 or not k_vec.any() or not plausible(final_pos, final_bias):
             if k_vec.any() or base_rms >= 1000.0:

@@ -426,3 +426,42 @@ def test_multi_sv_millisecond_slip_repair():
     assert solution is not None
     err = np.linalg.norm(solution.ecef - truth)
     assert err < 30.0, f"multi-slip not repaired: {err:.0f} m"
+
+
+def test_exhaustive_exclusion_repairs_two_of_eight():
+    """Regression (campaign seed 26): with 2 of 8 satellites slipped +1 ms,
+    Newton smearing makes a NON-slipped satellite the largest residual, so
+    greedy exclusion and whole-set median snapping both chase decoys. The
+    exhaustive leave-k-out FDE must still find the unique consistent
+    6-subset and repair both slips."""
+    from gypsum_tpu.signal.scenarios import DEMO_EPHEMERIDES, DEMO_GPS_START_SOW
+    from gypsum_tpu.solve.ephemeris import satellite_position
+    from gypsum_tpu.solve.world import WorldModel
+
+    rng = np.random.default_rng(26)
+    truth = lla_to_ecef(51.8, -2.0, 250.0)
+    t = DEMO_GPS_START_SOW + 20.0
+    sat_pos = np.array([satellite_position(DEMO_EPHEMERIDES[s], t) for s in range(8)])
+    bias = 0.36e-3
+    transit = np.linalg.norm(sat_pos - truth[None, :], axis=1) / C + bias
+    transit += rng.normal(0.0, 1.0 / C, size=8)  # ~1 m code noise
+    slipped = transit.copy()
+    slipped[3] += 1e-3
+    slipped[6] += 1e-3
+
+    w = WorldModel(SolverConfig())
+    prns = list(range(1, 9))
+    for p in prns:
+        w._record(p)
+    pos0, b0 = solve_position(sat_pos, slipped)
+    assert np.linalg.norm(pos0 - truth) > 50_000  # the smeared bad fix
+    repaired = w._repair_millisecond_ambiguities(prns, sat_pos, slipped, pos0, b0)
+    p2, _ = solve_position(sat_pos, repaired)
+    err = np.linalg.norm(p2 - truth)
+    assert err < 30.0, f"2-of-8 slips unrepaired: {err:.0f} m"
+    # Tick corrections committed for exactly the slipped satellites.
+    assert w._sats[4].prn_ticks_since_subframe == 1
+    assert w._sats[7].prn_ticks_since_subframe == 1
+    assert all(
+        w._sats[p].prn_ticks_since_subframe == 0 for p in (1, 2, 3, 5, 6, 8)
+    )
