@@ -287,3 +287,33 @@ class AcquisitionEngine:
 def _mod_cycles(cycles: jax.Array) -> jax.Array:
     """Reduce a phase expressed in cycles to [-0.5, 0.5] to keep f32 exact."""
     return cycles - jnp.round(cycles)
+
+
+# AcquisitionEngine is stateless across detect() calls, so instances are
+# shared process-wide: constructing one re-traces the 32-PRN search program
+# AND rebuilds the device-resident circulant table — hundreds of ms per
+# Receiver even on a warm compile cache. One engine per distinct
+# (rate, L, config, backend) serves every Receiver in the process.
+_ENGINE_CACHE: dict = {}
+
+
+def shared_acquisition_engine(
+    sample_rate: float,
+    samples_per_prn: int,
+    config: "AcquisitionConfig | None" = None,
+) -> AcquisitionEngine:
+    key = (
+        float(sample_rate),
+        int(samples_per_prn),
+        config,
+        jax.default_backend(),  # correlator selection is backend-dependent
+    )
+    try:
+        eng = _ENGINE_CACHE.get(key)
+    except TypeError:  # unhashable config — build uncached
+        return AcquisitionEngine(sample_rate, samples_per_prn, config)
+    if eng is None:
+        eng = _ENGINE_CACHE[key] = AcquisitionEngine(
+            sample_rate, samples_per_prn, config
+        )
+    return eng

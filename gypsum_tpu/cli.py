@@ -189,11 +189,11 @@ def cmd_replay(args) -> int:
 
 
 def cmd_acquire(args) -> int:
-    from gypsum_tpu.acquire.engine import AcquisitionEngine
+    from gypsum_tpu.acquire.engine import shared_acquisition_engine
 
     source = _open_source(args)
     attrs = source.attributes
-    engine = AcquisitionEngine(attrs.sample_rate, attrs.samples_per_prn)
+    engine = shared_acquisition_engine(attrs.sample_rate, attrs.samples_per_prn)
     n_ms = engine.config.integration_period_ms
     _, block = source.read_block(n_ms)
     for r in engine.acquire_all(block):
@@ -339,9 +339,14 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     # Persistent compilation cache: later runs deserialize compiled programs
     # instead of recompiling (multi-minute TPU cold starts -> seconds).
-    from gypsum_tpu.core.compile_cache import enable_persistent_cache
+    # Skipped for synth: it is numpy-only, and enable_persistent_cache's
+    # backend query would initialize the TPU plugin — on this environment
+    # that blocks for the full tunnel warmup (minutes) before a single
+    # sample is synthesized.
+    if args.command != "synth":
+        from gypsum_tpu.core.compile_cache import enable_persistent_cache
 
-    enable_persistent_cache()
+        enable_persistent_cache()
     if args.profile_dir:
         import jax
 

@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from gypsum_tpu.acquire.engine import AcquisitionEngine, AcquisitionResult
+from gypsum_tpu.acquire.engine import AcquisitionResult, shared_acquisition_engine
 from gypsum_tpu.core.config import ReceiverConfig
 from gypsum_tpu.core.events import (
     CannotDetermineBitPhaseEvent,
@@ -90,7 +90,7 @@ class Receiver:
         self.sample_rate = attrs.sample_rate
         self.samples_per_prn = attrs.samples_per_prn
 
-        self.acquisition = AcquisitionEngine(
+        self.acquisition = shared_acquisition_engine(
             self.sample_rate, self.samples_per_prn, self.config.acquisition
         )
         # Integer captures ship raw words to the device and dequantize

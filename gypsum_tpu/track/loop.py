@@ -104,6 +104,15 @@ def fresh_state(n_channels: int) -> TrackState:
     )
 
 
+# Jitted block trackers are pure functions of their (hashable) build
+# parameters, so they are shared process-wide: without this every
+# TrackerBank (one per Receiver) re-traced and re-lowered the same program
+# — several hundred ms per construction even on a warm persistent compile
+# cache, and the dominant cost of restarting a receiver in-process
+# (campaign workers, bench run_once, checkpoint restarts).
+_TRACK_FN_CACHE: dict = {}
+
+
 def make_track_block_fn(
     config: TrackingConfig,
     samples_per_prn: int,
@@ -112,7 +121,7 @@ def make_track_block_fn(
     stream_of_channel: np.ndarray | None = None,
     input_offset: float = 0.0,
 ):
-    """Build the jitted block-tracking function.
+    """Build (or fetch the process-wide cached) jitted block-tracking function.
 
     Returns ``f(state, samples_block [B, L, 2] f32 I/Q planes,
     replicas_tiled [S, 2L+2K] f32) -> (state', TrackBlockOutputs [S, B])``.
@@ -124,6 +133,43 @@ def make_track_block_fn(
     [B, N, L, 2] (N independent streams) and channel s correlates against
     stream ``stream_of_channel[s]`` (see make_farm_track_block_fn).
     """
+    farm_key = (
+        None
+        if stream_of_channel is None
+        else np.asarray(stream_of_channel, dtype=np.int32).tobytes()
+    )
+    key = (
+        config,
+        int(samples_per_prn),
+        float(sample_rate),
+        int(n_channels),
+        float(input_offset),
+        farm_key,
+        jax.default_backend(),  # path selection is backend-dependent
+    )
+    try:
+        return _TRACK_FN_CACHE[key]
+    except KeyError:
+        pass
+    except TypeError:  # unhashable config field — build uncached
+        key = None
+    fn = _build_track_block_fn(
+        config, samples_per_prn, sample_rate, n_channels,
+        stream_of_channel=stream_of_channel, input_offset=input_offset,
+    )
+    if key is not None:
+        _TRACK_FN_CACHE[key] = fn
+    return fn
+
+
+def _build_track_block_fn(
+    config: TrackingConfig,
+    samples_per_prn: int,
+    sample_rate: float,
+    n_channels: int,
+    stream_of_channel: np.ndarray | None = None,
+    input_offset: float = 0.0,
+):
     cfg = config
     length = samples_per_prn
     fs = float(sample_rate)
