@@ -271,6 +271,15 @@ class SolverConfig:
     # history separates them decisively; measured rates in
     # tools/lattice_study.py).
     ambiguity_tiebreak_radius_m: float = 50_000.0
+    # Navigation EKF (solve/ekf.py): shadows the least-squares fix on full
+    # epochs and bridges < 4-satellite outages with whatever pseudorange /
+    # Doppler measurements remain (the reference goes dark there,
+    # gypsum/world_model.py:567-589). Coast solutions stop publishing once
+    # the filter's position sigma exceeds the gate; the filter snaps back
+    # to the least-squares fix if it ever wanders past the reinit distance.
+    ekf_enabled: bool = True
+    ekf_reinit_distance_m: float = 100.0
+    ekf_coast_max_sigma_m: float = 50.0
 
 
 @dataclass(frozen=True)

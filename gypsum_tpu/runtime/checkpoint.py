@@ -25,7 +25,9 @@ from pathlib import Path
 #       doppler_hz / smoothed_delay_s / smoothing_depth. A v1 checkpoint
 #       would unpickle but crash later with AttributeError, so the version
 #       gate rejects it cleanly instead.
-CHECKPOINT_VERSION = 2
+#   3 — WorldModel gained the navigation EKF (_ekf, solve/ekf.py) and
+#       ReceiverSolution the ``kind`` field.
+CHECKPOINT_VERSION = 3
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:

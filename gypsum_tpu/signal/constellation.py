@@ -57,6 +57,12 @@ class ConstellationSatellite:
     # see almanac_pages_for_scene). Empty -> subframe-5 slots carry sf4's
     # payload, as before.
     sf5_pages: list[Subframe5] = field(default_factory=list)
+    # Fault injection: the SV transmits only inside this *stream-time*
+    # window (seconds; None = unbounded). An SV masked mid-capture models
+    # an obstruction/outage — the drop-to-coast scenario the navigation
+    # EKF (solve/ekf.py) exists for.
+    visible_from_s: float | None = None
+    visible_until_s: float | None = None
 
 
 @dataclass(frozen=True)
@@ -321,6 +327,16 @@ def synthesize_constellation(
           for delay_extra, amp_factor, phase_extra in rays:
             hi = min(lo + chunk, n_samples)
             r = np.arange(lo, hi, dtype=np.float64) / sample_rate  # stream s
+            if sat.visible_from_s is not None or sat.visible_until_s is not None:
+                vis = np.ones(hi - lo)
+                if sat.visible_from_s is not None:
+                    vis *= r >= sat.visible_from_s
+                if sat.visible_until_s is not None:
+                    vis *= r < sat.visible_until_s
+                if not vis.any():
+                    continue
+            else:
+                vis = 1.0
             t = gps_start_time_sow + r * (1.0 + receiver_clock_drift)
             tau = np.interp(t, grid, tau_code_g) + delay_extra
             tau_ph = np.interp(t, grid, tau_phase_g) + delay_extra
@@ -352,7 +368,7 @@ def synthesize_constellation(
             cycles = -GPS_L1_FREQUENCY_HZ * (tau_ph + receiver_clock_drift * r)
             phase = 2.0 * np.pi * (cycles - np.round(cycles)) + phase_extra
             out[lo:hi] += (
-                sat.amplitude * amp_factor * chips * data * np.exp(1j * phase)
+                sat.amplitude * amp_factor * vis * chips * data * np.exp(1j * phase)
             ).astype(np.complex64)
 
     if noise_sigma > 0.0:

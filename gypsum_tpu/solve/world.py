@@ -47,6 +47,7 @@ from gypsum_tpu.solve.ephemeris import (
     satellite_position,
 )
 from gypsum_tpu.solve.almanac import AlmanacStore, SkyPrediction, predict_sky
+from gypsum_tpu.solve.ekf import NavigationEKF
 from gypsum_tpu.solve.fix import solve_position, dilution_of_precision
 from gypsum_tpu.solve.geodesy import ecef_to_lla
 
@@ -112,6 +113,10 @@ class ReceiverSolution:
     clock_drift_s_per_s: float | None = None
     # Geometry quality (gdop/pdop/tdop; solve/fix.py:dilution_of_precision).
     dop: dict[str, float] | None = None
+    # "lsq": per-epoch least-squares fix (>= 4 satellites, the primary).
+    # "ekf": navigation-filter coast solution bridging a < 4-satellite
+    # outage (solve/ekf.py — no reference analogue).
+    kind: str = "lsq"
 
 
 @dataclass(frozen=True)
@@ -159,6 +164,9 @@ class WorldModel:
         # Klobuchar ionosphere + UTC parameters from subframe 4 page 18
         # (solve/iono.py; the reference decodes no subframe-4 payload).
         self.iono_utc = None
+        # Navigation EKF (solve/ekf.py): shadows the least-squares fix on
+        # full epochs, carries the solution through < 4-satellite outages.
+        self._ekf = NavigationEKF()
 
     def _record(self, prn: int) -> _SatelliteRecord:
         if prn not in self._sats:
@@ -365,74 +373,95 @@ class WorldModel:
 
     def attempt_position_fix(self, receiver_timestamp: float) -> ReceiverSolution | None:
         prns = self._fix_ready_satellites()
-        if len(prns) < 4 or self.receiver_clock_slide is None:
+        if self.receiver_clock_slide is None:
             return None
-        return self._compute_position(receiver_timestamp, prns)
+        if len(prns) >= 4:
+            return self._compute_position(receiver_timestamp, prns)
+        # Fewer than four usable satellites: the exactly-determined solve is
+        # impossible (the reference goes dark here,
+        # gypsum/world_model.py:567-589), but the navigation EKF keeps the
+        # solution alive from whatever measurements remain.
+        if self.config.ekf_enabled and self._ekf.initialized and prns:
+            return self._ekf_coast(receiver_timestamp, prns)
+        return None
+
+    def _measurement_set(
+        self, receiver_timestamp: float, prns: list[int], pos_est: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Satellite positions [N, 3] and corrected pseudo transit times [N]
+        for ``prns`` at the receiver's current stream position, using
+        ``pos_est`` for the atmospheric-correction geometry (a zero /
+        non-terrestrial estimate skips the corrections — a cold receiver has
+        no geometry to correct with). Shared by the least-squares rounds and
+        the EKF's measurement construction."""
+        cfg = self.config
+        sat_pos = np.empty((len(prns), 3))
+        transit = np.empty(len(prns))
+        for i, prn in enumerate(prns):
+            rec = self._sats[prn]
+            sv_tow = self.observed_sv_time_of_week(prn)
+            # Pseudo transit time = receiver's GPS-frame arrival time of
+            # the current PRN edge minus the SV's emitted time (reference:
+            # gypsum/world_model.py:362-377). Unlike the reference, the
+            # per-SV sub-millisecond code-phase delay is included — in the
+            # reference's formulation it cancels out of the tick/slide
+            # arithmetic, quantizing inter-satellite pseudorange
+            # differences to whole milliseconds (~300 km of range).
+            #
+            # The delay is wrapped to [-0.5, +0.5) ms: a chunk whose code
+            # phase exceeds half a millisecond is dominated by the PRN
+            # that *started in the previous chunk*, and the tick counter
+            # (anchored by the bit integrator's chunk-aligned timestamps)
+            # numbers PRN edges under exactly that convention — using the
+            # raw delay would bias those satellites' pseudoranges by a
+            # full code period (~300 km).
+            if rec.smoothed_delay_s is not None:
+                # Continuous since the tick anchor: NO re-wrapping (a
+                # drift across +/-0.5 ms since the anchor is real range
+                # motion, not a different millisecond).
+                delay = rec.smoothed_delay_s
+            else:
+                delay = ((rec.code_phase_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
+            arrival = receiver_timestamp + delay
+            transit[i] = (self.receiver_clock_slide + arrival) - sv_tow
+            sat_pos[i] = satellite_position(
+                rec.ephemeris, sv_tow, kepler_iterations=cfg.kepler_iterations
+            )
+            # Atmospheric corrections: both make the code arrive LATE,
+            # so subtract from the transit. They need a position
+            # estimate for the geometry — rounds after the first have
+            # one (round 0 runs uncorrected, like a cold reference
+            # receiver).
+            # - Klobuchar ionosphere (solve/iono.py), once subframe 4
+            #   page 18 has been decoded;
+            # - Saastamoinen troposphere (solve/tropo.py), model-only.
+            if np.linalg.norm(pos_est) > 6.0e6 and (
+                cfg.apply_tropo_correction
+                or (cfg.apply_iono_correction and self.iono_utc is not None)
+            ):
+                from gypsum_tpu.solve.geodesy import elevation_azimuth
+
+                lat_u, lon_u, alt_u = ecef_to_lla(pos_est)
+                el, az = elevation_azimuth(pos_est, sat_pos[i])
+                if cfg.apply_iono_correction and self.iono_utc is not None:
+                    from gypsum_tpu.solve.iono import klobuchar_delay_s
+
+                    transit[i] -= klobuchar_delay_s(
+                        self.iono_utc, lat_u, lon_u, el, az,
+                        self.receiver_clock_slide + receiver_timestamp,
+                    )
+                if cfg.apply_tropo_correction:
+                    from gypsum_tpu.solve.tropo import tropo_delay_s
+
+                    transit[i] -= tropo_delay_s(el, alt_u)
+        return sat_pos, transit
 
     def _compute_position(self, receiver_timestamp: float, prns: list[int]) -> ReceiverSolution:
         cfg = self.config
         pos = np.zeros(3)
         bias = 0.0
         for _ in range(cfg.outer_rounds):
-            sat_pos = np.empty((len(prns), 3))
-            transit = np.empty(len(prns))
-            for i, prn in enumerate(prns):
-                rec = self._sats[prn]
-                sv_tow = self.observed_sv_time_of_week(prn)
-                # Pseudo transit time = receiver's GPS-frame arrival time of
-                # the current PRN edge minus the SV's emitted time (reference:
-                # gypsum/world_model.py:362-377). Unlike the reference, the
-                # per-SV sub-millisecond code-phase delay is included — in the
-                # reference's formulation it cancels out of the tick/slide
-                # arithmetic, quantizing inter-satellite pseudorange
-                # differences to whole milliseconds (~300 km of range).
-                #
-                # The delay is wrapped to [-0.5, +0.5) ms: a chunk whose code
-                # phase exceeds half a millisecond is dominated by the PRN
-                # that *started in the previous chunk*, and the tick counter
-                # (anchored by the bit integrator's chunk-aligned timestamps)
-                # numbers PRN edges under exactly that convention — using the
-                # raw delay would bias those satellites' pseudoranges by a
-                # full code period (~300 km).
-                if rec.smoothed_delay_s is not None:
-                    # Continuous since the tick anchor: NO re-wrapping (a
-                    # drift across +/-0.5 ms since the anchor is real range
-                    # motion, not a different millisecond).
-                    delay = rec.smoothed_delay_s
-                else:
-                    delay = ((rec.code_phase_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
-                arrival = receiver_timestamp + delay
-                transit[i] = (self.receiver_clock_slide + arrival) - sv_tow
-                sat_pos[i] = satellite_position(
-                    rec.ephemeris, sv_tow, kepler_iterations=cfg.kepler_iterations
-                )
-                # Atmospheric corrections: both make the code arrive LATE,
-                # so subtract from the transit. They need a position
-                # estimate for the geometry — rounds after the first have
-                # one (round 0 runs uncorrected, like a cold reference
-                # receiver).
-                # - Klobuchar ionosphere (solve/iono.py), once subframe 4
-                #   page 18 has been decoded;
-                # - Saastamoinen troposphere (solve/tropo.py), model-only.
-                if np.linalg.norm(pos) > 6.0e6 and (
-                    cfg.apply_tropo_correction
-                    or (cfg.apply_iono_correction and self.iono_utc is not None)
-                ):
-                    from gypsum_tpu.solve.geodesy import elevation_azimuth
-
-                    lat_u, lon_u, alt_u = ecef_to_lla(pos)
-                    el, az = elevation_azimuth(pos, sat_pos[i])
-                    if cfg.apply_iono_correction and self.iono_utc is not None:
-                        from gypsum_tpu.solve.iono import klobuchar_delay_s
-
-                        transit[i] -= klobuchar_delay_s(
-                            self.iono_utc, lat_u, lon_u, el, az,
-                            self.receiver_clock_slide + receiver_timestamp,
-                        )
-                    if cfg.apply_tropo_correction:
-                        from gypsum_tpu.solve.tropo import tropo_delay_s
-
-                        transit[i] -= tropo_delay_s(el, alt_u)
+            sat_pos, transit = self._measurement_set(receiver_timestamp, prns, pos)
             pos, bias = solve_position(
                 sat_pos, transit, initial_position=pos, initial_bias=bias,
                 iterations=cfg.newton_iterations,
@@ -468,6 +497,129 @@ class WorldModel:
             velocity_ecef_mps=velocity,
             clock_drift_s_per_s=drift,
             dop=dop,
+        )
+        self.position_fixes.append(solution)
+        if self.config.ekf_enabled:
+            self._ekf_shadow(receiver_timestamp, prns, solution)
+        return solution
+
+    # ------------------------------------------------------------ nav EKF
+
+    def _ekf_measurements(self, receiver_timestamp: float, prns: list[int], pos_est):
+        """(sat_pos, pseudoranges_m, sat_vel, dopplers) for the EKF — the
+        same corrected transit times the least-squares solve uses, c-scaled,
+        plus per-SV velocities/Dopplers where the tracker reported one."""
+        from gypsum_tpu.solve.velocity import satellite_velocity
+
+        sat_pos, transit = self._measurement_set(receiver_timestamp, prns, pos_est)
+        sat_vel = np.empty((len(prns), 3))
+        dopp = np.full(len(prns), np.nan)
+        for i, prn in enumerate(prns):
+            rec = self._sats[prn]
+            if rec.doppler_hz is not None:
+                sv_tow = self.observed_sv_time_of_week(prn)
+                sat_vel[i] = satellite_velocity(
+                    rec.ephemeris, sv_tow,
+                    kepler_iterations=self.config.kepler_iterations,
+                )
+                dopp[i] = rec.doppler_hz
+        has_rr = ~np.isnan(dopp)
+        return sat_pos, C * transit, sat_vel, dopp, has_rr
+
+    def _ekf_shadow(
+        self, receiver_timestamp: float, prns: list[int], solution: ReceiverSolution
+    ) -> None:
+        """Run the EKF alongside a successful least-squares fix: initialize
+        or re-converge it so a subsequent outage starts from a current,
+        well-conditioned state. The measurement set is rebuilt AFTER the
+        solve (the final round folded its bias into the clock slide, so the
+        rebuilt pseudoranges carry ~zero receiver bias — the filter's cb
+        state then tracks only the residual drift between fixes)."""
+        ekf = self._ekf
+        if not ekf.initialized:
+            ekf.initialize(
+                receiver_timestamp,
+                solution.ecef,
+                velocity_ecef=solution.velocity_ecef_mps,
+                clock_bias_m=0.0,
+                clock_drift_mps=(
+                    C * solution.clock_drift_s_per_s
+                    if solution.clock_drift_s_per_s is not None
+                    else 0.0
+                ),
+            )
+            return
+        ekf.predict(receiver_timestamp)
+        sat_pos, pr_m, sat_vel, dopp, has_rr = self._ekf_measurements(
+            receiver_timestamp, prns, solution.ecef
+        )
+        ekf.update(sat_pos, pseudoranges_m=pr_m)
+        if has_rr.any():
+            ekf.update(
+                sat_pos[has_rr],
+                sat_velocities=sat_vel[has_rr],
+                dopplers_hz=dopp[has_rr],
+            )
+        # Divergence safeguard: the least-squares fix is the campaign-gated
+        # ground truth on full epochs — if the filter has wandered (bad
+        # tuning for the platform's real dynamics, an undetected slip it
+        # swallowed), snap it back rather than coast from a bad state.
+        if np.linalg.norm(ekf.position - solution.ecef) > self.config.ekf_reinit_distance_m:
+            _logger.warning(
+                "navigation EKF %0.f m from the least-squares fix; reinitializing",
+                np.linalg.norm(ekf.position - solution.ecef),
+            )
+            ekf.initialize(
+                receiver_timestamp,
+                solution.ecef,
+                velocity_ecef=solution.velocity_ecef_mps,
+                clock_bias_m=0.0,
+                clock_drift_mps=(
+                    C * solution.clock_drift_s_per_s
+                    if solution.clock_drift_s_per_s is not None
+                    else 0.0
+                ),
+            )
+
+    def _ekf_coast(
+        self, receiver_timestamp: float, prns: list[int]
+    ) -> ReceiverSolution | None:
+        """Bridge a < 4-satellite epoch: predict, update with the remaining
+        measurements, publish while the position uncertainty stays inside
+        the configured gate."""
+        ekf = self._ekf
+        ekf.predict(receiver_timestamp)
+        sat_pos, pr_m, sat_vel, dopp, has_rr = self._ekf_measurements(
+            receiver_timestamp, prns, ekf.position
+        )
+        ekf.update(sat_pos, pseudoranges_m=pr_m)
+        if has_rr.any():
+            ekf.update(
+                sat_pos[has_rr],
+                sat_velocities=sat_vel[has_rr],
+                dopplers_hz=dopp[has_rr],
+            )
+        sigma = ekf.position_sigma_m
+        if sigma > self.config.ekf_coast_max_sigma_m:
+            _logger.info(
+                "EKF coast position sigma %.0f m exceeds the %.0f m publishing "
+                "gate (%d satellites); going dark",
+                sigma, self.config.ekf_coast_max_sigma_m, len(prns),
+            )
+            return None
+        lat, lon, alt = ecef_to_lla(ekf.position)
+        solution = ReceiverSolution(
+            clock_bias_s=float(ekf.x[6]) / C,
+            ecef=ekf.position.copy(),
+            lat_deg=lat,
+            lon_deg=lon,
+            alt_m=alt,
+            satellites_used=tuple(prns),
+            receiver_timestamp=receiver_timestamp,
+            velocity_ecef_mps=ekf.velocity.copy(),
+            clock_drift_s_per_s=float(ekf.x[7]) / C,
+            dop=None,  # undefined below four satellites
+            kind="ekf",
         )
         self.position_fixes.append(solution)
         return solution
