@@ -158,7 +158,10 @@ def cmd_replay(args) -> int:
             if f.velocity_ecef_mps is not None:
                 speed = float(np.linalg.norm(f.velocity_ecef_mps))
                 vel = f" |v|={speed:.2f}m/s drift={f.clock_drift_s_per_s * 1e9:.2f}ns/s"
-            print(f"[{report.block_end:8.1f}s] FIX lat={f.lat_deg:.6f} lon={f.lon_deg:.6f} "
+            # EKF coast fixes (< 4 satellites, solve/world.py:_ekf_coast)
+            # are labeled so logs distinguish them from least-squares fixes.
+            tag = "FIX" if f.kind == "lsq" else "COAST"
+            print(f"[{report.block_end:8.1f}s] {tag} lat={f.lat_deg:.6f} lon={f.lon_deg:.6f} "
                   f"alt={f.alt_m:.0f}m bias={f.clock_bias_s * 1e6:.2f}us{vel} sats={f.satellites_used}")
 
     receiver.add_block_listener(narrate)

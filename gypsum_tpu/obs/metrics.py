@@ -84,6 +84,8 @@ class ReceiverMetrics:
                     else None
                 ),
                 "clock_drift_s_per_s": report.fix.clock_drift_s_per_s,
+                # "lsq" or "ekf" (coast below four satellites, solve/ekf.py)
+                "kind": report.fix.kind,
             }
 
     @property
