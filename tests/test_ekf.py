@@ -105,6 +105,58 @@ def test_coasts_through_partial_outage(n_keep, bound_m):
     assert ekf.position_sigma_m > sigma_full  # uncertainty must admit the outage
 
 
+def test_tracks_moving_receiver_through_outage():
+    """A receiver moving at a constant 15 m/s: the filter must learn the
+    velocity from full epochs, then carry the trajectory through a 10 s
+    3-satellite outage (constant-velocity process model does the bridging —
+    this is the scenario where a static-position fallback would diverge at
+    150 m)."""
+    sat_pos, sat_vel = _scene()
+    east, north, _up = _enu_basis(RX)
+    v_rx = 15.0 * (0.8 * east + 0.6 * north)
+    rng = np.random.default_rng(5)
+    ekf = NavigationEKF()
+    ekf.initialize(0.0, RX)
+
+    def epoch(t, keep=slice(None)):
+        p = RX + v_rx * t
+        cb = 5.0 + 0.3 * t
+        pr, dopp = _measure(sat_pos[keep], sat_vel[keep], p, v_rx, cb, 0.3, rng)
+        ekf.predict(t)
+        ekf.update(sat_pos[keep], pseudoranges_m=pr)
+        ekf.update(sat_pos[keep], sat_velocities=sat_vel[keep], dopplers_hz=dopp)
+        return p
+
+    t = 0.0
+    for k in range(60):
+        t = (k + 1) * 0.5
+        truth = epoch(t)
+    assert np.linalg.norm(ekf.velocity - v_rx) < 0.5
+    for k in range(20):  # 10 s on three satellites
+        t += 0.5
+        truth = epoch(t, keep=slice(0, 3))
+    assert np.linalg.norm(ekf.position - truth) < 25.0
+    assert np.linalg.norm(ekf.velocity - v_rx) < 2.0
+
+
+def test_ekf_state_survives_checkpoint_pickle():
+    """The world model pickles its EKF with the checkpoint
+    (runtime/checkpoint.py, CHECKPOINT_VERSION 3): a coast-capable state
+    must survive the round trip."""
+    import pickle
+
+    from gypsum_tpu.solve.world import WorldModel
+
+    world = WorldModel()
+    world._ekf.initialize(12.5, RX, velocity_ecef=np.array([1.0, 2.0, 3.0]),
+                          clock_bias_m=4.0, clock_drift_mps=0.5)
+    clone = pickle.loads(pickle.dumps(world))
+    assert clone._ekf.initialized
+    assert clone._ekf.t == 12.5
+    np.testing.assert_array_equal(clone._ekf.x, world._ekf.x)
+    np.testing.assert_array_equal(clone._ekf.P, world._ekf.P)
+
+
 def test_innovation_gate_rejects_gross_outlier():
     """A 1 ms (300 km) pseudorange slip must be gated out, not swallowed."""
     sat_pos, sat_vel = _scene()
