@@ -48,7 +48,7 @@ from gypsum_tpu.ops.correlate import (
     peak_strength,
     replica_fft_conj_table,
 )
-from gypsum_tpu.signal.prn import replica_table
+from gypsum_tpu.signal.prn import ALL_PRN_IDS, replica_table
 
 
 @dataclass(frozen=True)
@@ -68,7 +68,8 @@ class AcquisitionResult:
 
 
 class AcquisitionEngine:
-    """Searches all 32 PRNs in one jitted dispatch.
+    """Searches a whole PRN family (default: the 32 GPS SVs; any registered
+    C/A-family set, e.g. GPS+SBAS, via ``prns``) in one jitted dispatch.
 
     Precomputes the replica FFT constants once (the reference recomputes the
     replica FFT inside every correlation call, gypsum/utils.py:66) and traces
@@ -80,17 +81,19 @@ class AcquisitionEngine:
         sample_rate: float,
         samples_per_prn: int,
         config: AcquisitionConfig | None = None,
+        prns: tuple[int, ...] = ALL_PRN_IDS,
     ) -> None:
         self.config = config or AcquisitionConfig()
         self.sample_rate = float(sample_rate)
         self.samples_per_prn = int(samples_per_prn)
+        self.prns = tuple(prns)
 
         cfg = self.config
         # All closure constants stay as NUMPY arrays: the lowering embeds them
         # directly, whereas a captured device array forces a device->host copy
         # at trace time (which this environment's TPU backend cannot do for
         # every shape).
-        reps = replica_table(self.samples_per_prn)  # [32, L] float32 +/-1
+        reps = replica_table(self.samples_per_prn, self.prns)  # [S, L] float32 +/-1
         # Stored as float32 I/Q planes: a complex64 closure constant would be
         # materialized through the complex transfer path this environment's
         # TPU backend lacks (see core/planes.py).
@@ -128,7 +131,7 @@ class AcquisitionEngine:
 
     def _acquire_all(self, samples_planes: jax.Array, circulant: jax.Array | None = None):
         """samples_planes: [M, L, 2] float32 I/Q planes -> per-sat (doppler,
-        code phase, carrier phase, strength), all [32] (packed rank-2)."""
+        code phase, carrier phase, strength), all [S] (packed rank-2)."""
         fs = self.sample_rate
         length = self.samples_per_prn
         samples_ms = to_complex(samples_planes)  # [M, L] c64, on device
@@ -242,7 +245,8 @@ class AcquisitionEngine:
     def acquire_all(self, samples_ms: np.ndarray) -> list[AcquisitionResult]:
         """Run the full-constellation search on [M, L] (or flat [M*L]) IQ.
 
-        Returns results for all 32 PRNs, strongest first; callers filter by
+        Returns results for the engine's whole PRN family, strongest first;
+        callers filter by
         ``config.detection_threshold`` and their eligibility set (the reference
         filters inside the detector, gypsum/acquisition.py:52-68)."""
         samples = np.asarray(samples_ms)
@@ -259,13 +263,13 @@ class AcquisitionEngine:
         doppler, code_phase, carrier_phase, strength = packed
         results = [
             AcquisitionResult(
-                prn=i + 1,
+                prn=self.prns[i],
                 doppler_hz=float(doppler[i]),
                 code_phase_samples=int(code_phase[i]),
                 carrier_phase_rad=float(carrier_phase[i]),
                 strength=float(strength[i]),
             )
-            for i in range(32)
+            for i in range(len(self.prns))
         ]
         results.sort(key=lambda r: -r.strength)
         return results
@@ -301,19 +305,22 @@ def shared_acquisition_engine(
     sample_rate: float,
     samples_per_prn: int,
     config: "AcquisitionConfig | None" = None,
+    prns: tuple[int, ...] = ALL_PRN_IDS,
 ) -> AcquisitionEngine:
+    prns = tuple(prns)
     key = (
         float(sample_rate),
         int(samples_per_prn),
         config,
+        prns,
         jax.default_backend(),  # correlator selection is backend-dependent
     )
     try:
         eng = _ENGINE_CACHE.get(key)
     except TypeError:  # unhashable config — build uncached
-        return AcquisitionEngine(sample_rate, samples_per_prn, config)
+        return AcquisitionEngine(sample_rate, samples_per_prn, config, prns)
     if eng is None:
         eng = _ENGINE_CACHE[key] = AcquisitionEngine(
-            sample_rate, samples_per_prn, config
+            sample_rate, samples_per_prn, config, prns
         )
     return eng

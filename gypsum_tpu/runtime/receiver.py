@@ -90,8 +90,16 @@ class Receiver:
         self.sample_rate = attrs.sample_rate
         self.samples_per_prn = attrs.samples_per_prn
 
+        # The searched/tracked PRN family: the 32 GPS SVs, widened to include
+        # any SBAS (or other registered C/A-family) PRNs the caller asks for.
+        requested = set(eligible_prns or ALL_PRN_IDS)
+        extra = requested - set(ALL_PRN_IDS)
+        self.prn_family: tuple[int, ...] = (
+            tuple(sorted(set(ALL_PRN_IDS) | extra)) if extra else ALL_PRN_IDS
+        )
         self.acquisition = shared_acquisition_engine(
-            self.sample_rate, self.samples_per_prn, self.config.acquisition
+            self.sample_rate, self.samples_per_prn, self.config.acquisition,
+            prns=self.prn_family,
         )
         # Integer captures ship raw words to the device and dequantize
         # in-graph (core/planes.py:dequantize_planes) — 4x less host->device
@@ -104,6 +112,7 @@ class Receiver:
             self.config.tracking,
             n_channels=self.config.max_channels,
             input_offset=self._input_offset,
+            prns=self.prn_family,
         )
         self.world = WorldModel(self.config.solver)
         # reference: gypsum/receiver.py:61-64.

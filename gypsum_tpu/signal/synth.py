@@ -47,6 +47,9 @@ class SyntheticSatellite:
     nav_bits: np.ndarray = field(default_factory=lambda: np.array([1, -1], dtype=np.int8))
     # Linear Doppler drift (Hz/s), for stress-testing tracking loops.
     doppler_rate_hz_per_s: float = 0.0
+    # PRN periods per data symbol: 20 for GPS nav bits (50 bps), 2 for SBAS
+    # L1 FEC symbols (500 sps, DO-229 §A.4.3).
+    symbol_periods: int = PSEUDOSYMBOLS_PER_NAVIGATION_BIT
 
 
 def synthesize_iq(
@@ -86,8 +89,9 @@ def synthesize_iq(
         c1 = code[i1 % PRN_CHIP_COUNT]
         w = np.clip((chip_pos + step - i1) / step, 0.0, 1.0)
         chips = np.where(i1 > i0, c0 * (1.0 - w) + c1 * w, c0)
-        # Navigation bit index: 20 PRN periods per bit.
-        bit_idx = np.floor(chip_pos / (PRN_CHIP_COUNT * PSEUDOSYMBOLS_PER_NAVIGATION_BIT)).astype(np.int64)
+        # Data symbol index: symbol_periods PRN periods per symbol
+        # (20 for GPS nav bits, 2 for SBAS FEC symbols).
+        bit_idx = np.floor(chip_pos / (PRN_CHIP_COUNT * sat.symbol_periods)).astype(np.int64)
         bit_vals = bits[bit_idx % len(bits)]
         # Carrier: Doppler (+ optional drift) relative to stream time.
         phase = (
@@ -103,9 +107,12 @@ def synthesize_iq(
     return out.astype(dtype)
 
 
-def nav_bit_schedule(bits_pm1: np.ndarray, n_ms: int) -> np.ndarray:
-    """Expand +/-1 nav bits to the per-millisecond pseudosymbol truth: the sign
-    the tracker's prompt correlation should report each millisecond."""
-    per_ms = np.repeat(np.asarray(bits_pm1, dtype=np.int8), PSEUDOSYMBOLS_PER_NAVIGATION_BIT)
+def nav_bit_schedule(
+    bits_pm1: np.ndarray, n_ms: int,
+    symbol_periods: int = PSEUDOSYMBOLS_PER_NAVIGATION_BIT,
+) -> np.ndarray:
+    """Expand +/-1 data symbols to the per-millisecond pseudosymbol truth: the
+    sign the tracker's prompt correlation should report each millisecond."""
+    per_ms = np.repeat(np.asarray(bits_pm1, dtype=np.int8), symbol_periods)
     reps = int(np.ceil(n_ms / len(per_ms)))
     return np.tile(per_ms, reps)[:n_ms]

@@ -40,7 +40,7 @@ import numpy as np
 from gypsum_tpu.core.config import TrackingConfig
 from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
 from gypsum_tpu.core.planes import dequantize_planes, to_complex, to_planes
-from gypsum_tpu.signal.prn import replica_table
+from gypsum_tpu.signal.prn import ALL_PRN_IDS, replica_table
 
 _EPS = 1e-12
 
@@ -600,20 +600,23 @@ class TrackerBank:
         config: TrackingConfig | None = None,
         n_channels: int = 12,
         input_offset: float = 0.0,
+        prns: tuple[int, ...] = ALL_PRN_IDS,
     ) -> None:
         self.config = config or TrackingConfig()
         self.sample_rate = float(sample_rate)
         self.samples_per_prn = int(samples_per_prn)
         self.n_channels = n_channels
+        self.prns = tuple(prns)
+        self._prn_row = {prn: i for i, prn in enumerate(self.prns)}
         self._fn = make_track_block_fn(
             self.config, self.samples_per_prn, self.sample_rate, n_channels,
             input_offset=input_offset,
         )
         k = self.config.lag_window_half_width
-        reps = replica_table(self.samples_per_prn)  # [32, L]
+        reps = replica_table(self.samples_per_prn, self.prns)  # [N, L]
         self._replicas_wide = np.concatenate(
             [reps, reps, reps[:, : 2 * k]], axis=1
-        ).astype(np.float32)  # [32, 2L + 2K]
+        ).astype(np.float32)  # [N, 2L + 2K]
         self.state = fresh_state(n_channels)
         self.slot_prn: list[int | None] = [None] * n_channels
         self._last_rescue_time = np.full(n_channels, -np.inf)
@@ -762,7 +765,8 @@ class TrackerBank:
         compute overlap the host's processing of earlier blocks. Collect
         results in dispatch order with collect_block()."""
         prn_idx = np.array(
-            [(p - 1) if p is not None else 0 for p in self.slot_prn], dtype=np.int32
+            [self._prn_row[p] if p is not None else 0 for p in self.slot_prn],
+            dtype=np.int32,
         )
         replicas = self._device_replicas(prn_idx)
         state_in = self._device_state if self._device_state is not None else self.state

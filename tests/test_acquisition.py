@@ -225,3 +225,25 @@ def test_acquisition_randomized_scenarios(rng):
         assert abs(hits[0].doppler_hz - dopp) < 10.0
         cp_err = abs(hits[0].code_phase_samples - delay)
         assert min(cp_err, L - cp_err) <= 1
+
+
+def test_mixed_gps_sbas_family_acquisition():
+    # An engine built over GPS+SBAS PRNs acquires an SBAS GEO signal (PRN
+    # 120-138 Gold codes, DO-229 Table A-1) exactly like a GPS SV. GEO
+    # Doppler is near zero; delay picked off-grid.
+    from gypsum_tpu.signal.prn import ALL_PRN_IDS
+
+    family = tuple(sorted(set(ALL_PRN_IDS) | {120, 133}))
+    eng = AcquisitionEngine(sample_rate=FS, samples_per_prn=L, prns=family)
+    sats = [
+        SyntheticSatellite(prn=25, doppler_hz=2500.0, delay_samples=100, amplitude=0.22),
+        SyntheticSatellite(prn=120, doppler_hz=-40.0, delay_samples=777, amplitude=0.22),
+        SyntheticSatellite(prn=133, doppler_hz=15.0, delay_samples=1800, amplitude=0.22),
+    ]
+    results = eng.detect(_capture(sats, noise=0.4))
+    found = {r.prn: r for r in results}
+    assert set(found) == {25, 120, 133}
+    for truth in sats:
+        r = found[truth.prn]
+        assert abs(r.doppler_hz - truth.doppler_hz) < 10.0
+        assert abs(r.code_phase_samples - truth.delay_samples % L) <= 1

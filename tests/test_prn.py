@@ -94,3 +94,42 @@ def test_invalid_prn_rejected():
         ca_code(0)
     with pytest.raises(ValueError):
         ca_code(33)
+
+
+# ----------------------------------------------------------- SBAS family
+
+
+def test_sbas_codes_generate_and_watermark():
+    from gypsum_tpu.signal.prn import SBAS_PRN_IDS, code_table
+
+    table = code_table(SBAS_PRN_IDS)
+    assert table.shape == (19, PRN_CHIP_COUNT)
+    # PRN 120's first-10-chips octal is the published DO-229 value.
+    bits = ca_code(120)[:10]
+    assert int("".join(str(int(b)) for b in bits), 2) == 0o0671
+    # Gold-code balance holds for the SBAS block too.
+    assert (table.sum(axis=1) == 512).all()
+    assert len({bytes(row) for row in table}) == 19
+
+
+def test_sbas_gps_cross_family_correlation_bounded():
+    # SBAS codes come from the same Gold family: cross-correlation against any
+    # GPS code stays within the three-valued bound {-65, -1, 63}.
+    a = ca_code(120).astype(np.int32) * 2 - 1
+    b = ca_code(25).astype(np.int32) * 2 - 1
+    xc = np.fft.ifft(np.fft.fft(a) * np.conj(np.fft.fft(b))).real
+    assert set(np.round(xc).astype(int)) <= {-65, -1, 63}
+
+
+def test_mixed_family_replica_table_rows():
+    from gypsum_tpu.signal.prn import code_table
+
+    prns = (25, 120, 138)
+    reps = replica_table(2046, prns)
+    assert reps.shape == (3, 2046)
+    for i, prn in enumerate(prns):
+        np.testing.assert_array_equal(
+            reps[i], sampled_replica(prn, 2046, dtype=np.float32).real
+        )
+    with pytest.raises(ValueError):
+        code_table((25, 119))  # 119 is not an allocated L1 C/A PRN

@@ -138,3 +138,33 @@ def test_channel_assignment_and_release():
     with pytest.raises(RuntimeError):
         bank.assign(1, 0.0, 0, 0.0)
         bank.assign(2, 0.0, 0, 0.0)
+
+
+def test_tracks_sbas_prn_with_2ms_symbols():
+    # An SBAS GEO channel (PRN 120, DO-229 Gold code, 500 sps FEC symbols =
+    # 2 PRN periods per symbol) tracks through the identical PLL/DLL path
+    # once the bank's replica table includes the SBAS family.
+    from gypsum_tpu.signal.prn import ALL_PRN_IDS
+    from gypsum_tpu.signal.synth import synthesize_iq
+
+    rng = np.random.default_rng(3)
+    symbols = (rng.integers(0, 2, size=250) * 2 - 1).astype(np.int8)
+    sat = SyntheticSatellite(prn=120, doppler_hz=-35.0, delay_samples=400,
+                             amplitude=0.2, nav_bits=symbols, symbol_periods=2)
+    n_ms = 600
+    iq = synthesize_iq([sat], n_ms * L, FS, noise_sigma=0.3, seed=5)
+    family = tuple(sorted(set(ALL_PRN_IDS) | {120}))
+    bank = TrackerBank(FS, L, TrackingConfig(block_size_ms=200), n_channels=2,
+                       prns=family)
+    bank.assign(prn=120, doppler_hz=-31.0, code_phase_samples=400,
+                carrier_phase_rad=0.0)
+    all_obs = []
+    for b in range(n_ms // 200):
+        block = iq[b * 200 * L : (b + 1) * 200 * L].reshape(200, L)
+        all_obs.append(bank.process_block(block, block_start_time=b * 0.2)[0])
+    signs = _concat(all_obs, "pseudosymbol_signs")
+    truth = nav_bit_schedule(symbols, n_ms, symbol_periods=2)
+    settled, expect = signs[300:], truth[300:]
+    agreement = np.mean(settled == expect)
+    assert max(agreement, 1 - agreement) > 0.99, f"agreement={agreement}"
+    assert bool(all_obs[-1].locked[-1])
