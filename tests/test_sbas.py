@@ -1,0 +1,181 @@
+"""SBAS L1 data-channel tests: FEC, CRC, framing, MT9 round-trip, and the
+frame decoder against a synthesized symbol stream (DO-229 §A.4; beyond the
+GPS-only reference)."""
+
+import numpy as np
+import pytest
+
+from gypsum_tpu.nav.sbas import (
+    BLOCK_BITS,
+    GeoNavigationMessage,
+    PREAMBLES,
+    SbasFrameDecoder,
+    convolutional_encode,
+    crc24q,
+    encode_block,
+    encode_mt9_data,
+    encode_symbol_stream,
+    parse_mt9_data,
+    viterbi_decode,
+)
+
+GEO = GeoNavigationMessage(
+    prn=120,
+    t0_sec_of_day=21600.0,
+    ura=2,
+    xyz_m=(24186456.08, 34561024.16, -24000.4),
+    vel_mps=(-1.25, 0.875, 0.252),
+    acc_mps2=(-0.0000875, 0.0000125, 0.000125),
+    a_gf0_s=4.2e-8,
+    a_gf1_ss=9.1e-13,
+)
+
+
+def test_convolutional_code_basics():
+    bits = np.array([1, 0, 1, 1, 0, 0, 1], dtype=np.int8)
+    sym, state = convolutional_encode(bits)
+    assert sym.shape == (14,)
+    assert set(np.unique(sym)) <= {0, 1}
+    # Continuity: encoding in two halves with the carried state matches.
+    s1, st = convolutional_encode(bits[:4])
+    s2, _ = convolutional_encode(bits[4:], st)
+    np.testing.assert_array_equal(np.concatenate([s1, s2]), sym)
+
+
+def test_viterbi_recovers_bits_with_noise():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 400).astype(np.int8)
+    sym, _ = convolutional_encode(bits)
+    soft = (sym * 2.0 - 1.0) + rng.standard_normal(len(sym)) * 0.45
+    decoded = viterbi_decode(soft)
+    # Free-boundary decode: interior bits are ML; allow the last few to flap.
+    np.testing.assert_array_equal(decoded[:-4], bits[:-4])
+
+
+def test_viterbi_polarity_transparency():
+    # Both generators have odd weight, so inverting every symbol inverts
+    # every decoded bit — the property the frame decoder's polarity search
+    # relies on.
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, 200).astype(np.int8)
+    sym, _ = convolutional_encode(bits)
+    soft = sym * 2.0 - 1.0
+    np.testing.assert_array_equal(viterbi_decode(-soft)[:-4], (1 - bits)[:-4])
+
+
+def test_crc24q_self_consistent():
+    rng = np.random.default_rng(2)
+    body = rng.integers(0, 2, 226).astype(np.int8)
+    crc = crc24q(body)
+    full = np.concatenate(
+        [body, np.array([(crc >> (23 - i)) & 1 for i in range(24)], dtype=np.int8)]
+    )
+    assert crc24q(full) == 0
+    full[40] ^= 1
+    assert crc24q(full) != 0
+
+
+def test_block_layout_and_crc():
+    data = np.zeros(212, dtype=np.int8)
+    blk = encode_block(9, data, preamble_idx=1)
+    assert blk.shape == (BLOCK_BITS,)
+    pre = int("".join(str(int(b)) for b in blk[:8]), 2)
+    assert pre == PREAMBLES[1]
+    mt = int("".join(str(int(b)) for b in blk[8:14]), 2)
+    assert mt == 9
+    assert crc24q(blk) == 0
+
+
+def test_mt9_round_trip():
+    data = encode_mt9_data(GEO)
+    assert data.shape == (212,)
+    back = parse_mt9_data(data, prn=120)
+    assert back.t0_sec_of_day == GEO.t0_sec_of_day
+    assert back.ura == GEO.ura
+    np.testing.assert_allclose(back.xyz_m, GEO.xyz_m, atol=0.2)
+    np.testing.assert_allclose(back.vel_mps, GEO.vel_mps, atol=0.002)
+    np.testing.assert_allclose(back.acc_mps2, GEO.acc_mps2, atol=3.2e-5)
+    assert abs(back.a_gf0_s - GEO.a_gf0_s) < 2.0 ** -31
+    assert abs(back.a_gf1_ss - GEO.a_gf1_ss) < 2.0 ** -40
+
+
+def test_geo_position_velocity_polynomial():
+    p0, v0 = GEO.position_velocity(GEO.t0_sec_of_day)
+    np.testing.assert_allclose(p0, GEO.xyz_m)
+    np.testing.assert_allclose(v0, GEO.vel_mps)
+    p1, _ = GEO.position_velocity(GEO.t0_sec_of_day + 100.0)
+    expect = (
+        np.asarray(GEO.xyz_m) + np.asarray(GEO.vel_mps) * 100.0
+        + 0.5 * np.asarray(GEO.acc_mps2) * 1e4
+    )
+    np.testing.assert_allclose(p1, expect)
+
+
+def _stream_and_times(n_msgs, lead_ms=7, noise=0.0, polarity=1, seed=3):
+    """A continuous multi-message symbol stream expanded to per-ms soft
+    pseudosymbols with an arbitrary lead-in (unknown ms/symbol phase)."""
+    rng = np.random.default_rng(seed)
+    msgs = []
+    for k in range(n_msgs):
+        data = rng.integers(0, 2, 212).astype(np.int8)
+        msgs.append((63, data))  # MT63 = null message; content arbitrary
+    sym = encode_symbol_stream(msgs)  # +/-1, 500 per message
+    per_ms = np.repeat(sym, 2).astype(np.float64) * polarity
+    lead = rng.choice([-1.0, 1.0], size=lead_ms)
+    soft = np.concatenate([lead, per_ms])
+    soft = soft + rng.standard_normal(len(soft)) * noise
+    times = np.arange(len(soft), dtype=np.float64) * 1e-3
+    first_edges = 1e-3 * (lead_ms + 1000.0 * np.arange(n_msgs))
+    return soft, times, msgs, first_edges
+
+
+@pytest.mark.parametrize("polarity,lead_ms", [(1, 7), (-1, 12)])
+def test_frame_decoder_syncs_and_verifies(polarity, lead_ms):
+    soft, times, msgs, first_edges = _stream_and_times(
+        4, lead_ms=lead_ms, noise=0.35, polarity=polarity
+    )
+    dec = SbasFrameDecoder(prn=122)
+    got = []
+    step = 250  # feed in 250 ms tracker blocks
+    for lo in range(0, len(soft) - step + 1, step):
+        got += dec.process_block(soft[lo : lo + step], times[lo : lo + step])
+    assert len(got) >= 3, f"decoded only {len(got)} blocks"
+    for blk in got:
+        assert blk.message_type == 63
+        assert blk.prn == 122
+    # Data bits survive FEC + CRC exactly.
+    decoded_by_edge = {round(b.leading_edge_timestamp, 6): b for b in got}
+    matched = 0
+    for k, edge in enumerate(first_edges):
+        b = decoded_by_edge.get(round(edge, 6))
+        if b is not None:
+            np.testing.assert_array_equal(b.data_bits, msgs[k][1])
+            matched += 1
+    assert matched >= 3
+    # Preamble indices advance modulo 3 in order.
+    idxs = [b.preamble_idx for b in got]
+    for a, c in zip(idxs, idxs[1:]):
+        assert c == (a + 1) % 3
+
+
+def test_frame_decoder_mt9_end_to_end_bits():
+    # A realistic schedule: MT9 every 4th message.
+    rng = np.random.default_rng(9)
+    msgs = []
+    for k in range(5):
+        if k % 4 == 0:
+            msgs.append((9, encode_mt9_data(GEO)))
+        else:
+            msgs.append((63, rng.integers(0, 2, 212).astype(np.int8)))
+    sym = encode_symbol_stream(msgs)
+    soft = np.repeat(sym, 2).astype(np.float64)
+    soft += rng.standard_normal(len(soft)) * 0.3
+    times = np.arange(len(soft), dtype=np.float64) * 1e-3
+    dec = SbasFrameDecoder(prn=120)
+    got = []
+    for lo in range(0, len(soft), 500):
+        got += dec.process_block(soft[lo : lo + 500], times[lo : lo + 500])
+    mt9 = [b for b in got if b.message_type == 9]
+    assert mt9, "no MT9 decoded"
+    geo = parse_mt9_data(mt9[0].data_bits, prn=120)
+    np.testing.assert_allclose(geo.xyz_m, GEO.xyz_m, atol=0.2)
