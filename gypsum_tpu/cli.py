@@ -152,6 +152,10 @@ def cmd_replay(args) -> int:
             how = ev.decoded.handover
             print(f"[{report.block_start:8.1f}s] PRN {prn} subframe "
                   f"{how.subframe_id.value} TOW {how.time_of_week_seconds:.0f}s")
+        for prn, blk in report.sbas_blocks:
+            if blk.message_type == 9:  # GEO navigation (1-line/s otherwise)
+                print(f"[{report.block_start:8.1f}s] SBAS PRN {prn} MT9 "
+                      f"GEO navigation @ {blk.leading_edge_timestamp:.3f}s")
         if report.fix is not None:
             f = report.fix
             vel = ""

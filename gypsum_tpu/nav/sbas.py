@@ -214,6 +214,25 @@ class GeoNavigationMessage:
             dt += 86400.0
         return self.a_gf0_s + self.a_gf1_ss * dt
 
+    # Vectorized forms (synthesizer grids / solver batches).
+
+    def _dt(self, t_sec_of_day: np.ndarray) -> np.ndarray:
+        dt = np.asarray(t_sec_of_day, dtype=np.float64) - self.t0_sec_of_day
+        dt = np.where(dt > 43200.0, dt - 86400.0, dt)
+        return np.where(dt < -43200.0, dt + 86400.0, dt)
+
+    def positions(self, t_sec_of_day: np.ndarray) -> np.ndarray:
+        """ECEF positions [N, 3] (m) at SNT times-of-day [N]."""
+        dt = self._dt(t_sec_of_day)[:, None]
+        return (
+            np.asarray(self.xyz_m)[None, :]
+            + np.asarray(self.vel_mps)[None, :] * dt
+            + 0.5 * np.asarray(self.acc_mps2)[None, :] * dt * dt
+        )
+
+    def clock_corrections(self, t_sec_of_day: np.ndarray) -> np.ndarray:
+        return self.a_gf0_s + self.a_gf1_ss * self._dt(t_sec_of_day)
+
 
 # (scale, n_bits, signed) per MT9 field, in air-interface order after the
 # 8-bit IODN/spare field.

@@ -27,7 +27,9 @@ from pathlib import Path
 #       gate rejects it cleanly instead.
 #   3 — WorldModel gained the navigation EKF (_ekf, solve/ekf.py) and
 #       ReceiverSolution the ``kind`` field.
-CHECKPOINT_VERSION = 3
+#   4 — SBAS support: _SatelliteRecord gained ``geo`` (MT9 GEO navigation)
+#       and _ChannelPipeline gained ``sbas`` (the DO-229 frame decoder).
+CHECKPOINT_VERSION = 4
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:
@@ -69,6 +71,15 @@ def load_checkpoint(receiver, path: str | Path) -> float:
         blob = pickle.load(f)
     if blob["version"] != CHECKPOINT_VERSION:
         raise ValueError(f"checkpoint version {blob['version']} != {CHECKPOINT_VERSION}")
+    outside = [
+        p for p in blob["slot_prn"]
+        if p is not None and p not in receiver.bank._prn_row
+    ]
+    if outside:
+        raise ValueError(
+            f"checkpoint tracks PRN(s) {outside} outside this receiver's "
+            "family — construct the Receiver with eligible_prns covering them"
+        )
     receiver.bank.state = blob["bank_state"]
     receiver.bank.invalidate_device_state()
     receiver.bank.slot_prn = blob["slot_prn"]

@@ -53,13 +53,18 @@ _logger = logging.getLogger(__name__)
 class _ChannelPipeline:
     """Host-side per-satellite decode state (analogue of the reference's
     GpsSatelliteSignalProcessingPipeline,
-    gypsum/satellite_signal_processing_pipeline.py:35-102)."""
+    gypsum/satellite_signal_processing_pipeline.py:35-102).
+
+    GPS channels carry the bit integrator + subframe decoder; SBAS GEO
+    channels (PRNs 120-138) carry the DO-229 frame decoder instead — the
+    tracking slot underneath is identical."""
 
     prn: int
     slot: int
-    integrator: BitIntegrator
-    decoder: SubframeDecoder
+    integrator: BitIntegrator | None
+    decoder: SubframeDecoder | None
     acquired_at: float = 0.0
+    sbas: "object | None" = None  # nav.sbas.SbasFrameDecoder
 
 
 @dataclass
@@ -73,6 +78,7 @@ class BlockReport:
     dropped_prns: list[int] = field(default_factory=list)
     rescued_prns: list[int] = field(default_factory=list)
     subframes: list[tuple[int, EmitSubframeEvent]] = field(default_factory=list)
+    sbas_blocks: list = field(default_factory=list)  # [(prn, nav.sbas.SbasBlock)]
     fix: ReceiverSolution | None = None
     observations: list[ChannelObservation] = field(default_factory=list)
 
@@ -270,13 +276,21 @@ class Receiver:
                 code_phase_samples=hit.code_phase_samples,
                 carrier_phase_rad=hit.carrier_phase_rad,
             )
-            self.pipelines[hit.prn] = _ChannelPipeline(
-                prn=hit.prn,
-                slot=slot,
-                integrator=BitIntegrator(self.config.nav),
-                decoder=SubframeDecoder(self.config.nav),
-                acquired_at=block_start,
-            )
+            if hit.prn >= 100:
+                from gypsum_tpu.nav.sbas import SbasFrameDecoder
+
+                self.pipelines[hit.prn] = _ChannelPipeline(
+                    prn=hit.prn, slot=slot, integrator=None, decoder=None,
+                    acquired_at=block_start, sbas=SbasFrameDecoder(hit.prn),
+                )
+            else:
+                self.pipelines[hit.prn] = _ChannelPipeline(
+                    prn=hit.prn,
+                    slot=slot,
+                    integrator=BitIntegrator(self.config.nav),
+                    decoder=SubframeDecoder(self.config.nav),
+                    acquired_at=block_start,
+                )
             self.eligible_prns.discard(hit.prn)
             report.newly_acquired.append(hit)
             _logger.info(
@@ -290,6 +304,9 @@ class Receiver:
         self, obs: ChannelObservation, block_start: float, block_ms: int, report: BlockReport
     ) -> None:
         pipe = self.pipelines[obs.prn]
+        if pipe.sbas is not None:
+            self._process_sbas_channel(obs, block_start, block_ms, report, pipe)
+            return
         lost = obs.lost
         subframe_edges: list[tuple[float, EmitSubframeEvent]] = []
 
@@ -319,23 +336,7 @@ class Receiver:
         # previous behavior, was the receiver's dominant error at ~2-4 m;
         # referencing against the loop cp instead would import the DLL's
         # random walk, sigma ~0.2 samples).
-        from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
-
-        spp = float(self.samples_per_prn)
-        cm = np.asarray(obs.code_phases_measured, dtype=np.float64)
-        steps = (spp / GPS_L1_FREQUENCY_HZ) * np.asarray(obs.dopplers, np.float64)
-        # suffix[t] = sum(steps[t : -1]) — the drift between ms t and the
-        # block's final millisecond (cp advances by -steps_t per ms).
-        suffix = np.concatenate([np.cumsum(steps[:-1][::-1])[::-1], [0.0]])
-        pred_end = cm - suffix
-        n_avg = min(len(pred_end), max(1, self.config.solver.pseudorange_projection_ms))
-        w = pred_end[-n_avg:]
-        # Unwrap each prediction to the final reading's neighborhood, then
-        # median (robust to the occasional adjacent-lag argmax outlier).
-        w = (w - cm[-1] + spp / 2.0) % spp - spp / 2.0
-        cp_block_end = (cm[-1] + float(np.median(w))) % spp
-        cp_delay = cp_block_end / self.sample_rate
-        doppler = float(obs.dopplers[-1])
+        cp_delay, doppler = self._block_end_observables(obs)
         # Once-per-block observables (carrier-smoothed pseudorange update).
         self.world.handle_channel_block(obs.prn, cp_delay, doppler, block_ms)
         consumed = 0
@@ -366,6 +367,79 @@ class Receiver:
             _logger.info(
                 "rescued marginal PRN %d in place (quality %.2f, attempt %d)",
                 obs.prn, float(obs.quality[-1]), self.bank.rescue_counts[obs.slot],
+            )
+
+    def _block_end_observables(self, obs: ChannelObservation) -> tuple[float, float]:
+        """Block-end (code-phase delay s, carrier Doppler Hz) for pseudoranges.
+
+        The sub-sample *measured* code phase feeds pseudoranges (1 sample of
+        quantization is ~147 m of range at 2.046 Msps). Per-ms measurements
+        are independent and unbiased (sigma ~0.03 samples), so project each
+        onto the block end along the DETERMINISTIC code-Doppler drift and
+        take the median of the last ~250: pseudorange noise drops ~sqrt(N)
+        (a single final-millisecond reading was the receiver's dominant
+        error at ~2-4 m; referencing against the loop cp instead would
+        import the DLL's random walk, sigma ~0.2 samples)."""
+        from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
+
+        spp = float(self.samples_per_prn)
+        cm = np.asarray(obs.code_phases_measured, dtype=np.float64)
+        steps = (spp / GPS_L1_FREQUENCY_HZ) * np.asarray(obs.dopplers, np.float64)
+        # suffix[t] = sum(steps[t : -1]) — the drift between ms t and the
+        # block's final millisecond (cp advances by -steps_t per ms).
+        suffix = np.concatenate([np.cumsum(steps[:-1][::-1])[::-1], [0.0]])
+        pred_end = cm - suffix
+        n_avg = min(len(pred_end), max(1, self.config.solver.pseudorange_projection_ms))
+        w = pred_end[-n_avg:]
+        # Unwrap each prediction to the final reading's neighborhood, then
+        # median (robust to the occasional adjacent-lag argmax outlier).
+        w = (w - cm[-1] + spp / 2.0) % spp - spp / 2.0
+        cp_block_end = (cm[-1] + float(np.median(w))) % spp
+        return cp_block_end / self.sample_rate, float(obs.dopplers[-1])
+
+    def _process_sbas_channel(
+        self,
+        obs: ChannelObservation,
+        block_start: float,
+        block_ms: int,
+        report: BlockReport,
+        pipe: _ChannelPipeline,
+    ) -> None:
+        """SBAS GEO channel: same tracking observables and tick accounting as
+        GPS, but the decode stack is the DO-229 frame decoder (nav/sbas.py)
+        and a verified block's trailing edge plays the subframe edge's role
+        in the time base (solve/world.py handle_sbas_block)."""
+        blocks = pipe.sbas.process_block(obs.prompts.real, obs.start_times)
+        cp_delay, doppler = self._block_end_observables(obs)
+        self.world.handle_channel_block(obs.prn, cp_delay, doppler, block_ms)
+        consumed = 0
+        for blk in blocks:
+            t_edge = blk.leading_edge_timestamp + 1.0  # trailing edge (1 s blocks)
+            k_raw = int(np.floor((t_edge - block_start) / 1e-3))
+            # An SBAS block verifies ~30 ms after its trailing edge, which may
+            # fall in the PREVIOUS tracking block: those ticks were already
+            # counted against the old base, so hand them to the reset.
+            late_ticks = max(0, -k_raw)
+            k_done = max(0, min(k_raw, block_ms))
+            if k_done > consumed:
+                self.world.handle_prn_observed(
+                    obs.prn, cp_delay, count=k_done - consumed, doppler_hz=doppler
+                )
+                consumed = k_done
+            self.world.handle_sbas_block(obs.prn, blk, initial_ticks=late_ticks)
+            self.subframe_count += 1
+            report.sbas_blocks.append((obs.prn, blk))
+        if block_ms > consumed:
+            self.world.handle_prn_observed(
+                obs.prn, cp_delay, count=block_ms - consumed, doppler_hz=doppler
+            )
+        if obs.lost:
+            self._drop_satellite(obs.prn, report)
+        elif self.bank.maybe_rescue(obs, block_start + block_ms * 1e-3):
+            report.rescued_prns.append(obs.prn)
+            _logger.info(
+                "rescued marginal SBAS PRN %d in place (quality %.2f)",
+                obs.prn, float(obs.quality[-1]),
             )
 
     def _drop_satellite(self, prn: int, report: BlockReport) -> None:

@@ -33,6 +33,12 @@ from gypsum_tpu.core.constants import (
     PRN_CHIP_COUNT,
     SPEED_OF_LIGHT_M_PER_S as C,
 )
+from gypsum_tpu.nav.sbas import (
+    GeoNavigationMessage,
+    SYMBOLS_PER_SECOND,
+    encode_mt9_data,
+    encode_symbol_stream,
+)
 from gypsum_tpu.nav.subframes import Subframe4, Subframe5, encode_subframe
 from gypsum_tpu.signal.prn import ca_code
 from gypsum_tpu.solve.ephemeris import (
@@ -63,6 +69,42 @@ class ConstellationSatellite:
     # EKF (solve/ekf.py) exists for.
     visible_from_s: float | None = None
     visible_until_s: float | None = None
+
+
+@dataclass
+class SbasGeoSatellite:
+    """An SBAS GEO in the scene: ranges exactly like a GPS SV (same Gold-code
+    family, signal/prn.py) but broadcasts the DO-229 data channel — 500 sps
+    FEC symbols carrying 1 s message blocks, MT9 (its own ECEF polynomial
+    ephemeris) every ``mt9_every`` seconds with MT63 null filler between.
+    Message leading edges align to integer SNT seconds, which is what gives
+    the receiver its sub-second SBAS time base."""
+
+    prn: int  # 120..138
+    geo: GeoNavigationMessage
+    amplitude: float = 0.2
+    mt9_every: int = 4
+    visible_from_s: float | None = None
+    visible_until_s: float | None = None
+
+
+def _sbas_symbols(
+    sat: "SbasGeoSatellite", gps_start_time_sow: float, duration_s: float, seed: int
+) -> tuple[np.ndarray, float]:
+    """(+/-1 symbol stream, SV-time of its first symbol edge) covering the
+    capture with slack on both sides."""
+    first_sec = int(np.floor(gps_start_time_sow)) - 2
+    n_msgs = int(np.ceil(duration_s)) + 5
+    rng = np.random.default_rng(seed ^ (0x5BA5 + sat.prn))
+    msgs = []
+    for k in range(n_msgs):
+        sec = first_sec + k
+        if sec % sat.mt9_every == 0:
+            msgs.append((9, encode_mt9_data(sat.geo)))
+        else:
+            msgs.append((63, rng.integers(0, 2, 212).astype(np.int8)))
+    sym = encode_symbol_stream(msgs, first_preamble_idx=first_sec % 3)
+    return sym.astype(np.float64), float(first_sec)
 
 
 @dataclass(frozen=True)
@@ -249,18 +291,46 @@ def synthesize_constellation(
     rng = np.random.default_rng(seed)
 
     for sat in satellites:
-        eph = sat.ephemeris
         code = ca_code(sat.prn).astype(np.float64) * 2.0 - 1.0
-        bits = _nav_bits(sat, first_tow_count, n_subframes, subframe_pattern)
+        if isinstance(sat, SbasGeoSatellite):
+            # SBAS data channel: 2 ms FEC symbols, edges at integer SNT
+            # seconds (SNT modeled as == GPS time).
+            data_vals, data_t0_sv = _sbas_symbols(
+                sat, gps_start_time_sow, duration_s, seed
+            )
+            data_dur = 1.0 / SYMBOLS_PER_SECOND
+            geo = sat.geo
+
+            def pos_at(t, _g=geo):
+                return _g.positions(np.asarray(t) % 86400.0)
+
+            def clk_at(t, _g=geo):
+                return _g.clock_corrections(np.asarray(t) % 86400.0)
+
+            tau_guess = 0.12  # GEO: ~36000 km slant
+        else:
+            eph = sat.ephemeris
+            bits = _nav_bits(sat, first_tow_count, n_subframes, subframe_pattern)
+            data_vals = bits.astype(np.float64)
+            data_t0_sv = bits_t0_sv
+            data_dur = _BIT_DURATION_S
+
+            def pos_at(t, _e=eph):
+                return satellite_position(_e, t)
+
+            def clk_at(t, _e=eph):
+                return clock_correction(_e, t)
+
+            tau_guess = 0.07
 
         # Light-time solution on the grid: tau = |sat(t - tau) - rx(t)| / c
         # (the signal arrives at the receiver's position at RECEPTION time).
         rx_g = rx[None, :] + v_rx[None, :] * (grid - gps_start_time_sow)[:, None]
-        tau_g = np.full(grid.shape, 0.07)
+        tau_g = np.full(grid.shape, tau_guess)
         for _ in range(3):
-            sat_pos = satellite_position(eph, grid - tau_g)
+            sat_pos = pos_at(grid - tau_g)
             tau_g = np.linalg.norm(sat_pos - rx_g, axis=-1) / C
-        dtsv_g = clock_correction(eph, grid - tau_g)
+        dtsv_g = clk_at(grid - tau_g)
 
         # Ionospheric group delay (dispersive): the CODE arrives late by
         # T_iono while the CARRIER phase advances by the same amount — the
@@ -358,8 +428,8 @@ def synthesize_constellation(
             c1 = code[i1 % PRN_CHIP_COUNT]
             w = np.clip((chip_pos1 - i1) / step, 0.0, 1.0)
             chips = np.where(i1 > i0, c0 * (1.0 - w) + c1 * w, c0)
-            bit_idx = np.floor((t_sv - bits_t0_sv) / _BIT_DURATION_S).astype(np.int64)
-            data = bits[np.clip(bit_idx, 0, len(bits) - 1)]
+            sym_idx = np.floor((t_sv - data_t0_sv) / data_dur).astype(np.int64)
+            data = data_vals[np.clip(sym_idx, 0, len(data_vals) - 1)]
 
             # Baseband phase: keep only the fractional cycle count in f64.
             # A drifting oscillator also skews the downconversion LO

@@ -133,6 +133,9 @@ class _SatelliteRecord:
     sf2: Subframe2 | None = None
     sf3: Subframe3 | None = None
     ephemeris: Ephemeris | None = None
+    # SBAS GEO channels (PRNs 120-138) carry their orbit as an MT9 ECEF
+    # polynomial instead of Keplerian subframes (nav/sbas.py).
+    geo: "object | None" = None  # GeoNavigationMessage
     # Time base
     tow_at_last_subframe: float | None = None  # s of week (next-subframe edge)
     prn_ticks_since_subframe: int = 0
@@ -150,6 +153,34 @@ class _SatelliteRecord:
         was = self.ephemeris
         self.ephemeris = ephemeris_from_subframes(self.sf1, self.sf2, self.sf3)
         return self.ephemeris if was is None else None
+
+    # Orbit/clock accessors shared by the solver paths: Kepler ephemeris for
+    # GPS records, the MT9 ECEF polynomial for SBAS GEO records.
+
+    @property
+    def has_orbit(self) -> bool:
+        return self.ephemeris is not None or self.geo is not None
+
+    def sv_position(self, sv_tow: float, kepler_iterations: int) -> np.ndarray:
+        if self.ephemeris is not None:
+            return satellite_position(
+                self.ephemeris, sv_tow, kepler_iterations=kepler_iterations
+            )
+        return self.geo.position_velocity(sv_tow % 86400.0)[0]
+
+    def sv_velocity(self, sv_tow: float, kepler_iterations: int) -> np.ndarray:
+        if self.ephemeris is not None:
+            from gypsum_tpu.solve.velocity import satellite_velocity
+
+            return satellite_velocity(
+                self.ephemeris, sv_tow, kepler_iterations=kepler_iterations
+            )
+        return self.geo.position_velocity(sv_tow % 86400.0)[1]
+
+    def sv_clock_correction(self, t: float, iterations: int) -> float:
+        if self.ephemeris is not None:
+            return float(clock_correction(self.ephemeris, t, iterations=iterations))
+        return float(self.geo.clock_correction_s(t % 86400.0))
 
 
 class WorldModel:
@@ -300,6 +331,60 @@ class WorldModel:
             return [DeterminedSatelliteOrbitEvent(prn=prn, ephemeris=newly_complete)]
         return []
 
+    def handle_sbas_block(
+        self, prn: int, block, initial_ticks: int = 0
+    ) -> list[Event]:
+        """A CRC-verified SBAS block (nav/sbas.py SbasBlock) plays the role a
+        decoded subframe plays for GPS: it resets the channel's PRN-tick time
+        base at a known SV-time edge and (for MT9) supplies the GEO's orbit.
+
+        SBAS blocks carry no time-of-week — their timing contract is that
+        every 250-bit block's leading edge is emitted at an integer SNT
+        second (DO-229 §A.4.4.1; SNT tracks GPS time within tens of ns). The
+        integer is resolved from the GPS-derived receiver clock slide: the
+        slide maps receiver to GPS time within one GPS SV's transit (~70 ms)
+        plus the GEO/GPS transit difference (30-80 ms), far inside the
+        +/-0.5 s rounding margin. Requires a GPS time base first (returns []
+        and stays uncounted until one exists).
+
+        ``initial_ticks``: PRN ticks the receiver already consumed between
+        the block's trailing edge and the point this reset is applied (an
+        SBAS block is verified up to ~30 ms after its trailing edge, which
+        may fall in the previous tracking block — unlike GPS subframes,
+        which always complete in-block)."""
+        rec = self._record(prn)
+        events: list[Event] = []
+        if block.message_type == 9:
+            from gypsum_tpu.nav.sbas import parse_mt9_data
+
+            was = rec.geo
+            rec.geo = parse_mt9_data(block.data_bits, prn)
+            if was is None:
+                _logger.info(
+                    "determined GEO orbit of SBAS PRN %d (MT9, t0=%.0f)",
+                    prn, rec.geo.t0_sec_of_day,
+                )
+                events.append(
+                    DeterminedSatelliteOrbitEvent(prn=prn, ephemeris=None)
+                )
+        if self.receiver_clock_slide is None:
+            return events
+        trailing_edge_rx = block.leading_edge_timestamp + 1.0
+        # Nominal GEO transit 0.127 s minus the GPS transit (~0.072 s)
+        # already folded into the slide: center the rounding window.
+        guess = trailing_edge_rx + self.receiver_clock_slide - 0.055
+        rec.tow_at_last_subframe = float(round(guess))
+        rec.prn_ticks_since_subframe = int(initial_ticks)
+        rec.counting = True
+        seed = (
+            rec.smoothed_delay_s
+            if rec.smoothed_delay_s is not None
+            else rec.code_phase_delay_s
+        )
+        rec.smoothed_delay_s = ((seed + 0.5e-3) % 1e-3) - 0.5e-3
+        rec.smoothing_depth = max(rec.smoothing_depth, 1)
+        return events
+
     def handle_lost_satellite_lock(self, prn: int) -> None:
         """PRN counting is no longer reliable; invalidate the SV's time base
         but keep its ephemeris (reference: gypsum/world_model.py:314-328).
@@ -350,7 +435,7 @@ class WorldModel:
         out = []
         for prn, rec in self._sats.items():
             if (
-                rec.ephemeris is not None
+                rec.has_orbit
                 and rec.counting
                 and rec.tow_at_last_subframe is not None
                 and rec.prn_ticks_since_subframe <= cfg.max_prn_ticks_since_handover
@@ -364,10 +449,10 @@ class WorldModel:
         error (reference: gypsum/world_model.py:635-705)."""
         rec = self._sats[prn]
         t = rec.tow_at_last_subframe + ONE_MILLISECOND * rec.prn_ticks_since_subframe
-        delta = clock_correction(
-            rec.ephemeris, t, iterations=self.config.clock_correction_iterations
+        delta = rec.sv_clock_correction(
+            t, iterations=self.config.clock_correction_iterations
         )
-        return t - float(delta)
+        return t - delta
 
     # ---------------------------------------------------------------- solve
 
@@ -424,8 +509,8 @@ class WorldModel:
                 delay = ((rec.code_phase_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
             arrival = receiver_timestamp + delay
             transit[i] = (self.receiver_clock_slide + arrival) - sv_tow
-            sat_pos[i] = satellite_position(
-                rec.ephemeris, sv_tow, kepler_iterations=cfg.kepler_iterations
+            sat_pos[i] = rec.sv_position(
+                sv_tow, kepler_iterations=cfg.kepler_iterations
             )
             # Atmospheric corrections: both make the code arrive LATE,
             # so subtract from the transit. They need a position
@@ -509,8 +594,6 @@ class WorldModel:
         """(sat_pos, pseudoranges_m, sat_vel, dopplers) for the EKF — the
         same corrected transit times the least-squares solve uses, c-scaled,
         plus per-SV velocities/Dopplers where the tracker reported one."""
-        from gypsum_tpu.solve.velocity import satellite_velocity
-
         sat_pos, transit = self._measurement_set(receiver_timestamp, prns, pos_est)
         sat_vel = np.empty((len(prns), 3))
         dopp = np.full(len(prns), np.nan)
@@ -518,9 +601,8 @@ class WorldModel:
             rec = self._sats[prn]
             if rec.doppler_hz is not None:
                 sv_tow = self.observed_sv_time_of_week(prn)
-                sat_vel[i] = satellite_velocity(
-                    rec.ephemeris, sv_tow,
-                    kepler_iterations=self.config.kepler_iterations,
+                sat_vel[i] = rec.sv_velocity(
+                    sv_tow, kepler_iterations=self.config.kepler_iterations
                 )
                 dopp[i] = rec.doppler_hz
         has_rr = ~np.isnan(dopp)
@@ -878,7 +960,7 @@ class WorldModel:
         """Doppler-based velocity + clock drift (solve/velocity.py); the
         reference has no analogue. Satellite positions are reused from the
         position solve's final round."""
-        from gypsum_tpu.solve.velocity import satellite_velocity, solve_velocity
+        from gypsum_tpu.solve.velocity import solve_velocity
 
         usable = [
             i for i, p in enumerate(prns) if self._sats[p].doppler_hz is not None
@@ -891,8 +973,8 @@ class WorldModel:
         for j, i in enumerate(usable):
             rec = self._sats[prns[i]]
             sv_tow = self.observed_sv_time_of_week(prns[i])
-            sat_vel[j] = satellite_velocity(
-                rec.ephemeris, sv_tow, kepler_iterations=self.config.kepler_iterations
+            sat_vel[j] = rec.sv_velocity(
+                sv_tow, kepler_iterations=self.config.kepler_iterations
             )
             dopp[j] = rec.doppler_hz
         v, drift = solve_velocity(sat_pos, sat_vel, rx_ecef, dopp)

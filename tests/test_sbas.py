@@ -179,3 +179,77 @@ def test_frame_decoder_mt9_end_to_end_bits():
     assert mt9, "no MT9 decoded"
     geo = parse_mt9_data(mt9[0].data_bits, prn=120)
     np.testing.assert_allclose(geo.xyz_m, GEO.xyz_m, atol=0.2)
+
+
+# ------------------------------------------------------- end-to-end ranging
+
+
+def test_sbas_geo_end_to_end_ranging():
+    """Full chain for a mixed GPS+SBAS scene: the GEO is acquired and
+    tracked through the ordinary family-widened path, its DO-229 frame
+    decoder recovers MT9, and the position fix uses it as a fifth ranging
+    source alongside the four GPS SVs."""
+    from gypsum_tpu.core.config import ReceiverConfig
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import (
+        ConstellationSatellite,
+        SbasGeoSatellite,
+        synthesize_constellation,
+    )
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+    from tests.ephemeris_fixtures import TEST_EPHEMERIDES
+
+    FS = 2.046e6
+    rx = lla_to_ecef(51.5, -0.1, 80.0)
+    gps_prns = [25, 28, 31, 32]
+    sats = [
+        ConstellationSatellite(prn=p, ephemeris=TEST_EPHEMERIDES[i], amplitude=0.22)
+        for i, p in enumerate(gps_prns)
+    ]
+    # EGNOS-like GEO at 15.5 W, ~31 deg elevation from London; small
+    # velocity/acceleration to exercise the MT9 polynomial.
+    r_geo = 42164e3
+    lon = np.deg2rad(-15.5)
+    geo = GeoNavigationMessage(
+        prn=120,
+        t0_sec_of_day=21600.0,
+        ura=2,
+        xyz_m=(r_geo * np.cos(lon), r_geo * np.sin(lon), 11000.0),
+        vel_mps=(0.8, -1.6, 2.4),
+        acc_mps2=(-1.25e-4, 5.0e-5, 1.25e-4),
+        a_gf0_s=3.1e-8,
+        a_gf1_ss=0.0,
+    )
+    sats.append(SbasGeoSatellite(prn=120, geo=geo, amplitude=0.22, mt9_every=4))
+
+    iq, truth = synthesize_constellation(
+        sats, rx, gps_start_time_sow=21600.0, duration_s=25.0,
+        sample_rate=FS, noise_sigma=0.35, subframe_pattern="123",
+    )
+    recv = Receiver(
+        ArraySampleSource(iq, FS), ReceiverConfig(),
+        eligible_prns=gps_prns + [120],
+    )
+    reports = recv.run()
+
+    # Acquired at t=0 with near-zero GEO Doppler.
+    first = reports[0]
+    hits = {h.prn: h for h in first.newly_acquired}
+    assert 120 in hits and set(gps_prns) <= set(hits)
+    assert abs(hits[120].doppler_hz - truth.doppler_hz[120]) < 10.0
+
+    # MT9 decoded and the GEO orbit stored.
+    mt9 = [b for _, b in sum((r.sbas_blocks for r in reports), []) if b.message_type == 9]
+    assert mt9, "no MT9 blocks decoded"
+    rec = recv.world._sats[120]
+    assert rec.geo is not None
+    np.testing.assert_allclose(rec.geo.xyz_m, geo.xyz_m, atol=0.5)
+
+    # The fix eventually ranges on all five satellites.
+    fixes = [r.fix for r in reports if r.fix is not None]
+    assert fixes, "no position fix"
+    assert any(120 in f.satellites_used for f in fixes), "SBAS never entered the fix"
+    last5 = [f for f in fixes if 120 in f.satellites_used][-1]
+    err = float(np.linalg.norm(last5.ecef - rx))
+    assert err < 5.0, f"5-SV fix error {err:.1f} m"  # measured ~0.6 m
