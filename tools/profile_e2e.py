@@ -42,9 +42,9 @@ def main() -> None:
 
         jax.config.update("jax_platforms", args.platform)
 
-    from gypsum_tpu.core.compile_cache import enable_compile_cache
+    from gypsum_tpu.core.compile_cache import enable_persistent_cache
 
-    enable_compile_cache()
+    enable_persistent_cache()
 
     import tempfile
 
