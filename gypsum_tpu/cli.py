@@ -238,8 +238,13 @@ def cmd_synth(args) -> int:
             multipath_delay_s=args.multipath,
             adc_bits=args.adc_bits,
         )
+    sats = demo_constellation(prns)
+    if args.sbas:
+        from gypsum_tpu.signal.scenarios import demo_sbas_geo
+
+        sats.append(demo_sbas_geo(args.sbas))
     iq, truth = synthesize_constellation(
-        demo_constellation(prns), rx, DEMO_GPS_START_SOW, args.duration,
+        sats, rx, DEMO_GPS_START_SOW, args.duration,
         args.rate, noise_sigma=args.noise, receiver_velocity_ecef=velocity,
         tropo=not args.no_tropo, impairments=impairments,
     )
@@ -334,6 +339,10 @@ def main(argv=None) -> int:
                    help="one multipath ray at this excess delay (seconds)")
     p.add_argument("--adc-bits", type=int, default=None,
                    help="quantize the capture to this many ADC bits per component")
+    p.add_argument("--sbas", type=int, nargs="?", const=120, default=None,
+                   metavar="PRN",
+                   help="add an SBAS GEO (PRN 120-138; replay it with "
+                        "--prns <gps...> <PRN> to widen the search family)")
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("bench", help="run the tracked-throughput benchmark")

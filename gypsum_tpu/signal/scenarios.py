@@ -84,3 +84,25 @@ def demo_receiver_ecef() -> np.ndarray:
     from gypsum_tpu.solve.geodesy import lla_to_ecef
 
     return lla_to_ecef(*DEMO_RECEIVER_LLA)
+
+
+def demo_sbas_geo(prn: int = 120, amplitude: float = 0.22):
+    """An EGNOS-like GEO at 15.5 W (~31 deg elevation from the demo receiver
+    at 51.5 N) broadcasting MT9 every 4 s — the SBAS counterpart of
+    demo_constellation for mixed-family scenes."""
+    from gypsum_tpu.nav.sbas import GeoNavigationMessage
+    from gypsum_tpu.signal.constellation import SbasGeoSatellite
+
+    r_geo = 42164e3
+    lon = np.deg2rad(-15.5)
+    geo = GeoNavigationMessage(
+        prn=prn,
+        t0_sec_of_day=DEMO_GPS_START_SOW % 86400.0,
+        ura=2,
+        xyz_m=(r_geo * np.cos(lon), r_geo * np.sin(lon), 11000.0),
+        vel_mps=(0.8, -1.6, 2.4),
+        acc_mps2=(-1.25e-4, 5.0e-5, 1.25e-4),
+        a_gf0_s=3.1e-8,
+        a_gf1_ss=0.0,
+    )
+    return SbasGeoSatellite(prn=prn, geo=geo, amplitude=amplitude, mt9_every=4)
