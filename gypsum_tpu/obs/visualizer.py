@@ -161,7 +161,7 @@ class TrackerVisualizer:
         # Row 4: bits (pull the nav layer's bit history first so the panel
         # shows THIS render's bits, not the previous period's).
         pipe = getattr(receiver, "pipelines", {}).get(prn)
-        if pipe is not None:
+        if pipe is not None and pipe.integrator is not None:
             self._extend_bits(h, pipe.integrator)
         A[12].step(range(len(h.symbols)), np.asarray(h.symbols), lw=0.5)
         A[12].set_title("pseudosymbols")
@@ -178,7 +178,7 @@ class TrackerVisualizer:
 
         # Row 5: nav/health text tiles
         world = getattr(receiver, "world", None)
-        if pipe is not None:
+        if pipe is not None and pipe.integrator is not None:
             integ, dec = pipe.integrator, pipe.decoder
             text_tile(A[16], "bit health", [
                 f"bit phase: {integ.bit_phase}",
@@ -188,6 +188,21 @@ class TrackerVisualizer:
                 f"subframe phase: {dec.subframe_phase}",
                 f"polarity: {dec.polarity}",
                 f"subframes: {dec.emitted_subframe_count}",
+            ])
+        elif pipe is not None and pipe.sbas is not None:
+            # SBAS channel: the DO-229 frame decoder replaces the bit stack.
+            sb = pipe.sbas
+            synced = sb._next_block_sym is not None
+            text_tile(A[16], "SBAS frame sync", [
+                f"synced: {synced}",
+                f"polarity: {sb._polarity:+d}" if synced else "",
+            ])
+            geo = None
+            if world is not None and prn in world._sats:
+                geo = world._sats[prn].geo
+            text_tile(A[17], "GEO navigation", [
+                "MT9: decoded" if geo is not None else "MT9: (waiting)",
+                f"t0: {geo.t0_sec_of_day:.0f}s" if geo is not None else "",
             ])
         else:
             text_tile(A[16], "bit health", ["(no pipeline)"])

@@ -94,3 +94,24 @@ def test_dashboard_server_and_client_loop(short_run):
                 assert needle in resp.read().decode()
     finally:
         server.shutdown()
+
+
+def test_visualizer_renders_sbas_channel():
+    # An SBAS channel has no bit integrator / subframe decoder; the figure
+    # must render its frame-sync / MT9 tiles instead of crashing on None.
+    pytest.importorskip("matplotlib")
+    rng = np.random.default_rng(4)
+    symbols = (rng.integers(0, 2, size=750) * 2 - 1).astype(np.int8)
+    sat = SyntheticSatellite(prn=120, doppler_hz=-25.0, delay_samples=300,
+                             amplitude=0.25, nav_bits=symbols, symbol_periods=2)
+    iq = synthesize_iq([sat], 3000 * L, FS, noise_sigma=0.3, seed=6)
+    cfg = ReceiverConfig(tracking=TrackingConfig(block_size_ms=500))
+    recv = Receiver(ArraySampleSource(iq, FS), cfg, eligible_prns=[120])
+    vis = TrackerVisualizer(render_period_s=1.0)
+    recv.add_block_listener(vis.on_block)
+    recv.run(max_seconds=2.5)
+    assert 120 in vis.rendered_png_base64
+    import base64
+
+    png = base64.b64decode(vis.rendered_png_base64[120])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
