@@ -165,8 +165,12 @@ def cmd_replay(args) -> int:
             # EKF coast fixes (< 4 satellites, solve/world.py:_ekf_coast)
             # are labeled so logs distinguish them from least-squares fixes.
             tag = "FIX" if f.kind == "lsq" else "COAST"
+            pl = ""
+            if f.protection is not None:
+                pl = (f" hpl={f.protection['hpl_m']:.0f}m"
+                      f" vpl={f.protection['vpl_m']:.0f}m")
             print(f"[{report.block_end:8.1f}s] {tag} lat={f.lat_deg:.6f} lon={f.lon_deg:.6f} "
-                  f"alt={f.alt_m:.0f}m bias={f.clock_bias_s * 1e6:.2f}us{vel} sats={f.satellites_used}")
+                  f"alt={f.alt_m:.0f}m bias={f.clock_bias_s * 1e6:.2f}us{vel}{pl} sats={f.satellites_used}")
 
     receiver.add_block_listener(narrate)
     try:

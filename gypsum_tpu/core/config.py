@@ -280,6 +280,12 @@ class SolverConfig:
     ekf_enabled: bool = True
     ekf_reinit_distance_m: float = 100.0
     ekf_coast_max_sigma_m: float = 50.0
+    # Protection levels (solve/integrity.py, DO-229 App. J covariance
+    # formulation): assumed 1-sigma pseudorange error for GPS channels
+    # (SBAS GEOs use their broadcast MT9 URA). Deliberately conservative —
+    # clean-scene residuals run ~0.3-0.5 m; a real multipath-afflicted
+    # urban capture does not.
+    pseudorange_sigma_m: float = 2.5
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,98 @@
+"""Position-domain integrity: SBAS-style protection levels (RAIM output).
+
+Beyond the reference (which reports no quality measure at all): every fix
+carries horizontal/vertical protection levels — the position-error bounds an
+aviation-grade receiver certifies against — computed with the covariance
+formulation of RTCA DO-229 Appendix J:
+
+    P = (G^T W G)^-1          G: ENU unit-LOS + clock column, W = diag(1/sigma_i^2)
+    d_major^2 = (d_e^2+d_n^2)/2 + sqrt(((d_e^2-d_n^2)/2)^2 + d_en^2)
+    HPL = K_H * d_major,   VPL = K_V * d_U
+
+with the en-route/NPA multipliers K_H = 6.18, K_V = 5.33 (DO-229 §J.2.1:
+the Gaussian quantiles allocated to the horizontal/vertical integrity
+risks). The fault-detection side of RAIM lives in the solver's exhaustive
+leave-k-out FDE (solve/world.py:_repair_millisecond_ambiguities); this
+module bounds the *undetected* error of the accepted measurement set.
+
+Per-satellite sigmas: an SBAS GEO carries a broadcast URA index (MT9); GPS
+channels use the configured user-range sigma (the solver's residuals run
+~0.3-0.5 m on clean scenes; the default is deliberately conservative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# DO-229 §J.2.1 multipliers (en-route through NPA operations).
+K_H_NPA = 6.18
+K_V = 5.33
+
+# IS-GPS-200 §20.3.3.3.1.3 URA index -> 1-sigma meters (upper edge).
+_URA_METERS = (
+    2.4, 3.4, 4.85, 6.85, 9.65, 13.65, 24.0, 48.0,
+    96.0, 192.0, 384.0, 768.0, 1536.0, 3072.0, 6144.0, float("inf"),
+)
+
+
+def ura_index_to_sigma_m(ura: int) -> float:
+    """Broadcast URA index to a conservative 1-sigma range error (m)."""
+    if 0 <= int(ura) < len(_URA_METERS):
+        return _URA_METERS[int(ura)]
+    return float("inf")
+
+
+def _enu_basis(receiver_ecef: np.ndarray) -> np.ndarray:
+    """Rows = east, north, up unit vectors at the receiver."""
+    x, y, z = receiver_ecef / np.linalg.norm(receiver_ecef)
+    lon = np.arctan2(y, x)
+    lat = np.arcsin(z)
+    east = np.array([-np.sin(lon), np.cos(lon), 0.0])
+    north = np.array(
+        [-np.sin(lat) * np.cos(lon), -np.sin(lat) * np.sin(lon), np.cos(lat)]
+    )
+    up = np.array(
+        [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)]
+    )
+    return np.stack([east, north, up])
+
+
+def protection_levels(
+    sat_positions: np.ndarray,
+    receiver_ecef: np.ndarray,
+    sigmas_m: np.ndarray,
+    k_h: float = K_H_NPA,
+    k_v: float = K_V,
+) -> dict[str, float] | None:
+    """HPL/VPL (meters) for a weighted least-squares fix.
+
+    ``sigmas_m``: per-satellite 1-sigma pseudorange error. Returns None for
+    degenerate geometry (singular normal matrix)."""
+    sat = np.asarray(sat_positions, dtype=np.float64)
+    rx = np.asarray(receiver_ecef, dtype=np.float64)
+    sig = np.asarray(sigmas_m, dtype=np.float64)
+    if sat.shape[0] < 4 or not np.all(np.isfinite(sig)) or np.any(sig <= 0):
+        return None
+
+    los = sat - rx[None, :]
+    e_ecef = los / np.linalg.norm(los, axis=1, keepdims=True)
+    enu = _enu_basis(rx)
+    e = e_ecef @ enu.T  # LOS in ENU
+    g = np.concatenate([e, np.ones((e.shape[0], 1))], axis=1)  # [N, 4]
+    w = 1.0 / sig**2
+    try:
+        p = np.linalg.inv(g.T @ (w[:, None] * g))
+    except np.linalg.LinAlgError:
+        return None
+
+    d_e2, d_n2, d_u2 = p[0, 0], p[1, 1], p[2, 2]
+    d_en = p[0, 1]
+    half_sum = (d_e2 + d_n2) / 2.0
+    half_diff = (d_e2 - d_n2) / 2.0
+    d_major = np.sqrt(half_sum + np.sqrt(half_diff**2 + d_en**2))
+    return {
+        "hpl_m": float(k_h * d_major),
+        "vpl_m": float(k_v * np.sqrt(d_u2)),
+        "sigma_major_m": float(d_major),
+        "sigma_up_m": float(np.sqrt(d_u2)),
+    }

@@ -113,6 +113,9 @@ class ReceiverSolution:
     clock_drift_s_per_s: float | None = None
     # Geometry quality (gdop/pdop/tdop; solve/fix.py:dilution_of_precision).
     dop: dict[str, float] | None = None
+    # SBAS-style protection levels (hpl_m/vpl_m; solve/integrity.py) — the
+    # certified bound on undetected position error. None below 4 SVs.
+    protection: dict[str, float] | None = None
     # "lsq": per-epoch least-squares fix (>= 4 satellites, the primary).
     # "ekf": navigation-filter coast solution bridging a < 4-satellite
     # outage (solve/ekf.py — no reference analogue).
@@ -428,6 +431,33 @@ class WorldModel:
         }
         out = predict_sky(reduced, receiver_ecef, tow, from_almanac=True)
         out.update(predict_sky(precise, receiver_ecef, tow, from_almanac=False))
+        # SBAS GEOs with a decoded MT9: the same look-geometry prediction
+        # from the ECEF polynomial (solve/almanac.py computes Doppler as a
+        # central-difference range rate; a GEO's is a few Hz).
+        from gypsum_tpu.core.constants import (
+            GPS_L1_FREQUENCY_HZ as _F_L1,
+            SPEED_OF_LIGHT_M_PER_S as _C,
+        )
+        from gypsum_tpu.solve.almanac import SkyPrediction
+        from gypsum_tpu.solve.geodesy import elevation_azimuth as _el_az
+
+        for p, r in self._sats.items():
+            if r.geo is None or p in out:
+                continue
+            t_day = tow % 86400.0
+            pos = r.geo.position_velocity(t_day)[0]
+            el, az = _el_az(receiver_ecef, pos)
+            r_m = np.linalg.norm(
+                r.geo.position_velocity(t_day - 0.5)[0] - receiver_ecef
+            )
+            r_p = np.linalg.norm(
+                r.geo.position_velocity(t_day + 0.5)[0] - receiver_ecef
+            )
+            out[p] = SkyPrediction(
+                prn=p, elevation_deg=el, azimuth_deg=az,
+                doppler_hz=-float(r_p - r_m) / _C * _F_L1,
+                from_almanac=False,
+            )
         return out
 
     def _fix_ready_satellites(self) -> list[int]:
@@ -571,6 +601,15 @@ class WorldModel:
         lat, lon, alt = ecef_to_lla(pos)
         velocity, drift = self._solve_velocity(prns, pos, sat_pos)
         dop = dilution_of_precision(sat_pos, pos)
+        from gypsum_tpu.solve.integrity import protection_levels, ura_index_to_sigma_m
+
+        sigmas = np.array([
+            ura_index_to_sigma_m(self._sats[p].geo.ura)
+            if self._sats[p].geo is not None and self._sats[p].ephemeris is None
+            else cfg.pseudorange_sigma_m
+            for p in prns
+        ])
+        protection = protection_levels(sat_pos, pos, sigmas)
         solution = ReceiverSolution(
             clock_bias_s=bias,
             ecef=pos,
@@ -582,6 +621,7 @@ class WorldModel:
             velocity_ecef_mps=velocity,
             clock_drift_s_per_s=drift,
             dop=dop,
+            protection=protection,
         )
         self.position_fixes.append(solution)
         if self.config.ekf_enabled:

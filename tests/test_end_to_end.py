@@ -95,6 +95,11 @@ def test_position_fix_accuracy(scene, completed_receiver):
     last = fixes[-1]
     assert last.lat_deg == pytest.approx(TRUTH_LLA[0], abs=0.01)
     assert last.lon_deg == pytest.approx(TRUTH_LLA[1], abs=0.01)
+    # Every least-squares fix carries integrity bounds (solve/integrity.py)
+    # and the actual error sits far inside them.
+    assert last.protection is not None
+    err_last = float(np.linalg.norm(last.ecef - rx))
+    assert err_last < last.protection["hpl_m"] + last.protection["vpl_m"]
 
 
 def test_receiver_clock_slide_converges(scene, completed_receiver):
