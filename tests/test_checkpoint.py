@@ -96,3 +96,47 @@ def test_version_guard(capture, tmp_path):
     recv = Receiver(ArraySampleSource(iq, FS), _config())
     with pytest.raises(ValueError):
         load_checkpoint(recv, path)
+
+
+def test_checkpoint_roundtrip_sbas_channel(tmp_path):
+    """An SBAS channel (frame decoder state, GEO record) survives a
+    checkpoint: the resumed receiver keeps decoding CRC-verified blocks
+    without re-syncing, and the restore rejects receivers whose PRN family
+    does not cover the checkpointed satellites."""
+    from gypsum_tpu.nav.sbas import encode_mt9_data, encode_symbol_stream
+    from tests.test_sbas import GEO
+
+    rng = np.random.default_rng(12)
+    msgs = []
+    for k in range(7):
+        if k % 3 == 0:
+            msgs.append((9, encode_mt9_data(GEO)))
+        else:
+            msgs.append((63, rng.integers(0, 2, 212).astype(np.int8)))
+    symbols = encode_symbol_stream(msgs)
+    sat = SyntheticSatellite(prn=120, doppler_hz=-20.0, delay_samples=800,
+                             amplitude=0.25, nav_bits=symbols, symbol_periods=2)
+    iq = synthesize_iq([sat], 6500 * L, FS, noise_sigma=0.4, seed=13)
+
+    first = Receiver(ArraySampleSource(iq, FS), _config(), eligible_prns=[120])
+    first.run(max_seconds=3.5)
+    n_before = sum(len(r.sbas_blocks) for r in first.block_reports)
+    assert n_before >= 1, "no SBAS blocks before the checkpoint"
+    ckpt = tmp_path / "sbas.ckpt"
+    save_checkpoint(first, ckpt)
+
+    resumed = Receiver(ArraySampleSource(iq, FS), _config(), eligible_prns=[120])
+    stream_s = load_checkpoint(resumed, ckpt)
+    fast_forward(resumed.source, stream_s)
+    resumed.run()
+    blocks = [b for r in resumed.block_reports for _, b in r.sbas_blocks]
+    assert len(blocks) >= 2, "resumed receiver decoded no further SBAS blocks"
+    # Edges stay on the 1 s cadence across the resume (no re-sync gap).
+    edges = sorted(b.leading_edge_timestamp for b in blocks)
+    deltas = np.diff(edges)
+    np.testing.assert_allclose(deltas, np.round(deltas), atol=2e-3)
+
+    # Family guard: a GPS-only receiver cannot restore an SBAS checkpoint.
+    gps_only = Receiver(ArraySampleSource(iq, FS), _config())
+    with pytest.raises(ValueError, match="family"):
+        load_checkpoint(gps_only, ckpt)
