@@ -64,6 +64,10 @@ class Scenario:
     duration_s: float
     block_size_ms: int
     impairment: str = "none"  # key into IMPAIRMENT_LEVELS
+    # Optionally add an SBAS GEO (PRN 120-138) broadcasting MT9: exercises
+    # the family-widened acquisition/tracking, the DO-229 decode stack, and
+    # GEO ranging across random geometry.
+    sbas_prn: int | None = None
 
 
 def _impairment_levels():
@@ -121,9 +125,10 @@ def make_scenario(seed: int, impairment: str = "none") -> Scenario:
     noise = float(rng.uniform(0.25, 0.45))
     duration = float(rng.uniform(26.0, 32.0))
     block_ms = int(rng.choice([200, 500]))
+    sbas_prn = int(rng.integers(120, 139)) if rng.random() < 0.33 else None
     return Scenario(
         seed, prns, lat, lon, alt, vel, drift, noise, duration, block_ms,
-        impairment=impairment,
+        impairment=impairment, sbas_prn=sbas_prn,
     )
 
 
@@ -150,8 +155,16 @@ def run_trial(seed: int, impairment: str = "none") -> dict:
     try:
         rx = lla_to_ecef(sc.lat_deg, sc.lon_deg, sc.alt_m)
         vel = np.array(sc.velocity_ecef)
+        sats = demo_constellation(list(sc.prns))
+        eligible = None
+        if sc.sbas_prn is not None:
+            from gypsum_tpu.signal.prn import ALL_PRN_IDS
+            from gypsum_tpu.signal.scenarios import demo_sbas_geo
+
+            sats.append(demo_sbas_geo(sc.sbas_prn))
+            eligible = list(ALL_PRN_IDS) + [sc.sbas_prn]
         iq, _truth = synthesize_constellation(
-            demo_constellation(list(sc.prns)),
+            sats,
             rx,
             DEMO_GPS_START_SOW,
             sc.duration_s,
@@ -168,7 +181,7 @@ def run_trial(seed: int, impairment: str = "none") -> dict:
                 tracking=cfg.tracking,
                 nav=NavConfig(bit_phase_resync_cutoff_s=float("inf")),
             )
-        recv = Receiver(ArraySampleSource(iq, 2.046e6), cfg)
+        recv = Receiver(ArraySampleSource(iq, 2.046e6), cfg, eligible_prns=eligible)
         recv.run(until_fix=True)
         fixes = recv.world.position_fixes
         if not fixes:
@@ -185,8 +198,25 @@ def run_trial(seed: int, impairment: str = "none") -> dict:
         ok = pos_err < POSITION_TOLERANCE_M and (
             vel_err is None or vel_err < VELOCITY_TOLERANCE_MPS
         )
+        status = "pass" if ok else "bad_fix"
+        # The certified bound must hold whenever the fix is published: an
+        # actual error above HPL+VPL is an integrity violation — a far worse
+        # finding than a bad fix.
+        hpl = fix.protection["hpl_m"] if fix.protection else None
+        if (
+            ok
+            and hpl is not None
+            and pos_err > hpl + fix.protection["vpl_m"]
+        ):
+            status = "integrity_violation"
         result.update(
-            status="pass" if ok else "bad_fix",
+            status=status,
+            hpl_m=hpl,
+            sbas_used=(
+                sc.sbas_prn in fix.satellites_used
+                if sc.sbas_prn is not None
+                else None
+            ),
             fix_time_s=float(fix.receiver_timestamp),
             position_error_m=pos_err,
             velocity_error_mps=vel_err,
