@@ -207,10 +207,66 @@ def cmd_acquire(args) -> int:
     engine = shared_acquisition_engine(attrs.sample_rate, attrs.samples_per_prn)
     n_ms = engine.config.integration_period_ms
     _, block = source.read_block(n_ms)
+    hits = []
     for r in engine.acquire_all(block):
-        marker = "*" if r.strength > engine.config.detection_threshold else " "
+        detected = r.strength > engine.config.detection_threshold
+        if detected:
+            hits.append(r)
+        marker = "*" if detected else " "
         print(f"{marker} PRN {r.prn:2d}: strength {r.strength:6.2f}  "
               f"doppler {r.doppler_hz:+8.1f} Hz  code phase {r.code_phase_samples:4d}")
+
+    # Snapshot (coarse-time) fix from this single acquisition: orbits from a
+    # previous session's checkpoint, coarse priors from flags
+    # (solve/snapshot.py; the reference must decode for ~18-30 s first).
+    if args.snapshot:
+        if not args.checkpoint:
+            raise SystemExit("--snapshot needs --checkpoint for the orbits")
+        from gypsum_tpu.core.config import DEFAULT_CONFIG
+        from gypsum_tpu.runtime.receiver import Receiver
+        from gypsum_tpu.solve.geodesy import ecef_to_lla, lla_to_ecef
+        from gypsum_tpu.solve.snapshot import (
+            SnapshotMeasurement,
+            orbit_fn_from_records,
+            snapshot_fix,
+        )
+
+        try:
+            lat, lon, alt = (float(x) for x in args.assume_lla.split(","))
+        except (AttributeError, ValueError):
+            raise SystemExit('--snapshot needs --assume-lla "lat,lon,alt"')
+        if args.assume_tow is None:
+            raise SystemExit("--snapshot needs --assume-tow (seconds of week)")
+        import gzip
+        import pickle
+
+        with gzip.open(args.checkpoint, "rb") as f:
+            blob = pickle.load(f)
+        sats = {
+            p: rec for p, rec in blob["world"]._sats.items() if rec.has_orbit
+        }
+        meas = [
+            SnapshotMeasurement(
+                prn=h.prn,
+                code_phase_fraction_s=h.code_phase_samples / attrs.sample_rate,
+                doppler_hz=h.doppler_hz,
+            )
+            for h in hits
+            if h.prn in sats
+        ]
+        print(f"snapshot: {len(meas)} usable satellites "
+              f"({len(hits) - len(meas)} acquired without stored orbit)")
+        sol = snapshot_fix(
+            meas, orbit_fn_from_records(sats), args.assume_tow,
+            lla_to_ecef(lat, lon, alt),
+        )
+        if sol is None:
+            print("snapshot fix FAILED (need >= 5 usable satellites in basin)")
+            return 1
+        slat, slon, salt = ecef_to_lla(sol.ecef)
+        print(f"SNAPSHOT FIX lat={slat:.6f} lon={slon:.6f} alt={salt:.0f}m "
+              f"time_correction={sol.time_correction_s:+.3f}s "
+              f"residual={sol.residual_rms_m:.1f}m sats={sol.prns}")
     return 0
 
 
@@ -319,6 +375,15 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("acquire", help="one-shot acquisition report over 10 ms")
+    p.add_argument("--snapshot", action="store_true",
+                   help="coarse-time fix from this acquisition alone "
+                        "(orbits from --checkpoint, priors from --assume-*)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file holding decoded orbits (for --snapshot)")
+    p.add_argument("--assume-lla", default=None, metavar="LAT,LON,ALT",
+                   help="coarse position prior, ~100 km basin")
+    p.add_argument("--assume-tow", type=float, default=None,
+                   help="coarse GPS time prior (seconds of week, ~1 min basin)")
     _add_file_source_args(p)
     p.set_defaults(fn=cmd_acquire)
 
