@@ -107,6 +107,10 @@ def cmd_replay(args) -> int:
     if args.block_ms:
         config = config.replace(tracking=config.tracking.__class__(block_size_ms=args.block_ms))
     prns = [int(p) for p in args.prns] if args.prns else None
+    if args.sbas:
+        from gypsum_tpu.signal.prn import ALL_PRN_IDS, SBAS_PRN_IDS
+
+        prns = sorted(set(prns or ALL_PRN_IDS) | set(SBAS_PRN_IDS))
     receiver = Receiver(source, config, eligible_prns=prns)
 
     if args.checkpoint and pathlib.Path(args.checkpoint).exists():
@@ -359,6 +363,8 @@ def main(argv=None) -> int:
     _add_file_source_args(p)
     p.add_argument("--prns", nargs="*", help="restrict acquisition to these PRNs "
                    "(reference: --only_acquire_satellite_ids)")
+    p.add_argument("--sbas", action="store_true",
+                   help="also search the SBAS GEO family (PRNs 120-138)")
     p.add_argument("--duration", type=float, default=None, help="seconds of signal to process")
     p.add_argument("--until-fix", action="store_true", help="stop at the first position fix")
     p.add_argument("--block-ms", type=int, default=None, help="tracking block size")

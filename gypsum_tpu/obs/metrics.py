@@ -25,6 +25,7 @@ class ChannelHealth:
     locked: bool = False
     code_phase: float = 0.0
     pseudosymbols: int = 0
+    cn0_dbhz: float | None = None
 
 
 @dataclass
@@ -66,6 +67,9 @@ class ReceiverMetrics:
                 locked=bool(obs.locked[-1]),
                 code_phase=float(obs.code_phases[-1]),
                 pseudosymbols=len(obs.pseudosymbol_signs),
+                cn0_dbhz=receiver.world._sats[obs.prn].cn0_dbhz
+                if obs.prn in receiver.world._sats
+                else None,
             )
         for prn in report.dropped_prns:
             self.channels.pop(prn, None)
@@ -123,6 +127,7 @@ class ReceiverMetrics:
                     "quality": round(c.quality, 3),
                     "locked": c.locked,
                     "code_phase": round(c.code_phase, 2),
+                    "cn0_dbhz": None if c.cn0_dbhz is None else round(c.cn0_dbhz, 1),
                 }
                 for prn, c in sorted(self.channels.items())
             },

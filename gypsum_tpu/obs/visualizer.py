@@ -217,10 +217,14 @@ class TrackerVisualizer:
                 orbit_lines.append(f"last fix: {f.lat_deg:.4f},{f.lon_deg:.4f}")
                 orbit_lines.append(f"alt: {f.alt_m:.0f} m")
         text_tile(A[18], "orbit / fix", orbit_lines or ["(no data)"])
+        cn0 = None
+        if world is not None and prn in getattr(world, "_sats", {}):
+            cn0 = world._sats[prn].cn0_dbhz
         text_tile(A[19], "channel", [
             f"doppler: {h.doppler[-1]:+.1f} Hz" if h.doppler else "",
             f"quality: {h.quality[-1]:.2f}" if h.quality else "",
             f"locked: {bool(h.locked[-1])}" if h.locked else "",
+            f"C/N0: {cn0:.1f} dB-Hz" if cn0 is not None else "",
         ])
 
         for ax in A[:16]:

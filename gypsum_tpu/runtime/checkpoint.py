@@ -29,7 +29,8 @@ from pathlib import Path
 #       ReceiverSolution the ``kind`` field.
 #   4 — SBAS support: _SatelliteRecord gained ``geo`` (MT9 GEO navigation)
 #       and _ChannelPipeline gained ``sbas`` (the DO-229 frame decoder).
-CHECKPOINT_VERSION = 4
+#   5 — _SatelliteRecord gained ``cn0_dbhz`` (C/N0-weighted integrity).
+CHECKPOINT_VERSION = 5
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:

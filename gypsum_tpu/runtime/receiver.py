@@ -411,7 +411,12 @@ class Receiver:
         in the time base (solve/world.py handle_sbas_block)."""
         blocks = pipe.sbas.process_block(obs.prompts.real, obs.start_times)
         cp_delay, doppler = self._block_end_observables(obs)
-        self.world.handle_channel_block(obs.prn, cp_delay, doppler, block_ms)
+        from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
+
+        self.world.handle_channel_block(
+            obs.prn, cp_delay, doppler, block_ms,
+            cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
+        )
         consumed = 0
         for blk in blocks:
             t_edge = blk.leading_edge_timestamp + 1.0  # trailing edge (1 s blocks)

@@ -145,6 +145,7 @@ class _SatelliteRecord:
     counting: bool = False
     code_phase_delay_s: float = 0.0  # sub-ms arrival offset of the PRN edge
     doppler_hz: float | None = None  # last measured carrier Doppler
+    cn0_dbhz: float | None = None  # last block's C/N0 estimate (obs/cn0.py)
     # Hatch-filtered sub-ms delay (carrier-smoothed pseudorange) + its
     # averaging depth (grows until the configured window).
     smoothed_delay_s: float | None = None
@@ -234,14 +235,22 @@ class WorldModel:
             rec.smoothed_delay_s = ((code_phase_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
 
     def handle_channel_block(
-        self, prn: int, code_phase_delay_s: float, doppler_hz: float, block_ms: int
+        self,
+        prn: int,
+        code_phase_delay_s: float,
+        doppler_hz: float,
+        block_ms: int,
+        cn0_dbhz: float | None = None,
     ) -> None:
         """Once-per-block channel observables: updates the carrier-smoothed
-        pseudorange. Must be called exactly once per tracking block (the
-        measurement is the block-end code phase; smoothing must propagate the
-        previous value by exactly one block of carrier, so it cannot ride the
-        tick-split handle_prn_observed calls)."""
+        pseudorange (and the channel's C/N0, which weights its pseudorange
+        in the protection levels). Must be called exactly once per tracking
+        block (the measurement is the block-end code phase; smoothing must
+        propagate the previous value by exactly one block of carrier, so it
+        cannot ride the tick-split handle_prn_observed calls)."""
         rec = self._record(prn)
+        if cn0_dbhz is not None:
+            rec.cn0_dbhz = cn0_dbhz
         self._update_carrier_smoothing(rec, code_phase_delay_s, block_ms, doppler_hz)
 
     def _update_carrier_smoothing(
@@ -601,14 +610,9 @@ class WorldModel:
         lat, lon, alt = ecef_to_lla(pos)
         velocity, drift = self._solve_velocity(prns, pos, sat_pos)
         dop = dilution_of_precision(sat_pos, pos)
-        from gypsum_tpu.solve.integrity import protection_levels, ura_index_to_sigma_m
+        from gypsum_tpu.solve.integrity import protection_levels
 
-        sigmas = np.array([
-            ura_index_to_sigma_m(self._sats[p].geo.ura)
-            if self._sats[p].geo is not None and self._sats[p].ephemeris is None
-            else cfg.pseudorange_sigma_m
-            for p in prns
-        ])
+        sigmas = np.array([self._sigma_for(p) for p in prns])
         protection = protection_levels(sat_pos, pos, sigmas)
         solution = ReceiverSolution(
             clock_bias_s=bias,
@@ -627,6 +631,25 @@ class WorldModel:
         if self.config.ekf_enabled:
             self._ekf_shadow(receiver_timestamp, prns, solution)
         return solution
+
+    def _sigma_for(self, prn: int) -> float:
+        """Per-satellite 1-sigma pseudorange error for integrity weighting:
+        the configured sigma scaled by the channel's measured C/N0
+        (obs/cn0.py; unmeasured channels keep the nominal), RSS'd with the
+        broadcast URA for SBAS GEOs (orbit error is independent of thermal
+        noise)."""
+        rec = self._sats[prn]
+        base = self.config.pseudorange_sigma_m
+        if rec.cn0_dbhz is not None:
+            from gypsum_tpu.obs.cn0 import sigma_from_cn0
+
+            base = sigma_from_cn0(rec.cn0_dbhz, self.config.pseudorange_sigma_m)
+        if rec.geo is not None and rec.ephemeris is None:
+            from gypsum_tpu.solve.integrity import ura_index_to_sigma_m
+
+            ura = ura_index_to_sigma_m(rec.geo.ura)
+            return float(np.sqrt(base * base + ura * ura))
+        return float(base)
 
     # ------------------------------------------------------------ nav EKF
 

@@ -67,3 +67,26 @@ def test_estimator_on_tracker_like_amplitudes():
     est = cn0_m2m4_dbhz(prompts)
     assert est is not None
     assert abs(est - truth) < 1.5, f"{est:.1f} vs {truth:.1f}"
+
+
+def test_world_model_routes_cn0_into_sigma():
+    from gypsum_tpu.core.config import SolverConfig
+    from gypsum_tpu.nav.sbas import GeoNavigationMessage
+    from gypsum_tpu.solve.world import WorldModel
+
+    wm = WorldModel(SolverConfig())
+    wm.handle_channel_block(25, 1e-4, 1000.0, 500, cn0_dbhz=45.0)
+    wm.handle_channel_block(28, 1e-4, 1000.0, 500, cn0_dbhz=33.0)
+    wm.handle_channel_block(31, 1e-4, 1000.0, 500)  # no estimate
+    assert wm._sats[25].cn0_dbhz == 45.0
+    nominal = wm.config.pseudorange_sigma_m
+    assert wm._sigma_for(25) == pytest.approx(nominal)
+    assert wm._sigma_for(28) == pytest.approx(nominal * 10 ** 0.6)
+    assert wm._sigma_for(31) == pytest.approx(nominal)  # nominal when unmeasured
+    # SBAS GEO: URA RSS'd on top of the thermal term.
+    wm._record(120).geo = GeoNavigationMessage(
+        prn=120, t0_sec_of_day=0.0, ura=6, xyz_m=(0, 0, 0),
+        vel_mps=(0, 0, 0), acc_mps2=(0, 0, 0), a_gf0_s=0.0, a_gf1_ss=0.0,
+    )
+    wm.handle_channel_block(120, 1e-4, 10.0, 500, cn0_dbhz=45.0)
+    assert wm._sigma_for(120) == pytest.approx(np.hypot(nominal, 24.0))
