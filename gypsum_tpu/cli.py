@@ -244,8 +244,14 @@ def cmd_acquire(args) -> int:
         import gzip
         import pickle
 
+        from gypsum_tpu.runtime.checkpoint import CHECKPOINT_VERSION
+
         with gzip.open(args.checkpoint, "rb") as f:
             blob = pickle.load(f)
+        if blob["version"] != CHECKPOINT_VERSION:
+            raise SystemExit(
+                f"checkpoint version {blob['version']} != {CHECKPOINT_VERSION}"
+            )
         sats = {
             p: rec for p, rec in blob["world"]._sats.items() if rec.has_orbit
         }

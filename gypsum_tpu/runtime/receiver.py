@@ -326,19 +326,17 @@ class Receiver:
             elif isinstance(event, (CannotDetermineBitPhaseEvent, LostBitCoherenceEvent)):
                 lost = True
 
-        # --- PRN-tick accounting around mid-block subframe resets. The
-        # sub-sample *measured* code phase feeds pseudoranges (1 sample of
-        # quantization is ~147 m of range at 2.046 Msps). Per-ms
-        # measurements are independent and unbiased (sigma ~0.03 samples),
-        # so project each onto the block end along the DETERMINISTIC code-
-        # Doppler drift and take the median of the last ~250: pseudorange
-        # noise drops ~sqrt(N) (a single final-millisecond reading, the
-        # previous behavior, was the receiver's dominant error at ~2-4 m;
-        # referencing against the loop cp instead would import the DLL's
-        # random walk, sigma ~0.2 samples).
+        # --- PRN-tick accounting around mid-block subframe resets; the
+        # block-end code delay comes from the projected-median measurement
+        # (rationale in _block_end_observables).
         cp_delay, doppler = self._block_end_observables(obs)
-        # Once-per-block observables (carrier-smoothed pseudorange update).
-        self.world.handle_channel_block(obs.prn, cp_delay, doppler, block_ms)
+        from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
+
+        # Once-per-block observables (carrier smoothing + C/N0 weighting).
+        self.world.handle_channel_block(
+            obs.prn, cp_delay, doppler, block_ms,
+            cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
+        )
         consumed = 0
         for t_edge, sf_event in sorted(subframe_edges, key=lambda x: x[0]):
             k_done = int(np.floor((t_edge - block_start) / 1e-3))  # chunks completed

@@ -25,13 +25,10 @@ def lla_to_ecef(lat_deg: float, lon_deg: float, alt_m: float) -> np.ndarray:
     return np.array([x, y, z])
 
 
-def elevation_azimuth(
-    receiver_ecef: np.ndarray, sat_ecef: np.ndarray
-) -> tuple[float, float]:
-    """Satellite look angles from the receiver: (elevation_deg, azimuth_deg),
-    azimuth clockwise from true north. Absent from the reference (it never
-    computes geometry relative to the receiver); used here for almanac-aided
-    visibility prediction and DOP diagnostics."""
+def enu_basis(receiver_ecef: np.ndarray) -> np.ndarray:
+    """Rows = geodetic east/north/up unit vectors at the receiver (WGS-84
+    geodetic latitude — shared by look-angle and integrity computations so
+    both use the same local frame)."""
     lat_deg, lon_deg, _ = ecef_to_lla(np.asarray(receiver_ecef, dtype=np.float64))
     lat, lon = np.radians(lat_deg), np.radians(lon_deg)
     east = np.array([-np.sin(lon), np.cos(lon), 0.0])
@@ -41,6 +38,17 @@ def elevation_azimuth(
     up = np.array(
         [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)]
     )
+    return np.stack([east, north, up])
+
+
+def elevation_azimuth(
+    receiver_ecef: np.ndarray, sat_ecef: np.ndarray
+) -> tuple[float, float]:
+    """Satellite look angles from the receiver: (elevation_deg, azimuth_deg),
+    azimuth clockwise from true north. Absent from the reference (it never
+    computes geometry relative to the receiver); used here for almanac-aided
+    visibility prediction and DOP diagnostics."""
+    east, north, up = enu_basis(receiver_ecef)
     los = np.asarray(sat_ecef, dtype=np.float64) - np.asarray(
         receiver_ecef, dtype=np.float64
     )

@@ -42,21 +42,6 @@ def ura_index_to_sigma_m(ura: int) -> float:
     return float("inf")
 
 
-def _enu_basis(receiver_ecef: np.ndarray) -> np.ndarray:
-    """Rows = east, north, up unit vectors at the receiver."""
-    x, y, z = receiver_ecef / np.linalg.norm(receiver_ecef)
-    lon = np.arctan2(y, x)
-    lat = np.arcsin(z)
-    east = np.array([-np.sin(lon), np.cos(lon), 0.0])
-    north = np.array(
-        [-np.sin(lat) * np.cos(lon), -np.sin(lat) * np.sin(lon), np.cos(lat)]
-    )
-    up = np.array(
-        [np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)]
-    )
-    return np.stack([east, north, up])
-
-
 def protection_levels(
     sat_positions: np.ndarray,
     receiver_ecef: np.ndarray,
@@ -74,15 +59,21 @@ def protection_levels(
     if sat.shape[0] < 4 or not np.all(np.isfinite(sig)) or np.any(sig <= 0):
         return None
 
+    from gypsum_tpu.solve.geodesy import enu_basis
+
     los = sat - rx[None, :]
     e_ecef = los / np.linalg.norm(los, axis=1, keepdims=True)
-    enu = _enu_basis(rx)
+    enu = enu_basis(rx)  # geodetic frame, shared with elevation_azimuth
     e = e_ecef @ enu.T  # LOS in ENU
     g = np.concatenate([e, np.ones((e.shape[0], 1))], axis=1)  # [N, 4]
     w = 1.0 / sig**2
     try:
         p = np.linalg.inv(g.T @ (w[:, None] * g))
     except np.linalg.LinAlgError:
+        return None
+    # Near-singular geometry can survive inv() with garbage variances
+    # (negative/NaN diagonals) instead of raising — no finite bound exists.
+    if not np.all(np.isfinite(p)) or np.any(np.diag(p)[:3] <= 0.0):
         return None
 
     d_e2, d_n2, d_u2 = p[0, 0], p[1, 1], p[2, 2]

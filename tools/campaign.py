@@ -199,16 +199,20 @@ def run_trial(seed: int, impairment: str = "none") -> dict:
             vel_err is None or vel_err < VELOCITY_TOLERANCE_MPS
         )
         status = "pass" if ok else "bad_fix"
-        # The certified bound must hold whenever the fix is published: an
-        # actual error above HPL+VPL is an integrity violation — a far worse
-        # finding than a bad fix.
+        # The certified bound must hold whenever a fix is published —
+        # REGARDLESS of whether it passes the accuracy tolerance: a large
+        # error inside its protection level is merely unavailable, a large
+        # error OUTSIDE it is hazardously misleading information, the worst
+        # finding a campaign can produce. Horizontal error checks against
+        # HPL and vertical against VPL separately (DO-229 semantics).
         hpl = fix.protection["hpl_m"] if fix.protection else None
-        if (
-            ok
-            and hpl is not None
-            and pos_err > hpl + fix.protection["vpl_m"]
-        ):
-            status = "integrity_violation"
+        if hpl is not None:
+            up = expected / np.linalg.norm(expected)
+            err_vec = fix.ecef - expected
+            v_err = abs(float(err_vec @ up))
+            h_err = float(np.linalg.norm(err_vec - (err_vec @ up) * up))
+            if h_err > hpl or v_err > fix.protection["vpl_m"]:
+                status = "integrity_violation"
         result.update(
             status=status,
             hpl_m=hpl,
