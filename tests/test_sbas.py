@@ -253,3 +253,30 @@ def test_sbas_geo_end_to_end_ranging():
     last5 = [f for f in fixes if 120 in f.satellites_used][-1]
     err = float(np.linalg.norm(last5.ecef - rx))
     assert err < 5.0, f"5-SV fix error {err:.1f} m"  # measured ~0.6 m
+
+
+def test_frame_decoder_resyncs_after_corruption():
+    # A burst of corrupted signal (e.g. an obstruction) breaks CRC; the
+    # decoder must drop sync and recover on clean symbols without manual
+    # intervention.
+    rng = np.random.default_rng(17)
+    msgs = [(63, rng.integers(0, 2, 212).astype(np.int8)) for _ in range(8)]
+    sym = encode_symbol_stream(msgs).astype(np.float64)
+    soft = np.repeat(sym, 2)
+    # Corrupt 1.2 s in the middle (pure noise, zero mean).
+    lo = 2600
+    soft[lo : lo + 2400] = rng.standard_normal(2400) * 1.5
+    soft += rng.standard_normal(len(soft)) * 0.3
+    times = np.arange(len(soft), dtype=np.float64) * 1e-3
+    dec = SbasFrameDecoder(prn=126)
+    got = []
+    for i in range(0, len(soft) - 249, 250):
+        got += dec.process_block(soft[i : i + 250], times[i : i + 250])
+    edges = sorted(b.leading_edge_timestamp for b in got)
+    # Blocks decoded both before and well after the corruption window.
+    assert any(e < lo * 1e-3 for e in edges), "no blocks before the burst"
+    assert any(e > (lo + 2400) * 1e-3 for e in edges), "never re-synced after the burst"
+    # And every decoded block's payload is exact (CRC does its job).
+    for b in got:
+        k = int(round(b.leading_edge_timestamp))
+        np.testing.assert_array_equal(b.data_bits, msgs[k][1])
