@@ -88,6 +88,13 @@ class TrackingConfig:
     # Milliseconds of signal processed per device dispatch. The tracker's
     # sequential loop-filter state is carried through a lax.scan of this length.
     block_size_ms: int = 1000
+    # Overlap the host->device sample upload of block k+1 with block k's
+    # device compute and block k-1's host processing, via a one-block
+    # read-ahead whose device_put runs on a background thread. The binding
+    # resource on this environment's TPU tunnel is the upload, which
+    # otherwise blocks the host inside dispatch. Off by default (the CPU
+    # backend gains nothing; enable for TPU replay throughput).
+    async_upload: bool = False
     # Costas loop bandwidths (Hz): wide for pull-in, narrow once locked
     # (reference: gypsum/tracker.py:251-256).
     pll_bandwidth_locked_hz: float = 3.0

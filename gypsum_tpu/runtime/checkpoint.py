@@ -47,7 +47,9 @@ def save_checkpoint(receiver, path: str | Path) -> None:
     receiver.bank.sync_host_state()
     blob = {
         "version": CHECKPOINT_VERSION,
-        "stream_seconds": receiver.source.seconds_consumed,
+        # Excludes any undispatched read-ahead block (async_upload): it is
+        # simply re-read after resume.
+        "stream_seconds": receiver.stream_position_s,
         "bank_state": receiver.bank.state,
         "slot_prn": list(receiver.bank.slot_prn),
         "eligible_prns": set(receiver.eligible_prns),

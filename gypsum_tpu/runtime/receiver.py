@@ -69,7 +69,14 @@ class _ChannelPipeline:
 
 @dataclass
 class BlockReport:
-    """What happened during one block iteration."""
+    """What happened during one block iteration.
+
+    In pipelined mode (pipeline_tracking / the TPU default) a report is
+    labeled with the block DISPATCHED this iteration while its
+    observations/subframes/fix come from the previously dispatched block
+    (collected one iteration later); totals across a run are exact, and the
+    final in-flight block is drained into its own correctly-labeled report.
+    Unpipelined mode collects the same block it dispatches."""
 
     block_start: float
     block_end: float
@@ -138,6 +145,13 @@ class Receiver:
 
             pipelined = jax.default_backend() == "tpu"
         self._pipeline_depth = 1 if pipelined else 0
+        # One-block read-ahead with the device_put on a background thread
+        # (TrackingConfig.async_upload): block k+1's samples cross the
+        # host->device tunnel while block k computes and k-1 is processed.
+        self._async_upload = bool(self.config.tracking.async_upload)
+        self._upload_pool = None
+        self._readahead = None  # (start, track_input, block, planes, offset, fut)
+        self._readahead_eof = False
 
     # ------------------------------------------------------------ lifecycle
 
@@ -147,10 +161,10 @@ class Receiver:
 
     def run(self, max_seconds: float | None = None, until_fix: bool = False) -> list[BlockReport]:
         """Process the stream until exhaustion / ``max_seconds`` / first fix."""
-        start = self.source.seconds_consumed
+        start = self.stream_position_s
         stop = False
         while not stop:
-            if max_seconds is not None and self.source.seconds_consumed - start >= max_seconds:
+            if max_seconds is not None and self.stream_position_s - start >= max_seconds:
                 break
             try:
                 report = self.step_block()
@@ -177,17 +191,54 @@ class Receiver:
 
     # ------------------------------------------------------------- the loop
 
-    def step_block(self) -> BlockReport:
-        block_ms = self.config.tracking.block_size_ms
+    @property
+    def stream_position_s(self) -> float:
+        """Stream position EXCLUDING any read-ahead block that has not been
+        dispatched yet (run() bounds and checkpoints must not count it — a
+        dropped read-ahead is simply re-read on resume)."""
+        pos = self.source.seconds_consumed
+        if self._readahead is not None:
+            pos -= self._readahead[1].shape[0] * 1e-3
+        return pos
+
+    def _read_raw(self, block_ms: int):
+        """(block_start, track_input, block_complex|None, planes|None, offset)"""
         raw = self.source.read_block_quantized(block_ms)
         if raw is None:
             block_start, block = self.source.read_block(block_ms)
-            track_input = block
+            return block_start, block, block, None, 0.0
+        block_start, planes, offset = raw
+        return block_start, planes, None, planes, offset
+
+    def _submit_upload(self, track_input):
+        """Background device_put of one block's samples, as float32/raw
+        planes (complex64 must never cross this environment's device
+        boundary — core/planes.py)."""
+        import jax.numpy as jnp
+
+        from gypsum_tpu.core.planes import to_planes
+
+        if self._upload_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._upload_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="gypsum-upload"
+            )
+        arr = to_planes(track_input) if np.iscomplexobj(track_input) else track_input
+        return self._upload_pool.submit(jnp.asarray, arr)
+
+    def step_block(self) -> BlockReport:
+        block_ms = self.config.tracking.block_size_ms
+        upload_fut = None
+        if self._readahead is not None:
+            block_start, track_input, block, planes, offset, upload_fut = self._readahead
+            self._readahead = None
+        elif self._readahead_eof:
+            self._readahead_eof = False
+            raise NoMoreSamplesError("stream exhausted (past read-ahead)")
         else:
-            block_start, planes, offset = raw
-            block = None  # complex view built lazily (scan blocks only)
-            track_input = planes
-        block_end = block_start + block_ms * 1e-3
+            block_start, track_input, block, planes, offset = self._read_raw(block_ms)
+        block_end = block_start + track_input.shape[0] * 1e-3
         report = BlockReport(block_start=block_start, block_end=block_end)
 
         # --- acquisition scan (reference: gypsum/receiver.py:148-174) over
@@ -205,7 +256,17 @@ class Receiver:
         # with pipelining the dispatch returns immediately and the block
         # processed below is the PREVIOUS one (sample upload + device
         # compute + host nav decode overlap).
-        self.bank.dispatch_block(track_input, block_start)
+        dispatch_input = upload_fut.result() if upload_fut is not None else track_input
+        self.bank.dispatch_block(dispatch_input, block_start)
+        # Read the NEXT block and start its upload now: it crosses the
+        # tunnel while this block computes and the previous one is decoded.
+        if self._async_upload and self._readahead is None and not self._readahead_eof:
+            try:
+                nxt = self._read_raw(block_ms)
+            except NoMoreSamplesError:
+                self._readahead_eof = True
+            else:
+                self._readahead = (*nxt, self._submit_upload(nxt[1]))
         if self.bank.pending_blocks > self._pipeline_depth:
             self._collect_into(report)
         self.block_reports.append(report)
