@@ -160,7 +160,7 @@ def tracked_throughput_msamples_per_sec() -> tuple[float, dict]:
     return msps, details
 
 
-def e2e_replay_details() -> dict:
+def e2e_replay_details(async_upload: bool = False) -> dict:
     """End-to-end pipelined replay wall-clock (VERDICT round-1 item 3):
     the full receiver — per-block sample upload, acquisition scan, tracking
     dispatch, host nav decode — over a synthesized 4-SV scene. Unlike the
@@ -186,7 +186,9 @@ def e2e_replay_details() -> dict:
         demo_constellation([25, 28, 31, 32]), rx, DEMO_GPS_START_SOW, seconds, FS,
         noise_sigma=0.3,
     )
-    cfg = ReceiverConfig(tracking=TrackingConfig(pipeline_tracking=True))
+    cfg = ReceiverConfig(tracking=TrackingConfig(
+        pipeline_tracking=True, async_upload=async_upload,
+    ))
 
     # The production-realistic ingest: an rtl_sdr uint8 capture, whose raw
     # words upload 4x cheaper than float planes and dequantize in-graph.
@@ -210,14 +212,15 @@ def e2e_replay_details() -> dict:
         e2e_u8_s, recv = run_once(FileSampleSource(recording_info_for("rtl_sdr", tmp.name)))
     finally:
         os.unlink(tmp.name)
+    tag = "e2e_async" if async_upload else "e2e"
     return {
-        "e2e_replay_signal_s": seconds,
-        "e2e_replay_wall_s": e2e_u8_s,
-        "e2e_replay_f32_wall_s": e2e_f32_s,
-        "e2e_replay_warm_wall_s": warm_s,
-        "e2e_realtime_factor": seconds / e2e_u8_s,
-        "e2e_realtime_factor_f32": seconds / e2e_f32_s,
-        "e2e_tracked_prns": sorted({p for r in recv.block_reports for p in r.tracked_prns}),
+        f"{tag}_replay_signal_s": seconds,
+        f"{tag}_replay_wall_s": e2e_u8_s,
+        f"{tag}_replay_f32_wall_s": e2e_f32_s,
+        f"{tag}_replay_warm_wall_s": warm_s,
+        f"{tag}_realtime_factor": seconds / e2e_u8_s,
+        f"{tag}_realtime_factor_f32": seconds / e2e_f32_s,
+        f"{tag}_tracked_prns": sorted({p for r in recv.block_reports for p in r.tracked_prns}),
     }
 
 
@@ -457,7 +460,7 @@ def _hosts_main(n_hosts: int) -> None:
     }))
 
 
-def _e2e_worker(platform: str) -> None:
+def _e2e_worker(platform: str, async_upload: bool = False) -> None:
     if platform != "default":
         import jax
 
@@ -465,7 +468,11 @@ def _e2e_worker(platform: str) -> None:
     from gypsum_tpu.core.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    print("BENCH_RESULT " + json.dumps({"details": e2e_replay_details()}), flush=True)
+    print(
+        "BENCH_RESULT "
+        + json.dumps({"details": e2e_replay_details(async_upload=async_upload)}),
+        flush=True,
+    )
 
 
 def _run_worker(platform: str, timeout_s: float, mode: str = "--worker") -> dict | None:
@@ -516,6 +523,13 @@ def main() -> None:
         details.update(e2e["details"])
     else:
         details["e2e_error"] = "e2e worker failed or timed out"
+    # Async-upload variant in its OWN worker: a background-thread transfer
+    # that misbehaves on this backend must not cost the baseline numbers.
+    e2e_async = _run_worker("default", timeout_s=600, mode="--e2e-async-worker")
+    if e2e_async is not None:
+        details.update(e2e_async["details"])
+    else:
+        details["e2e_async_error"] = "async e2e worker failed or timed out"
     details["baseline_numpy_msps"] = baseline
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
@@ -534,6 +548,8 @@ if __name__ == "__main__":
         _worker(sys.argv[2])
     elif len(sys.argv) >= 3 and sys.argv[1] == "--e2e-worker":
         _e2e_worker(sys.argv[2])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--e2e-async-worker":
+        _e2e_worker(sys.argv[2], async_upload=True)
     elif len(sys.argv) >= 5 and sys.argv[1] == "--dist-worker":
         _dist_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
     elif len(sys.argv) >= 3 and sys.argv[1] == "--hosts":
