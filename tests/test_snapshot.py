@@ -111,3 +111,32 @@ def test_snapshot_from_real_acquisition():
     err = np.linalg.norm(sol.ecef - RX)
     assert err < 400.0, f"snapshot fix error {err:.0f} m"
     assert abs(sol.time_correction_s + 4.0) < 0.5
+
+
+def test_snapshot_from_almanac_grade_orbits():
+    """Warm start with only an almanac (no precise ephemerides): the
+    snapshot fix degrades to almanac-grade accuracy (km-scale orbit error)
+    but still produces a usable position — the assisted-start scenario
+    where orbits came from a days-old broadcast."""
+    from gypsum_tpu.solve.almanac import (
+        almanac_page_from_ephemeris,
+        ephemeris_from_almanac,
+    )
+
+    week = next(iter(EPH.values())).week_number
+    degraded = {
+        p: ephemeris_from_almanac(almanac_page_from_ephemeris(p, e), week)
+        for p, e in EPH.items()
+    }
+    meas = _true_fractions(RX, T0, DEMO_PRNS_8)  # truth from PRECISE orbits
+    sol = snapshot_fix(
+        meas, orbit_fn_from_ephemerides(degraded), T0 + 3.0,
+        RX + np.array([25e3, -20e3, 10e3]),
+    )
+    assert sol is not None
+    err = np.linalg.norm(sol.ecef - RX)
+    # Almanac pages quantize e/sqrtA/Omega/M0 etc: few-km orbit errors map
+    # to km-scale position error — still far inside the integer-ms basin.
+    assert err < 8_000.0, f"almanac snapshot error {err:.0f} m"
+    assert abs(sol.time_correction_s + 3.0) < 2.0
+    assert sol.residual_rms_m < 5_000.0
