@@ -318,19 +318,40 @@ def cmd_synth(args) -> int:
         args.rate, noise_sigma=args.noise, receiver_velocity_ecef=velocity,
         tropo=not args.no_tropo, impairments=impairments,
     )
-    if args.out.endswith(".npy"):
-        np.save(args.out, iq)
-        with open(args.out + ".json", "w") as f:
+
+    def _write(path, samples):
+        if path.endswith(".npy"):
+            np.save(path, samples)
+        else:
+            # Interleaved float32 IQ + JSON sidecar (GNU-Radio-compatible
+            # layout, reference: gypsum/radio_input.py:40-43).
+            inter = np.empty(2 * len(samples), dtype=np.float32)
+            inter[0::2] = samples.real
+            inter[1::2] = samples.imag
+            inter.tofile(path)
+        with open(path + ".json", "w") as f:
             json.dump({"sample_rate": args.rate, "dtype": "float32"}, f)
-    else:
-        # Interleaved float32 IQ + JSON sidecar (GNU-Radio-compatible layout,
-        # reference: gypsum/radio_input.py:40-43).
-        inter = np.empty(2 * len(iq), dtype=np.float32)
-        inter[0::2] = iq.real
-        inter[1::2] = iq.imag
-        inter.tofile(args.out)
-        with open(args.out + ".json", "w") as f:
-            json.dump({"sample_rate": args.rate, "dtype": "float32"}, f)
+
+    _write(args.out, iq)
+    if args.rover_out:
+        # Second receiver of the SAME scene, offset by --rover-enu: the
+        # input pair for the `rtk` subcommand (solve/rtk.py).
+        from gypsum_tpu.solve.geodesy import enu_basis
+
+        try:
+            de, dn, du = (float(x) for x in args.rover_enu.split(","))
+        except (AttributeError, ValueError):
+            raise SystemExit('--rover-out needs --rover-enu "east,north,up" (m)')
+        east, north, up = enu_basis(rx)
+        iq2, _ = synthesize_constellation(
+            sats, rx + de * east + dn * north + du * up, DEMO_GPS_START_SOW,
+            args.duration, args.rate, noise_sigma=args.noise,
+            receiver_velocity_ecef=velocity, tropo=not args.no_tropo,
+            impairments=impairments,
+        )
+        _write(args.rover_out, iq2)
+        print(f"wrote rover capture {args.rover_out} at ENU offset "
+              f"({de}, {dn}, {du}) m")
     print(f"wrote {args.out}: {args.duration}s @ {args.rate:.0f} Hz, "
           f"PRNs {[s for s in truth.doppler_hz]}")
     for prn in truth.doppler_hz:
@@ -338,6 +359,80 @@ def cmd_synth(args) -> int:
               f"code phase {truth.code_phase_samples[prn]:.1f}, "
               f"transit {truth.transit_time_s[prn] * 1e3:.3f} ms")
     return 0
+
+
+def cmd_rtk(args) -> int:
+    """Dual-receiver carrier-phase baseline (RTK, solve/rtk.py): run the full
+    receiver over the base and rover captures, double-difference the carrier,
+    fix the integer ambiguities, print the centimeter-level baseline."""
+    import argparse as _ap
+
+    from gypsum_tpu.core.config import DEFAULT_CONFIG
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.solve.geodesy import enu_basis, lla_to_ecef
+    from gypsum_tpu.solve.rtk import (
+        CarrierPhaseLog,
+        form_double_differences,
+        solve_baseline,
+        solve_kinematic,
+        sv_position_fn_from_ephemerides,
+    )
+
+    prns = [int(p) for p in args.prns] if args.prns else None
+    logs, receivers = [], []
+    for name, path in (("base", args.base_file), ("rover", args.rover_file)):
+        ns = _ap.Namespace(file=path, format=args.format,
+                           sample_rate=args.sample_rate, rtlsdr=False)
+        source = _open_source(ns)
+        recv = Receiver(source, DEFAULT_CONFIG, eligible_prns=prns)
+        log = CarrierPhaseLog(recv.sample_rate, recv.samples_per_prn,
+                              recv.config.tracking)
+        recv.add_block_listener(log.listener())
+        _logger.info("processing %s capture %s ...", name, path)
+        recv.run(max_seconds=args.duration)
+        logs.append(log)
+        receivers.append(recv)
+
+    # Satellite positions from the base receiver's decoded ephemerides; its
+    # clock slide maps stream time to GPS seconds-of-week.
+    world = receivers[0].world
+    eph = {p: r.ephemeris for p, r in world._sats.items() if r.ephemeris is not None}
+    if world.receiver_clock_slide is None or len(eph) < 4:
+        raise SystemExit(
+            f"base capture decoded {len(eph)} ephemerides and "
+            f"{'no' if world.receiver_clock_slide is None else 'a'} time base; "
+            "need >=4 ephemerides (longer capture?)"
+        )
+    sv_fn = sv_position_fn_from_ephemerides(eph, world.receiver_clock_slide)
+
+    dd = form_double_differences(
+        logs[0], logs[1], prns=sorted(eph),
+        epoch_every_ms=args.epoch_every_ms,
+    )
+    base_ecef = lla_to_ecef(*args.base_lla)
+    east, north, up = enu_basis(base_ecef)
+    if args.kinematic:
+        sol = solve_kinematic(dd, sv_fn, base_ecef, ratio_threshold=args.ratio)
+        for t, b in zip(sol.epochs_s, sol.baselines_fixed_m):
+            print(f"[{t:8.2f}s] baseline ENU ({b @ east:+.3f}, "
+                  f"{b @ north:+.3f}, {b @ up:+.3f}) m")
+        print(f"ambiguities {'FIXED' if sol.fixed else 'FLOAT'} "
+              f"(ratio {sol.ratio:.1f}, {len(sol.epochs_s)} epochs, "
+              f"ref PRN {sol.ref_prn}, DD PRNs {sol.prns})")
+        return 0 if sol.fixed else 3
+
+    sol = solve_baseline(dd, sv_fn, base_ecef, ratio_threshold=args.ratio)
+    for label, b in (("float", sol.baseline_float_m), ("fixed", sol.baseline_fixed_m)):
+        if b is None:
+            continue
+        enu = (float(b @ east), float(b @ north), float(b @ up))
+        print(f"{label} baseline ENU: ({enu[0]:+.3f}, {enu[1]:+.3f}, "
+              f"{enu[2]:+.3f}) m  |b| = {np.linalg.norm(b):.3f} m")
+    print(f"ambiguities {'FIXED' if sol.fixed else 'FLOAT'} "
+          f"(ratio {sol.ratio:.1f}, {sol.n_epochs} epochs, "
+          f"ref PRN {sol.ref_prn}, DD PRNs {sol.prns}, "
+          f"phase RMS {sol.phase_rms_half_cycles:.3f} half-cycles)")
+    return 0 if sol.fixed else 3
 
 
 def cmd_bench(args) -> int:
@@ -424,7 +519,35 @@ def main(argv=None) -> int:
                    metavar="PRN",
                    help="add an SBAS GEO (PRN 120-138; replay it with "
                         "--prns <gps...> <PRN> to widen the search family)")
+    p.add_argument("--rover-out", default=None,
+                   help="also write a second capture of the same scene from "
+                        "an offset receiver (the `rtk` subcommand's input)")
+    p.add_argument("--rover-enu", default=None, metavar="E,N,U",
+                   help='rover offset from the base in meters, e.g. "12,-5,0"')
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser(
+        "rtk",
+        help="centimeter-level baseline between two simultaneous captures "
+             "(double-differenced carrier phase, integer ambiguity fixing)",
+    )
+    p.add_argument("--base-file", required=True, help="base receiver capture")
+    p.add_argument("--rover-file", required=True, help="rover receiver capture")
+    p.add_argument("--base-lla", type=float, nargs=3, required=True,
+                   metavar=("LAT", "LON", "ALT"),
+                   help="known base position (deg, deg, m)")
+    p.add_argument("--format", default=None,
+                   help="named capture format for both files (see replay)")
+    p.add_argument("--sample-rate", type=float, default=None)
+    p.add_argument("--prns", nargs="*", default=None)
+    p.add_argument("--duration", type=float, default=None,
+                   help="process at most this many seconds of each capture")
+    p.add_argument("--epoch-every-ms", type=int, default=250)
+    p.add_argument("--ratio", type=float, default=2.0,
+                   help="integer-fix acceptance ratio (2nd-best/best cost)")
+    p.add_argument("--kinematic", action="store_true",
+                   help="moving rover: per-epoch baselines (shared ambiguities)")
+    p.set_defaults(fn=cmd_rtk)
 
     p = sub.add_parser("bench", help="run the tracked-throughput benchmark")
     p.set_defaults(fn=cmd_bench)
