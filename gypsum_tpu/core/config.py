@@ -268,6 +268,14 @@ class SolverConfig:
     # once subframe 4 page 18 has been decoded. The reference never decodes
     # the page, so False reproduces its (uncorrected) behavior.
     apply_iono_correction: bool = True
+    # Apply SBAS fast corrections (MT1 mask + MT2-5 PRCs decoded from a
+    # tracked GEO, solve/sbas_corrections.py) to GPS pseudoranges, and fold
+    # the UDREI variance into the integrity weighting. The reference has no
+    # SBAS capability at all.
+    apply_sbas_corrections: bool = True
+    # Fast corrections older than this are discarded (DO-229's en-route
+    # degradation tier; there is no RRC modeling here).
+    sbas_fast_timeout_s: float = 30.0
     # Apply the Saastamoinen tropospheric model (solve/tropo.py) once a
     # position estimate exists. Needs no broadcast data; False reproduces
     # the reference's (uncorrected) behavior.

@@ -294,6 +294,97 @@ def parse_mt9_data(data_bits: np.ndarray, prn: int) -> GeoNavigationMessage:
     )
 
 
+# --------------------------------------------------------------------------
+# MT1 (PRN mask) + MT2-5 (fast corrections): the DGPS payload (DO-229 §A.4.4.2
+# / §A.4.4.3). Slot arithmetic: the 210-bit mask's set bits, in ascending
+# slot order, define the correction sequence; MT(2+g) carries sequence
+# entries 13g+1 .. 13g+13. Mask slots 1-37 are GPS PRNs 1-37.
+# --------------------------------------------------------------------------
+
+#: DO-229 Table A-6 sigma^2_UDRE (m^2), UDREI 0-13; 14 = not monitored,
+#: 15 = do not use. The values are (bound / 3.29)^2 of the 99.9% bounds
+#: 0.75, 1.0, 1.25, 1.75, 2.25, 3.0, 3.75, 4.5, 5.25, 6.0, 7.5, 15, 50, 150 m.
+UDRE_VARIANCE_M2: tuple[float, ...] = tuple(
+    (b / 3.29) ** 2
+    for b in (0.75, 1.0, 1.25, 1.75, 2.25, 3.0, 3.75, 4.5, 5.25, 6.0,
+              7.5, 15.0, 50.0, 150.0)
+)
+PRC_SCALE_M = 0.125  # 12-bit signed LSB: +/-256 m range
+N_MASK_SLOTS = 210
+CORRECTIONS_PER_MESSAGE = 13
+
+
+@dataclass(frozen=True)
+class PrnMask:
+    """MT1: which of the 210 PRN slots carry corrections (IODP-versioned)."""
+
+    iodp: int
+    slots: tuple[int, ...]  # ascending 1-based mask slots (== GPS PRN for 1-37)
+
+
+@dataclass(frozen=True)
+class FastCorrections:
+    """One MT2-5 block: 13 consecutive correction-sequence entries."""
+
+    message_type: int  # 2..5; sequence offset = (mt - 2) * 13
+    iodf: int
+    iodp: int
+    prc_m: tuple[float, ...]  # 13 entries
+    udrei: tuple[int, ...]  # 13 entries
+
+
+def encode_mt1_data(mask: PrnMask) -> np.ndarray:
+    bits = np.zeros(DATA_BITS, dtype=np.int8)
+    for slot in mask.slots:
+        if not 1 <= slot <= N_MASK_SLOTS:
+            raise ValueError(f"mask slot {slot} outside 1..{N_MASK_SLOTS}")
+        bits[slot - 1] = 1
+    bits[N_MASK_SLOTS : N_MASK_SLOTS + 2] = _pack(mask.iodp, 2)
+    return bits
+
+
+def parse_mt1_data(data_bits: np.ndarray) -> PrnMask:
+    slots = tuple(int(i) + 1 for i in np.flatnonzero(data_bits[:N_MASK_SLOTS]))
+    iodp, _ = _unpack(data_bits, N_MASK_SLOTS, 2)
+    return PrnMask(iodp=int(iodp), slots=slots)
+
+
+def encode_fast_corrections_data(fc: FastCorrections) -> np.ndarray:
+    if not 2 <= fc.message_type <= 5:
+        raise ValueError(f"fast corrections are MT2-5, got {fc.message_type}")
+    if len(fc.prc_m) != CORRECTIONS_PER_MESSAGE or len(fc.udrei) != CORRECTIONS_PER_MESSAGE:
+        raise ValueError("fast corrections carry exactly 13 slots")
+    bits: list[int] = _pack(fc.iodf, 2) + _pack(fc.iodp, 2)
+    for prc in fc.prc_m:
+        raw = int(round(prc / PRC_SCALE_M))
+        if not -2048 <= raw <= 2047:
+            raise ValueError(f"PRC {prc} m outside the +/-256 m field")
+        bits += _pack(raw & 0xFFF, 12)
+    for u in fc.udrei:
+        bits += _pack(int(u), 4)
+    bits += [0] * (DATA_BITS - len(bits))
+    return np.array(bits, dtype=np.int8)
+
+
+def parse_fast_corrections_data(
+    data_bits: np.ndarray, message_type: int
+) -> FastCorrections:
+    iodf, cur = _unpack(data_bits, 0, 2)
+    iodp, cur = _unpack(data_bits, cur, 2)
+    prc = []
+    for _ in range(CORRECTIONS_PER_MESSAGE):
+        raw, cur = _unpack(data_bits, cur, 12, signed=True)
+        prc.append(raw * PRC_SCALE_M)
+    udrei = []
+    for _ in range(CORRECTIONS_PER_MESSAGE):
+        raw, cur = _unpack(data_bits, cur, 4)
+        udrei.append(int(raw))
+    return FastCorrections(
+        message_type=int(message_type), iodf=int(iodf), iodp=int(iodp),
+        prc_m=tuple(prc), udrei=tuple(udrei),
+    )
+
+
 def encode_block(message_type: int, data_bits: np.ndarray, preamble_idx: int) -> np.ndarray:
     """One 250-bit SBAS block: preamble, 6-bit type, 212-bit data, CRC-24Q."""
     data_bits = np.asarray(data_bits, dtype=np.int8)

@@ -30,7 +30,9 @@ from pathlib import Path
 #   4 — SBAS support: _SatelliteRecord gained ``geo`` (MT9 GEO navigation)
 #       and _ChannelPipeline gained ``sbas`` (the DO-229 frame decoder).
 #   5 — _SatelliteRecord gained ``cn0_dbhz`` (C/N0-weighted integrity).
-CHECKPOINT_VERSION = 5
+#   6 — WorldModel gained ``sbas_corrections`` (MT1/MT2-5 fast-correction
+#       store, solve/sbas_corrections.py).
+CHECKPOINT_VERSION = 6
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:

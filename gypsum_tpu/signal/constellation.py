@@ -69,6 +69,11 @@ class ConstellationSatellite:
     # EKF (solve/ekf.py) exists for.
     visible_from_s: float | None = None
     visible_until_s: float | None = None
+    # Fault injection for SBAS fast corrections: a satellite clock error
+    # (range-equivalent meters) present in the SIGNAL but absent from the
+    # broadcast clock model — the receiver's pseudorange comes out SHORT by
+    # this much until an SBAS GEO's MT2 PRC (= +this value) corrects it.
+    unmodeled_clock_error_m: float = 0.0
 
 
 @dataclass
@@ -86,6 +91,11 @@ class SbasGeoSatellite:
     mt9_every: int = 4
     visible_from_s: float | None = None
     visible_until_s: float | None = None
+    # Fast corrections to broadcast: GPS PRN -> PRC meters (DO-229 MT1 mask
+    # + MT2 every other second). Pair with ConstellationSatellite
+    # .unmodeled_clock_error_m on the corrected SVs: PRC = +that value.
+    fast_corrections: dict[int, float] | None = None
+    correction_udrei: int = 5
 
 
 def _sbas_symbols(
@@ -96,11 +106,37 @@ def _sbas_symbols(
     first_sec = int(np.floor(gps_start_time_sow)) - 2
     n_msgs = int(np.ceil(duration_s)) + 5
     rng = np.random.default_rng(seed ^ (0x5BA5 + sat.prn))
+    mt1 = mt2 = None
+    if sat.fast_corrections:
+        from gypsum_tpu.nav.sbas import (
+            CORRECTIONS_PER_MESSAGE,
+            FastCorrections,
+            PrnMask,
+            encode_fast_corrections_data,
+            encode_mt1_data,
+        )
+
+        prns = sorted(sat.fast_corrections)
+        if len(prns) > CORRECTIONS_PER_MESSAGE:
+            raise ValueError("demo GEO broadcasts a single MT2 (<= 13 SVs)")
+        mask = PrnMask(iodp=0, slots=tuple(prns))  # GPS PRN == mask slot
+        pad = CORRECTIONS_PER_MESSAGE - len(prns)
+        fc = FastCorrections(
+            message_type=2, iodf=0, iodp=0,
+            prc_m=tuple(sat.fast_corrections[p] for p in prns) + (0.0,) * pad,
+            udrei=(sat.correction_udrei,) * len(prns) + (14,) * pad,
+        )
+        mt1 = encode_mt1_data(mask)
+        mt2 = encode_fast_corrections_data(fc)
     msgs = []
     for k in range(n_msgs):
         sec = first_sec + k
         if sec % sat.mt9_every == 0:
             msgs.append((9, encode_mt9_data(sat.geo)))
+        elif mt1 is not None and sec % sat.mt9_every == 1:
+            msgs.append((1, mt1))
+        elif mt2 is not None and sec % sat.mt9_every == 2:
+            msgs.append((2, mt2))
         else:
             msgs.append((63, rng.integers(0, 2, 212).astype(np.int8)))
     sym = encode_symbol_stream(msgs, first_preamble_idx=first_sec % 3)
@@ -331,6 +367,12 @@ def synthesize_constellation(
             sat_pos = pos_at(grid - tau_g)
             tau_g = np.linalg.norm(sat_pos - rx_g, axis=-1) / C
         dtsv_g = clk_at(grid - tau_g)
+        # Unmodeled clock error (SBAS fast-correction fault injection): the
+        # SV's clock runs ahead of its broadcast model, shifting the CODE
+        # timeline (t_sv below) without touching the broadcast-derived
+        # corrections the receiver applies.
+        if getattr(sat, "unmodeled_clock_error_m", 0.0):
+            dtsv_g = dtsv_g + sat.unmodeled_clock_error_m / C
 
         # Ionospheric group delay (dispersive): the CODE arrives late by
         # T_iono while the CARRIER phase advances by the same amount — the

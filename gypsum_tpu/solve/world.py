@@ -202,6 +202,12 @@ class WorldModel:
         # Navigation EKF (solve/ekf.py): shadows the least-squares fix on
         # full epochs, carries the solution through < 4-satellite outages.
         self._ekf = NavigationEKF()
+        # SBAS differential corrections (MT1/MT2-5 from a tracked GEO).
+        from gypsum_tpu.solve.sbas_corrections import SbasCorrectionStore
+
+        self.sbas_corrections = SbasCorrectionStore(
+            timeout_s=self.config.sbas_fast_timeout_s
+        )
 
     def _record(self, prn: int) -> _SatelliteRecord:
         if prn not in self._sats:
@@ -366,6 +372,30 @@ class WorldModel:
         which always complete in-block)."""
         rec = self._record(prn)
         events: list[Event] = []
+        if block.message_type == 1:
+            from gypsum_tpu.nav.sbas import parse_mt1_data
+
+            mask = parse_mt1_data(block.data_bits)
+            if self.sbas_corrections.mask is None:
+                _logger.info(
+                    "SBAS PRN %d MT1: correction mask for %d satellites "
+                    "(IODP %d)", prn, len(mask.slots), mask.iodp,
+                )
+            self.sbas_corrections.handle_mask(mask)
+        elif 2 <= block.message_type <= 5:
+            from gypsum_tpu.nav.sbas import parse_fast_corrections_data
+
+            had = bool(self.sbas_corrections._by_slot)
+            self.sbas_corrections.handle_fast(
+                parse_fast_corrections_data(block.data_bits, block.message_type),
+                rx_time=block.leading_edge_timestamp,
+            )
+            if not had and self.sbas_corrections._by_slot:
+                _logger.info(
+                    "SBAS PRN %d MT%d: fast corrections online for slots %s",
+                    prn, block.message_type,
+                    sorted(self.sbas_corrections._by_slot),
+                )
         if block.message_type == 9:
             from gypsum_tpu.nav.sbas import parse_mt9_data
 
@@ -578,6 +608,14 @@ class WorldModel:
                     from gypsum_tpu.solve.tropo import tropo_delay_s
 
                     transit[i] -= tropo_delay_s(el, alt_u)
+            # SBAS fast correction (solve/sbas_corrections.py):
+            # PR_corrected = PR_measured + PRC, i.e. + PRC/c on the transit.
+            if cfg.apply_sbas_corrections:
+                corr = self.sbas_corrections.correction_for(
+                    prn, receiver_timestamp
+                )
+                if corr is not None:
+                    transit[i] += corr.prc_m / C
         return sat_pos, transit
 
     def _compute_position(self, receiver_timestamp: float, prns: list[int]) -> ReceiverSolution:
@@ -612,7 +650,7 @@ class WorldModel:
         dop = dilution_of_precision(sat_pos, pos)
         from gypsum_tpu.solve.integrity import protection_levels
 
-        sigmas = np.array([self._sigma_for(p) for p in prns])
+        sigmas = np.array([self._sigma_for(p, now=receiver_timestamp) for p in prns])
         protection = protection_levels(sat_pos, pos, sigmas)
         solution = ReceiverSolution(
             clock_bias_s=bias,
@@ -632,7 +670,7 @@ class WorldModel:
             self._ekf_shadow(receiver_timestamp, prns, solution)
         return solution
 
-    def _sigma_for(self, prn: int) -> float:
+    def _sigma_for(self, prn: int, now: float | None = None) -> float:
         """Per-satellite 1-sigma pseudorange error for integrity weighting:
         the configured sigma scaled by the channel's measured C/N0
         (obs/cn0.py; unmeasured channels keep the nominal), RSS'd with the
@@ -649,6 +687,12 @@ class WorldModel:
 
             ura = ura_index_to_sigma_m(rec.geo.ura)
             return float(np.sqrt(base * base + ura * ura))
+        if self.config.apply_sbas_corrections and now is not None:
+            corr = self.sbas_corrections.correction_for(prn, now)
+            if corr is not None:
+                # Corrected satellite: the broadcast UDREI bounds what the
+                # PRC leaves behind (DO-229 Table A-6 variance).
+                return float(np.sqrt(base * base + corr.sigma2_udre_m2))
         return float(base)
 
     # ------------------------------------------------------------ nav EKF

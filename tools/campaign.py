@@ -68,6 +68,11 @@ class Scenario:
     # the family-widened acquisition/tracking, the DO-229 decode stack, and
     # GEO ranging across random geometry.
     sbas_prn: int | None = None
+    # SBAS fast-correction fault injection: ((gps_prn, bias_m), ...) —
+    # each listed SV's signal carries an unmodeled clock error the GEO's
+    # MT1+MT2 broadcast corrects (solve/sbas_corrections.py). Only set when
+    # sbas_prn is present.
+    sbas_fast_bias_m: tuple[tuple[int, float], ...] = ()
 
 
 def _impairment_levels():
@@ -126,9 +131,17 @@ def make_scenario(seed: int, impairment: str = "none") -> Scenario:
     duration = float(rng.uniform(26.0, 32.0))
     block_ms = int(rng.choice([200, 500]))
     sbas_prn = int(rng.integers(120, 139)) if rng.random() < 0.33 else None
+    fast_bias: tuple[tuple[int, float], ...] = ()
+    if sbas_prn is not None and rng.random() < 0.7:
+        k = min(2, len(prns))
+        biased = rng.choice(np.array(prns), size=k, replace=False)
+        fast_bias = tuple(
+            (int(p), float(rng.uniform(5.0, 15.0) * rng.choice([-1.0, 1.0])))
+            for p in biased
+        )
     return Scenario(
         seed, prns, lat, lon, alt, vel, drift, noise, duration, block_ms,
-        impairment=impairment, sbas_prn=sbas_prn,
+        impairment=impairment, sbas_prn=sbas_prn, sbas_fast_bias_m=fast_bias,
     )
 
 
@@ -158,10 +171,22 @@ def run_trial(seed: int, impairment: str = "none") -> dict:
         sats = demo_constellation(list(sc.prns))
         eligible = None
         if sc.sbas_prn is not None:
+            import dataclasses
+
             from gypsum_tpu.signal.prn import ALL_PRN_IDS
             from gypsum_tpu.signal.scenarios import demo_sbas_geo
 
-            sats.append(demo_sbas_geo(sc.sbas_prn))
+            geo = demo_sbas_geo(sc.sbas_prn)
+            if sc.sbas_fast_bias_m:
+                biases = dict(sc.sbas_fast_bias_m)
+                sats = [
+                    dataclasses.replace(
+                        s, unmodeled_clock_error_m=biases.get(s.prn, 0.0)
+                    )
+                    for s in sats
+                ]
+                geo = dataclasses.replace(geo, fast_corrections=biases)
+            sats.append(geo)
             eligible = list(ALL_PRN_IDS) + [sc.sbas_prn]
         iq, _truth = synthesize_constellation(
             sats,
