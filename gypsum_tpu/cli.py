@@ -173,8 +173,10 @@ def cmd_replay(args) -> int:
             if f.protection is not None:
                 pl = (f" hpl={f.protection['hpl_m']:.0f}m"
                       f" vpl={f.protection['vpl_m']:.0f}m")
+            dgps = f" sbas-corrected={list(f.sbas_corrected)}" if f.sbas_corrected else ""
             print(f"[{report.block_end:8.1f}s] {tag} lat={f.lat_deg:.6f} lon={f.lon_deg:.6f} "
-                  f"alt={f.alt_m:.0f}m bias={f.clock_bias_s * 1e6:.2f}us{vel}{pl} sats={f.satellites_used}")
+                  f"alt={f.alt_m:.0f}m bias={f.clock_bias_s * 1e6:.2f}us{vel}{pl} "
+                  f"sats={f.satellites_used}{dgps}")
 
     receiver.add_block_listener(narrate)
     try:
@@ -204,16 +206,30 @@ def cmd_replay(args) -> int:
 
 
 def cmd_acquire(args) -> int:
-    from gypsum_tpu.acquire.engine import shared_acquisition_engine
-
     source = _open_source(args)
     attrs = source.attributes
-    engine = shared_acquisition_engine(attrs.sample_rate, attrs.samples_per_prn)
-    n_ms = engine.config.integration_period_ms
+    if args.deep:
+        # High-sensitivity mode (acquire/deep.py): grouped coherent x
+        # non-coherent integration over --deep-ms of signal, ~7-10 dB below
+        # the 10 ms engine's floor.
+        from gypsum_tpu.acquire.deep import DeepAcquisitionEngine
+        from gypsum_tpu.core.config import DeepAcquisitionConfig
+
+        cfg = DeepAcquisitionConfig(total_ms=args.deep_ms)
+        engine = DeepAcquisitionEngine(attrs.sample_rate, attrs.samples_per_prn, cfg)
+        n_ms = cfg.total_ms
+    else:
+        from gypsum_tpu.acquire.engine import shared_acquisition_engine
+
+        engine = shared_acquisition_engine(attrs.sample_rate, attrs.samples_per_prn)
+        n_ms = engine.config.integration_period_ms
     _, block = source.read_block(n_ms)
+    threshold = getattr(engine, "detection_threshold", None)
+    if threshold is None:
+        threshold = engine.config.detection_threshold
     hits = []
     for r in engine.acquire_all(block):
-        detected = r.strength > engine.config.detection_threshold
+        detected = r.strength > threshold
         if detected:
             hits.append(r)
         marker = "*" if detected else " "
@@ -482,6 +498,12 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("acquire", help="one-shot acquisition report over 10 ms")
+    p.add_argument("--deep", action="store_true",
+                   help="high-sensitivity search: grouped coherent x "
+                        "non-coherent integration over --deep-ms (~7-10 dB "
+                        "below the 10 ms engine; pairs well with --snapshot)")
+    p.add_argument("--deep-ms", type=int, default=200,
+                   help="milliseconds integrated in --deep mode")
     p.add_argument("--snapshot", action="store_true",
                    help="coarse-time fix from this acquisition alone "
                         "(orbits from --checkpoint, priors from --assume-*)")

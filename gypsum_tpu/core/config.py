@@ -62,6 +62,44 @@ class AcquisitionConfig:
 
 
 @dataclass(frozen=True)
+class DeepAcquisitionConfig:
+    """High-sensitivity acquisition (acquire/deep.py): grouped coherent
+    integration x non-coherent accumulation over hundreds of milliseconds,
+    with per-Doppler code-drift compensation. Digs out satellites ~7-10 dB
+    below the 10 ms engine's floor — at levels where the 1 kHz tracking loop
+    cannot hold lock, the code phases still feed snapshot coarse-time fixes
+    (solve/snapshot.py). No reference analogue (its acquisition is fixed at
+    10 ms non-coherent, gypsum/config.py:4)."""
+
+    # Coherent integration per group (ms). 10 keeps one nav-bit edge per
+    # group at worst (~1 dB average straddle loss); the Doppler step is
+    # matched to the group main lobe: 1000 / (2 * coherent_ms) Hz.
+    coherent_ms: int = 10
+    # Total integration (ms); must be a multiple of coherent_ms.
+    total_ms: int = 200
+    # Doppler search window (Hz around doppler_center_hz).
+    doppler_center_hz: float = 0.0
+    doppler_span_hz: float = 7000.0
+    doppler_step_hz: float | None = None  # None -> 1000 / (2 * coherent_ms)
+    # Doppler bins evaluated per device dispatch (bounds the [S, C, L]
+    # working set; the host loops over chunks).
+    doppler_chunk: int = 8
+    # Align each group's profile for the code drift its Doppler implies
+    # (f_d / 1540 chips/s smears ~4 samples over 400 ms at 7 kHz).
+    compensate_code_doppler: bool = True
+    # Normalized peak threshold (peak / mean-of-rest of the accumulated
+    # profile). Non-coherent averaging over G groups SHRINKS the noise
+    # max/mean ratio ~ 1 + k/sqrt(G) (measured: noise peaks ~3.2 at G=10,
+    # ~2.0 at G=40 over the full grid), so a fixed value cannot serve every
+    # total_ms. None (default) = 1 + detection_k / sqrt(G).
+    detection_threshold: float | None = None
+    detection_k: float = 10.0
+    # Residual-Doppler refinement from the squared group-to-group phase
+    # slope (unambiguous +/- 1/(4 * coherent_ms) — exactly the bin half-width).
+    phase_slope_refinement: bool = True
+
+
+@dataclass(frozen=True)
 class TrackingConfig:
     """Scan-based Costas PLL + early/prompt/late DLL (device side).
 

@@ -120,6 +120,9 @@ class ReceiverSolution:
     # "ekf": navigation-filter coast solution bridging a < 4-satellite
     # outage (solve/ekf.py — no reference analogue).
     kind: str = "lsq"
+    # GPS SVs whose pseudoranges carried an SBAS fast correction
+    # (solve/sbas_corrections.py) in this solve.
+    sbas_corrected: tuple[int, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -652,6 +655,12 @@ class WorldModel:
 
         sigmas = np.array([self._sigma_for(p, now=receiver_timestamp) for p in prns])
         protection = protection_levels(sat_pos, pos, sigmas)
+        corrected = tuple(
+            p for p in prns
+            if self.config.apply_sbas_corrections
+            and self.sbas_corrections.correction_for(p, receiver_timestamp)
+            is not None
+        )
         solution = ReceiverSolution(
             clock_bias_s=bias,
             ecef=pos,
@@ -664,6 +673,7 @@ class WorldModel:
             clock_drift_s_per_s=drift,
             dop=dop,
             protection=protection,
+            sbas_corrected=corrected,
         )
         self.position_fixes.append(solution)
         if self.config.ekf_enabled:

@@ -133,9 +133,10 @@ def test_fast_corrections_end_to_end():
     # The corrections actually arrived and were applied.
     store = recv_on.world.sbas_corrections
     assert store.mask is not None and set(store.mask.slots) == set(biases)
-    last_fix_t = recv_on.world.position_fixes[-1].receiver_timestamp
+    last_fix = recv_on.world.position_fixes[-1]
     for p in biases:
-        assert store.correction_for(p, last_fix_t) is not None
+        assert store.correction_for(p, last_fix.receiver_timestamp) is not None
+    assert set(last_fix.sbas_corrected) == set(biases)
 
     _, err_off = run(False)
     assert err_on < 2.0, f"corrected fix off by {err_on:.2f} m"
