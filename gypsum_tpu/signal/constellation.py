@@ -419,7 +419,7 @@ def synthesize_constellation(
         # phase -f_L1 tau(t(r)) plus the sampler-rate term (the receiver's
         # fast/slow clock shows up as a common frequency offset).
         truth_doppler[sat.prn] = -GPS_L1_FREQUENCY_HZ * (
-            dtau_dt * (1.0 + receiver_clock_drift) + receiver_clock_drift
+            dtau_dt * (1.0 - receiver_clock_drift) + receiver_clock_drift
         )
         t_sv0 = gps_start_time_sow - tau0 + float(np.interp(gps_start_time_sow, grid, dtsv_g))
         spp = sample_rate / 1000.0
@@ -449,7 +449,17 @@ def synthesize_constellation(
                     continue
             else:
                 vis = 1.0
-            t = gps_start_time_sow + r * (1.0 + receiver_clock_drift)
+            # receiver_clock_drift d = fractional OSCILLATOR frequency error
+            # (fast = positive). A fast oscillator clocks the ADC fast, so
+            # stream sample r lands at true time r(1 - d)/fs (first order) —
+            # and the SAME oscillator scales the LO to f_L1(1 + d), the
+            # -f_L1 d r baseband term below. (Before round 2's time-transfer
+            # work these two carried OPPOSITE signs — a sampler slow but LO
+            # fast "oscillator" no single crystal can produce — which made
+            # carrier-predicted code motion disagree with actual code motion
+            # by 2d and silently tripped the Hatch innovation gate on
+            # drifting-clock scenarios.)
+            t = gps_start_time_sow + r * (1.0 - receiver_clock_drift)
             tau = np.interp(t, grid, tau_code_g) + delay_extra
             tau_ph = np.interp(t, grid, tau_phase_g) + delay_extra
             dtsv = np.interp(t, grid, dtsv_g)
@@ -474,9 +484,9 @@ def synthesize_constellation(
             data = data_vals[np.clip(sym_idx, 0, len(data_vals) - 1)]
 
             # Baseband phase: keep only the fractional cycle count in f64.
-            # A drifting oscillator also skews the downconversion LO
-            # (f_L1 (1+d) derived from the same clock), leaving a common
-            # -f_L1 d baseband offset on every satellite.
+            # The fast oscillator also scales the downconversion LO to
+            # f_L1 (1+d), leaving a common -f_L1 d baseband offset on every
+            # satellite (consistent with the fast sampler above).
             cycles = -GPS_L1_FREQUENCY_HZ * (tau_ph + receiver_clock_drift * r)
             phase = 2.0 * np.pi * (cycles - np.round(cycles)) + phase_extra
             out[lo:hi] += (

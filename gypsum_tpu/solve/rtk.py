@@ -653,6 +653,112 @@ def solve_kinematic(
     )
 
 
+@dataclass
+class TimeTransferResult:
+    """Common-view time transfer between two receivers at KNOWN positions."""
+
+    epochs_s: np.ndarray  # [T]
+    offset_s: np.ndarray  # [T] per-epoch clock(rover) - clock(base), code-based
+    offset_at_start_s: float  # linear-fit intercept at epochs_s[0]
+    drift_s_per_s: float  # linear-fit slope of the code offsets
+    drift_carrier_s_per_s: float  # from the common carrier drift (far tighter)
+    sigma_offset_s: float  # RMS of per-epoch offsets about the fit
+    prns: list[int]
+
+
+def time_transfer(
+    base: CarrierPhaseLog,
+    rover: CarrierPhaseLog,
+    base_ecef: np.ndarray,
+    rover_ecef: np.ndarray,
+    sv_pos_fn,
+    prns: list[int] | None = None,
+    epoch_every_ms: int = 250,
+    settle_ms: int = 2000,
+) -> TimeTransferResult:
+    """Common-view GNSS time transfer: the inter-receiver clock offset.
+
+    Both positions are known; for each common satellite the single-difference
+    code delay minus the predicted geometric difference leaves
+    ``clock(rover) - clock(base)`` plus noise, which the cross-satellite
+    median and a linear fit over epochs reduce to nanoseconds. The common
+    carrier drift (every satellite's SD phase slides at ``-f_L1 * d``)
+    measures the relative oscillator drift orders of magnitude tighter than
+    the code fit.
+
+    The code observable wraps at 1 ms: offsets must be < 0.5 ms (captures
+    nominally synchronized, e.g. both started on a PPS).
+    """
+    base_ecef = np.asarray(base_ecef, np.float64)
+    rover_ecef = np.asarray(rover_ecef, np.float64)
+    avail = sorted(set(base.arcs) & set(rover.arcs))
+    prns = [p for p in (prns or avail) if p in avail]
+    if not prns:
+        raise ValueError("no common satellites")
+
+    per: dict[int, dict[int, tuple]] = {}
+    for p in prns:
+        ab, ar = base.longest_arc(p), rover.longest_arc(p)
+        mb = {m: i for i, m in enumerate(ab.ms)}
+        series = {}
+        for i_r, m in enumerate(ar.ms):
+            i_b = mb.get(m)
+            if i_b is None or not (ab.locked[i_b] and ar.locked[i_r]):
+                continue
+            series[m] = (
+                ar.phase_cycles[i_r] - ab.phase_cycles[i_b],
+                ar.code_delay_s[i_r] - ab.code_delay_s[i_b],
+            )
+        if series:
+            per[p] = series
+    prns = sorted(per)
+    common = set.intersection(*(set(s) for s in per.values()))
+    common = sorted(m for m in common if m >= settle_ms)[::epoch_every_ms]
+    if len(common) < 3:
+        raise ValueError("fewer than 3 common locked epochs")
+
+    half = epoch_every_ms // 2
+    epochs = np.array(common, np.float64) * 1e-3
+    offsets = np.empty((len(common), len(prns)))
+    phase_sd = np.empty_like(offsets)
+    for j, p in enumerate(prns):
+        for i, m in enumerate(common):
+            vals = np.array([
+                per[p][k][1] for k in range(m - half, m + half + 1) if k in per[p]
+            ])
+            vals = vals[0] + _wrap_ms(vals - vals[0])
+            sd_code = float(np.median(vals))
+            t = epochs[i]
+            geom = (
+                np.linalg.norm(sv_pos_fn(p, t) - rover_ecef)
+                - np.linalg.norm(sv_pos_fn(p, t) - base_ecef)
+            ) / SPEED_OF_LIGHT
+            # Measured SD delay = geometry difference + (clock_v - clock_b):
+            # a slow rover clock timestamps the same code edge later.
+            offsets[i, j] = _wrap_ms(np.array([sd_code - geom]))[0]
+            phase_sd[i, j] = per[p][m][0]
+
+    off = np.median(offsets, axis=1)  # [T]
+    slope, intercept = np.polyfit(epochs - epochs[0], off, 1)
+    resid = off - (intercept + slope * (epochs - epochs[0]))
+
+    # Carrier: SD phase drifts at -f_L1 * d for EVERY satellite (the LO term
+    # is common); the cross-satellite median of the per-SV linear slopes
+    # rejects the (tiny, geometry-driven) per-SV terms.
+    ph_slopes = np.polyfit(epochs - epochs[0], phase_sd, 1)[0]  # [P] cycles/s
+    drift_carrier = float(-np.median(ph_slopes) / GPS_L1_FREQUENCY_HZ)
+
+    return TimeTransferResult(
+        epochs_s=epochs,
+        offset_s=off,
+        offset_at_start_s=float(intercept),
+        drift_s_per_s=float(slope),
+        drift_carrier_s_per_s=drift_carrier,
+        sigma_offset_s=float(np.std(resid)),
+        prns=prns,
+    )
+
+
 def sv_position_fn_from_ephemerides(ephemerides: dict[int, "object"],
                                     stream_to_sow: float):
     """Adapter: ``sv_pos_fn`` from per-PRN broadcast ephemerides.

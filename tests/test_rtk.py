@@ -312,3 +312,49 @@ def test_kinematic_rtk_tracks_moving_rover():
     # Velocity from a linear fit over the fixed trajectory.
     v_est = np.polyfit(dd.epochs_s, sol.baselines_fixed_m, 1)[0]
     assert np.linalg.norm(v_est - vel) < 0.01
+
+
+def test_common_view_time_transfer():
+    """Two receivers at known positions, the rover's oscillator fast by
+    1e-7: the code-based offset series must track d*t at nanosecond
+    scatter, and the carrier-based drift must agree with the code-based
+    one (both equal the injected value under the synthesizer's consistent
+    single-oscillator model)."""
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GPS_START_SOW,
+        DEMO_PRNS_8,
+        demo_constellation,
+    )
+    from gypsum_tpu.solve.rtk import time_transfer
+
+    fs = 2.046e6
+    prns = DEMO_PRNS_8[:5]
+    sats = demo_constellation(prns)
+    base = lla_to_ecef(51.5, -0.1, 80.0)
+    east, north, _up = enu_basis(base)
+    rover_pos = base + 400.0 * east - 250.0 * north
+    d_true = 1e-7
+
+    logs = []
+    for rx, drift in ((base, 0.0), (rover_pos, d_true)):
+        iq, _ = synthesize_constellation(
+            sats, rx, DEMO_GPS_START_SOW, 16.0, fs, noise_sigma=0.25,
+            receiver_clock_drift=drift,
+        )
+        recv = Receiver(ArraySampleSource(iq, fs), ReceiverConfig(),
+                        eligible_prns=prns)
+        log = CarrierPhaseLog(recv.sample_rate, recv.samples_per_prn,
+                              recv.config.tracking)
+        recv.add_block_listener(log.listener())
+        recv.run()
+        logs.append(log)
+
+    res = time_transfer(logs[0], logs[1], base, rover_pos, _demo_sv_fn(prns))
+    assert abs(res.drift_s_per_s - d_true) < 3e-9
+    assert abs(res.drift_carrier_s_per_s - d_true) < 1e-9
+    assert res.sigma_offset_s < 3e-9  # nanosecond-level epoch scatter
+    # The offset series is d * t from a shared start.
+    assert abs(res.offset_at_start_s - d_true * res.epochs_s[0]) < 5e-9
