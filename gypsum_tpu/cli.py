@@ -145,6 +145,14 @@ def cmd_replay(args) -> int:
         receiver.add_block_listener(save_figures)
         _logger.info("writing tracker figures to %s/", figure_dir)
 
+    rinex_writer = None
+    if args.rinex_obs or args.rinex_nav:
+        from gypsum_tpu.obs.rinex import RinexObsWriter
+
+        rinex_writer = RinexObsWriter(receiver)
+        if args.rinex_obs:
+            receiver.add_block_listener(rinex_writer.on_block)
+
     def narrate(recv, report):
         for hit in report.newly_acquired:
             print(f"[{report.block_start:8.1f}s] acquired PRN {hit.prn}: "
@@ -188,6 +196,23 @@ def cmd_replay(args) -> int:
             save_checkpoint(receiver, args.checkpoint)
             _logger.info("checkpointed to %s at stream t=%.1fs",
                          args.checkpoint, source.seconds_consumed)
+    if args.rinex_obs and rinex_writer is not None and rinex_writer.epochs:
+        approx = (receiver.world.position_fixes[-1].ecef
+                  if receiver.world.position_fixes else None)
+        rinex_writer.write(args.rinex_obs, approx_ecef=approx)
+        print(f"wrote RINEX observations: {args.rinex_obs} "
+              f"({len(rinex_writer.epochs)} epochs)")
+    if args.rinex_nav:
+        from gypsum_tpu.obs.rinex import render_nav
+
+        eph = {p: r.ephemeris for p, r in receiver.world._sats.items()
+               if r.ephemeris is not None}
+        if eph:
+            with open(args.rinex_nav, "w") as f:
+                f.write(render_nav(
+                    eph, base_week=config.solver.gps_epoch_base_week_number))
+            print(f"wrote RINEX navigation: {args.rinex_nav} "
+                  f"({len(eph)} ephemerides)")
     print(f"processed {source.seconds_consumed:.1f}s; "
           f"{receiver.subframe_count} subframes; "
           f"{len(receiver.world.position_fixes)} fixes")
@@ -495,6 +520,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file: resumed from if it exists, written on exit "
                    "(the reference always cold-starts, SURVEY.md §5)")
+    p.add_argument("--rinex-obs", default=None, metavar="PATH",
+                   help="export observables (C1C/L1C/D1C/S1C) as RINEX 3.04")
+    p.add_argument("--rinex-nav", default=None, metavar="PATH",
+                   help="export decoded broadcast ephemerides as RINEX 3.04 NAV")
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("acquire", help="one-shot acquisition report over 10 ms")
