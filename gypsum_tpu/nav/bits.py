@@ -178,7 +178,65 @@ class BitIntegrator:
         start_times: np.ndarray,
         end_times: np.ndarray,
     ) -> list[Event]:
-        """Consume a block of +/-1 pseudosymbols with their timestamps."""
+        """Consume a block of +/-1 pseudosymbols with their timestamps.
+
+        Fast path: resync checks can only FIRE at symbol indices that are
+        multiples of SPB (the periodic trigger's 1 s cadence is a multiple of
+        SPB symbols, and the first-selection / bit-health triggers gate on
+        ``processed_count % SPB == 0``), so symbols between those checkpoints
+        reduce to batched appends + queue drains — identical state and event
+        sequence to the per-symbol walk at ~SPB times fewer Python steps.
+        A non-SPB-aligned resync period falls back to the per-symbol loop.
+        """
+        if self._resync_period % SPB != 0:
+            return self._process_block_per_symbol(signs, start_times, end_times)
+        events: list[Event] = []
+        cutoff = self.config.bit_phase_resync_cutoff_s
+        s_list = signs.tolist()
+        t0_list = start_times.tolist()
+        t1_list = end_times.tolist()
+        n = len(s_list)
+        k = 0
+        while k < n:
+            # Segment end: just before the NEXT index where a check can fire
+            # (index i fires when (processed_count + offset) % SPB == 0).
+            fire_now = self.processed_count % SPB == 0
+            next_fire = k + (-self.processed_count) % SPB
+            if fire_now:
+                # Checkpoint semantics: append exactly one symbol, then the
+                # resync check, then drain — byte-for-byte the per-symbol
+                # order.
+                self._queue_signs.append(s_list[k])
+                self._queue_starts.append(t0_list[k])
+                self._queue_ends.append(t1_list[k])
+                self._history.append(s_list[k])
+                del self._history[: -self._history_len]
+                if t0_list[k] < cutoff:
+                    self._resync_if_necessary()
+                events.extend(self._drain_queue())
+                self.processed_count += 1
+                k += 1
+                continue
+            end = min(n, next_fire if next_fire > k else k + SPB)
+            self._queue_signs.extend(s_list[k:end])
+            self._queue_starts.extend(t0_list[k:end])
+            self._queue_ends.extend(t1_list[k:end])
+            self._history.extend(s_list[k:end])
+            del self._history[: -self._history_len]
+            events.extend(self._drain_queue())
+            self.processed_count += end - k
+            k = end
+        return events
+
+    def _process_block_per_symbol(
+        self,
+        signs: np.ndarray,
+        start_times: np.ndarray,
+        end_times: np.ndarray,
+    ) -> list[Event]:
+        """Reference implementation: one Python step per pseudosymbol (kept
+        as the oracle for the fast path's parity test and the fallback for
+        non-SPB-aligned resync periods)."""
         events: list[Event] = []
         cutoff = self.config.bit_phase_resync_cutoff_s
         for sign, t0, t1 in zip(signs.tolist(), start_times.tolist(), end_times.tolist()):

@@ -31,7 +31,8 @@ from pathlib import Path
 #       and _ChannelPipeline gained ``sbas`` (the DO-229 frame decoder).
 #   5 — _SatelliteRecord gained ``cn0_dbhz`` (C/N0-weighted integrity).
 #   6 — WorldModel gained ``sbas_corrections`` (MT1/MT2-5 fast-correction
-#       store, solve/sbas_corrections.py).
+#       store, solve/sbas_corrections.py); _SatelliteRecord gained
+#       ``orbit_version`` + the per-record position/clock memo fields.
 CHECKPOINT_VERSION = 6
 
 

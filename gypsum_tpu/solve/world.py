@@ -153,12 +153,21 @@ class _SatelliteRecord:
     # averaging depth (grows until the configured window).
     smoothed_delay_s: float | None = None
     smoothing_depth: int = 0
+    # Single-entry memo for (position, clock) at a given SV time: the fix's
+    # outer rounds (SolverConfig.outer_rounds) re-evaluate the SAME sv_tow —
+    # only the atmospheric corrections change per round. Bumping
+    # orbit_version on any ephemeris/MT9 update invalidates both. (Joined
+    # the pickled state in checkpoint v6.)
+    orbit_version: int = 0
+    _pos_cache: "tuple | None" = None
+    _clk_cache: "tuple | None" = None
 
     def try_complete(self) -> Ephemeris | None:
         if self.sf1 is None or self.sf2 is None or self.sf3 is None:
             return None
         was = self.ephemeris
         self.ephemeris = ephemeris_from_subframes(self.sf1, self.sf2, self.sf3)
+        self.orbit_version += 1
         return self.ephemeris if was is None else None
 
     # Orbit/clock accessors shared by the solver paths: Kepler ephemeris for
@@ -169,11 +178,17 @@ class _SatelliteRecord:
         return self.ephemeris is not None or self.geo is not None
 
     def sv_position(self, sv_tow: float, kepler_iterations: int) -> np.ndarray:
+        key = (sv_tow, kepler_iterations, self.orbit_version)
+        if self._pos_cache is not None and self._pos_cache[0] == key:
+            return self._pos_cache[1]
         if self.ephemeris is not None:
-            return satellite_position(
+            pos = satellite_position(
                 self.ephemeris, sv_tow, kepler_iterations=kepler_iterations
             )
-        return self.geo.position_velocity(sv_tow % 86400.0)[0]
+        else:
+            pos = self.geo.position_velocity(sv_tow % 86400.0)[0]
+        self._pos_cache = (key, pos)
+        return pos
 
     def sv_velocity(self, sv_tow: float, kepler_iterations: int) -> np.ndarray:
         if self.ephemeris is not None:
@@ -185,9 +200,15 @@ class _SatelliteRecord:
         return self.geo.position_velocity(sv_tow % 86400.0)[1]
 
     def sv_clock_correction(self, t: float, iterations: int) -> float:
+        key = (t, iterations, self.orbit_version)
+        if self._clk_cache is not None and self._clk_cache[0] == key:
+            return self._clk_cache[1]
         if self.ephemeris is not None:
-            return float(clock_correction(self.ephemeris, t, iterations=iterations))
-        return float(self.geo.clock_correction_s(t % 86400.0))
+            val = float(clock_correction(self.ephemeris, t, iterations=iterations))
+        else:
+            val = float(self.geo.clock_correction_s(t % 86400.0))
+        self._clk_cache = (key, val)
+        return val
 
 
 class WorldModel:
@@ -404,6 +425,7 @@ class WorldModel:
 
             was = rec.geo
             rec.geo = parse_mt9_data(block.data_bits, prn)
+            rec.orbit_version += 1
             if was is None:
                 _logger.info(
                     "determined GEO orbit of SBAS PRN %d (MT9, t0=%.0f)",

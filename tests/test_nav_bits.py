@@ -188,3 +188,41 @@ def test_full_chain_symbols_to_subframe(rng):
                 )
     assert len(sfs) >= 2
     assert sfs[0].decoded.handover.subframe_id == GpsSubframeId.FOUR
+
+
+def test_fast_block_path_matches_per_symbol_oracle():
+    """process_block's batched fast path must reproduce the per-symbol walk
+    exactly: same events (values + timestamps), same internal state, across
+    random symbol streams, noise-flipped symbols, and odd block splits."""
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        n = int(rng.integers(800, 4000))
+        bits = rng.choice([-1, 1], size=(n // 20) + 2)
+        sym = np.repeat(bits, 20)[:n].astype(np.int8)
+        flips = rng.random(n) < 0.12  # noisy symbols exercise UNKNOWN paths
+        sym = np.where(flips, -sym, sym)
+        t0 = np.arange(n) * 1e-3
+        t1 = t0 + 1e-3
+
+        fast = BitIntegrator()
+        slow = BitIntegrator()
+        ev_fast, ev_slow = [], []
+        lo = 0
+        while lo < n:
+            hi = min(n, lo + int(rng.integers(1, 700)))
+            ev_fast.extend(fast.process_block(sym[lo:hi], t0[lo:hi], t1[lo:hi]))
+            ev_slow.extend(
+                slow._process_block_per_symbol(sym[lo:hi], t0[lo:hi], t1[lo:hi])
+            )
+            lo = hi
+
+        assert len(ev_fast) == len(ev_slow)
+        for a, b in zip(ev_fast, ev_slow):
+            assert a.bit_value == b.bit_value
+            assert a.receiver_timestamp == b.receiver_timestamp
+            assert a.trailing_edge_receiver_timestamp == b.trailing_edge_receiver_timestamp
+        for attr in ("bit_phase", "_previous_phase_decision", "processed_count",
+                     "emitted_bit_count", "failed_bit_count",
+                     "_sequential_unknown", "_cursor", "_queue_signs",
+                     "_history", "_last_bits"):
+            assert getattr(fast, attr) == getattr(slow, attr), attr
