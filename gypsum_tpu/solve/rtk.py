@@ -386,6 +386,23 @@ def _ils_search(
     return cands, costs
 
 
+def bootstrap_success_rate(Q: np.ndarray) -> float:
+    """Teunissen's integer-bootstrapping success probability from the
+    decorrelated conditional variances: P = prod_k (2 Phi(1/(2 sigma_k)) - 1)
+    with sigma_k = sqrt(d_k) of the Z-reduced LtDL. A lower bound on the ILS
+    success rate — the model-driven companion to the (data-driven) ratio
+    test: an ambiguity covariance too wide to support fixing is rejected even
+    when the observed ratio happens to look good."""
+    from math import erf, sqrt
+
+    _, d, _ = _decorrelate(Q)
+    p = 1.0
+    for dk in d:
+        x = 0.5 / np.sqrt(dk)
+        p *= erf(x / sqrt(2.0))  # 2 Phi(x) - 1
+    return float(p)
+
+
 def integer_least_squares(
     a_float: np.ndarray, Q: np.ndarray, n_cand: int = 2
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -417,6 +434,7 @@ class RtkSolution:
     ref_prn: int
     sigma_float_m: np.ndarray  # formal 1-sigma of the float baseline (3,)
     phase_rms_half_cycles: float  # fixed-solution phase residual RMS
+    bootstrap_success: float = 1.0  # model-driven fix-success lower bound
 
 
 def _dd_rho(x_rover, base_ecef, sv_s, sv_r):
@@ -435,6 +453,7 @@ def solve_baseline(
     sigma_phase_half_cycles: float = 0.02,
     sigma_code_m: float = 1.0,
     ratio_threshold: float = 2.0,
+    min_bootstrap_success: float = 0.99,
     fix: bool = True,
 ) -> RtkSolution:
     """Float + integer-fixed baseline from double differences.
@@ -499,12 +518,14 @@ def solve_baseline(
 
     fixed = False
     ratio = 0.0
+    p_boot = 1.0
     baseline_fixed = None
     a_int = None
     phase_rms = float("nan")
     if fix:
         cands, costs = integer_least_squares(a, Q_a, n_cand=2)
         ratio = float(costs[1] / max(costs[0], 1e-12)) if len(costs) > 1 else np.inf
+        p_boot = bootstrap_success_rate(Q_a)
         a_int = cands[0].astype(np.int64)
         # ---- fixed solution: phase-only Gauss-Newton, a held integer ----
         xf = x.copy()
@@ -524,10 +545,17 @@ def solve_baseline(
         )
         phase_rms = float(np.sqrt(np.mean(resid**2)))
         baseline_fixed = xf - base_ecef
-        fixed = ratio >= ratio_threshold
+        # Both validation gates must agree: the data-driven ratio AND the
+        # model-driven bootstrap success bound. The Monte-Carlo study
+        # (tools/rtk_study.py) shows wrong fixes slipping through the ratio
+        # test alone at ratios up to ~3; their covariances flunk this bound.
+        fixed = ratio >= ratio_threshold and p_boot >= min_bootstrap_success
         if not fixed:
-            _logger.info("RTK ratio %.2f below %.2f: reporting float", ratio,
-                         ratio_threshold)
+            _logger.info(
+                "RTK not fixed: ratio %.2f (need %.2f), bootstrap success "
+                "%.4f (need %.3f) — reporting float", ratio, ratio_threshold,
+                p_boot, min_bootstrap_success,
+            )
 
     return RtkSolution(
         baseline_float_m=baseline_float,
@@ -540,6 +568,7 @@ def solve_baseline(
         ref_prn=dd.ref_prn,
         sigma_float_m=sigma_float,
         phase_rms_half_cycles=phase_rms,
+        bootstrap_success=p_boot,
     )
 
 
@@ -562,6 +591,7 @@ def solve_kinematic(
     sigma_phase_half_cycles: float = 0.02,
     sigma_code_m: float = 1.0,
     ratio_threshold: float = 2.0,
+    min_bootstrap_success: float = 0.99,
 ) -> KinematicSolution:
     """Per-epoch baselines for a MOVING rover, single shared ambiguity set.
 
@@ -627,7 +657,13 @@ def solve_kinematic(
     cands, costs = integer_least_squares(a, Q_a, n_cand=2)
     ratio = float(costs[1] / max(costs[0], 1e-12)) if len(costs) > 1 else np.inf
     a_int = cands[0].astype(np.int64)
-    fixed = ratio >= ratio_threshold
+    # Same dual gate as solve_baseline: ratio (data) + bootstrap (model).
+    # Note the formal Q_a is only as honest as the sigma arguments — feed
+    # the MEASURED phase noise (e.g. solve_baseline's phase RMS from a
+    # static initialization window) rather than a conservative default, or
+    # the bound under-reports what the data supports.
+    fixed = (ratio >= ratio_threshold
+             and bootstrap_success_rate(Q_a) >= min_bootstrap_success)
 
     # ---- fixed: per-epoch positions from phase (+ weak code) rows ----
     Xf = X.copy()

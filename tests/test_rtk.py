@@ -191,7 +191,10 @@ def test_solver_recovers_synthetic_baseline():
     sv_fn = _demo_sv_fn(prns)
     ref = prns[-1]
     others = prns[:-1]
-    epochs = np.arange(2.0, 30.0, 1.0)
+    # 58 epochs: enough float precision that the bootstrap success bound
+    # (the dual validation gate's model half) clears 0.99 honestly at this
+    # noise level.
+    epochs = np.arange(2.0, 60.0, 1.0)
     sv_s = np.stack([[sv_fn(p, t) for p in others] for t in epochs])
     sv_r = np.stack([[sv_fn(ref, t)] for t in epochs])
     rho = _dd_rho(rover[None, None, :], base, sv_s, sv_r)
@@ -303,7 +306,10 @@ def test_kinematic_rtk_tracks_moving_rover():
 
     dd = form_double_differences(logs[0], logs[1], prns=prns,
                                  epoch_every_ms=250, settle_ms=2000)
-    sol = solve_kinematic(dd, _demo_sv_fn(prns), base)
+    # Weights at the MEASURED tracker phase noise (~0.005 half-cycles; see
+    # the static e2e's phase RMS) so the bootstrap bound reflects the data.
+    sol = solve_kinematic(dd, _demo_sv_fn(prns), base,
+                          sigma_phase_half_cycles=0.006)
     assert sol.fixed, f"ambiguities not fixed (ratio {sol.ratio:.2f})"
 
     truth_t = b0[None, :] + vel[None, :] * dd.epochs_s[:, None]
