@@ -413,6 +413,7 @@ def cmd_rtk(args) -> int:
     from gypsum_tpu.solve.geodesy import enu_basis, lla_to_ecef
     from gypsum_tpu.solve.rtk import (
         CarrierPhaseLog,
+        dd_from_rinex,
         form_double_differences,
         solve_baseline,
         solve_kinematic,
@@ -420,6 +421,37 @@ def cmd_rtk(args) -> int:
     )
 
     prns = [int(p) for p in args.prns] if args.prns else None
+
+    if args.base_rinex or args.rover_rinex:
+        # Interop path: standard RINEX observation files (any receiver that
+        # logs C1C+L1C) + a RINEX NAV for the orbits.
+        if not (args.base_rinex and args.rover_rinex and args.nav):
+            raise SystemExit("RINEX mode needs --base-rinex, --rover-rinex "
+                             "and --nav together")
+        from gypsum_tpu.obs.rinex import parse_nav
+
+        with open(args.nav) as f:
+            eph = parse_nav(f.read())
+        sv_fn = sv_position_fn_from_ephemerides(eph, 0.0)  # epochs are SOW
+        with open(args.base_rinex) as fb, open(args.rover_rinex) as fr:
+            dd = dd_from_rinex(fb.read(), fr.read(), prns=prns)
+        base_ecef = lla_to_ecef(*args.base_lla)
+        east, north, up = enu_basis(base_ecef)
+        sol = solve_baseline(dd, sv_fn, base_ecef, ratio_threshold=args.ratio)
+        for label, b in (("float", sol.baseline_float_m),
+                         ("fixed", sol.baseline_fixed_m)):
+            if b is None:
+                continue
+            print(f"{label} baseline ENU: ({b @ east:+.3f}, {b @ north:+.3f}, "
+                  f"{b @ up:+.3f}) m  |b| = {np.linalg.norm(b):.3f} m")
+        print(f"ambiguities {'FIXED' if sol.fixed else 'FLOAT'} "
+              f"(ratio {sol.ratio:.1f}, bootstrap {sol.bootstrap_success:.4f}, "
+              f"{sol.n_epochs} epochs, ref PRN {sol.ref_prn})")
+        return 0 if sol.fixed else 3
+
+    if not (args.base_file and args.rover_file):
+        raise SystemExit("provide --base-file/--rover-file captures, or the "
+                         "RINEX trio --base-rinex/--rover-rinex/--nav")
     logs, receivers = [], []
     for name, path in (("base", args.base_file), ("rover", args.rover_file)):
         ns = _ap.Namespace(file=path, format=args.format,
@@ -582,8 +614,14 @@ def main(argv=None) -> int:
         help="centimeter-level baseline between two simultaneous captures "
              "(double-differenced carrier phase, integer ambiguity fixing)",
     )
-    p.add_argument("--base-file", required=True, help="base receiver capture")
-    p.add_argument("--rover-file", required=True, help="rover receiver capture")
+    p.add_argument("--base-file", default=None, help="base receiver capture")
+    p.add_argument("--rover-file", default=None, help="rover receiver capture")
+    p.add_argument("--base-rinex", default=None,
+                   help="base RINEX 3 observation file (instead of a capture)")
+    p.add_argument("--rover-rinex", default=None,
+                   help="rover RINEX 3 observation file")
+    p.add_argument("--nav", default=None,
+                   help="RINEX 3 navigation file for the orbits (RINEX mode)")
     p.add_argument("--base-lla", type=float, nargs=3, required=True,
                    metavar=("LAT", "LON", "ALT"),
                    help="known base position (deg, deg, m)")

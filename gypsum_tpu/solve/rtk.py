@@ -689,6 +689,76 @@ def solve_kinematic(
     )
 
 
+def dd_from_rinex(
+    base_obs_text: str,
+    rover_obs_text: str,
+    prns: list[int] | None = None,
+    ref_prn: int | None = None,
+) -> DDObservations:
+    """Double differences from two RINEX 3.04 observation files.
+
+    The RTK engine as an interoperability surface: any receiver pair that
+    logs C1C + L1C (this framework's ``replay --rinex-obs``, RTKLIB-class
+    tools, survey receivers) can be solved with ``solve_baseline`` /
+    ``solve_kinematic``. Pseudoranges are full-range, so no millisecond
+    wrapping is needed; carrier arcs split at the loss-of-lock flag and the
+    longest arc per satellite is used. Epochs are GPS seconds of week —
+    pair with an ``sv_pos_fn`` on the same scale
+    (``sv_position_fn_from_ephemerides(eph, 0.0)`` with RINEX-NAV
+    ephemerides, whose t_oe is already SOW).
+    """
+    from gypsum_tpu.obs.rinex import GPS_EPOCH, parse_obs
+
+    base_p = parse_obs(base_obs_text)
+    rover_p = parse_obs(rover_obs_text)
+
+    def series(parsed):
+        """prn -> {sow: (phase_L1C, code_m)} for that PRN's longest arc."""
+        per: dict[int, list[dict]] = {}
+        for when, rows in parsed.epochs:
+            sow = (when - GPS_EPOCH).total_seconds() % (7 * 86400.0)
+            for prn, vals in rows.items():
+                if "C1C" not in vals or "L1C" not in vals:
+                    continue
+                arcs = per.setdefault(prn, [{}])
+                if vals.get("L1C_slip") and arcs[-1]:
+                    arcs.append({})
+                arcs[-1][sow] = (vals["L1C"], vals["C1C"])
+        return {p: max(arcs, key=len) for p, arcs in per.items() if any(arcs)}
+
+    sb, sr = series(base_p), series(rover_p)
+    avail = sorted(set(sb) & set(sr))
+    prns = [p for p in (prns or avail) if p in avail]
+    if len(prns) < 4:
+        raise ValueError(f"need >=4 common satellites, have {prns}")
+    common = sorted(set.intersection(
+        *(set(sb[p]) & set(sr[p]) for p in prns)
+    ))
+    if len(common) < 2:
+        raise ValueError("fewer than 2 common epochs")
+    if ref_prn is None:
+        ref_prn = max(prns, key=lambda p: (len(sb[p]), -p))
+    others = [p for p in prns if p != ref_prn]
+
+    t = np.array(common)
+    phase = np.empty((len(common), len(others)))
+    code = np.empty_like(phase)
+    for j, p in enumerate(others):
+        for i, sow in enumerate(common):
+            sd_l = sr[p][sow][0] - sb[p][sow][0]
+            sd_lr = sr[ref_prn][sow][0] - sb[ref_prn][sow][0]
+            # RINEX L1C grows with range (minus the NCO's cycles):
+            # DD_phi (half-cycles, NCO sign) = -2 * DD(L1C).
+            phase[i, j] = -2.0 * (sd_l - sd_lr)
+            code[i, j] = (sr[p][sow][1] - sb[p][sow][1]) - (
+                sr[ref_prn][sow][1] - sb[ref_prn][sow][1]
+            )
+    return DDObservations(
+        prns=others, ref_prn=ref_prn, epochs_s=t,
+        phase_half_cycles=phase, code_m=code,
+    )
+
+
 @dataclass
 class TimeTransferResult:
     """Common-view time transfer between two receivers at KNOWN positions."""

@@ -89,6 +89,55 @@ def test_obs_structure_and_round_trip():
     assert "S1C" not in parsed.epochs[1][1][25]
 
 
+def test_rtk_from_rinex_files():
+    """The RTK engine consuming standard RINEX: two model-generated OBS
+    files (full pseudoranges + RINEX-sign carrier with known half-cycle
+    ambiguities) round-trip through the writer/parser into
+    dd_from_rinex + solve_baseline, recovering the baseline at mm level."""
+    from gypsum_tpu.signal.scenarios import DEMO_EPHEMERIDES, DEMO_GPS_START_SOW, DEMO_PRNS_8
+    from gypsum_tpu.solve.geodesy import enu_basis, lla_to_ecef
+    from gypsum_tpu.solve.rtk import (
+        dd_from_rinex,
+        solve_baseline,
+        sv_position_fn_from_ephemerides,
+    )
+
+    prns = DEMO_PRNS_8[:6]
+    eph = {p: DEMO_EPHEMERIDES[DEMO_PRNS_8.index(p)] for p in prns}
+    sv_fn = sv_position_fn_from_ephemerides(eph, 0.0)  # epochs already SOW
+
+    base = lla_to_ecef(51.5, -0.1, 80.0)
+    east, north, up = enu_basis(base)
+    truth = 9.0 * east + 4.0 * north - 1.0 * up
+    rover = base + truth
+    rng = np.random.default_rng(5)
+    n_half = {p: int(rng.integers(-50, 50)) for p in prns}  # half-cycles
+
+    def obs_text(rx, clock_bias_s, week=2298):
+        w = RinexObsWriter.__new__(RinexObsWriter)
+        w.marker, w.week, w.epochs = "SYN", week, []
+        for sow in np.arange(DEMO_GPS_START_SOW + 20.0,
+                             DEMO_GPS_START_SOW + 60.0, 1.0):
+            rows = []
+            for p in prns:
+                rho = float(np.linalg.norm(sv_fn(p, sow) - rx))
+                pr = rho + C * clock_bias_s + rng.normal(0, 0.4)
+                l1 = ((rho + C * clock_bias_s) / LAMBDA_L1
+                      + n_half[p] / 2.0 + rng.normal(0, 0.01))
+                rows.append(_EpochRow(prn=p, c1c=pr, l1c=l1, d1c=0.0,
+                                      s1c=45.0, new_arc=False))
+            w.epochs.append((sow, rows))
+        return w.render()
+
+    dd = dd_from_rinex(obs_text(base, 1.7e-4), obs_text(rover, -0.9e-4),
+                       prns=prns)
+    sol = solve_baseline(dd, sv_fn, base)
+    assert sol.fixed, f"not fixed (ratio {sol.ratio:.2f}, " \
+                      f"boot {sol.bootstrap_success:.4f})"
+    err = np.linalg.norm(sol.baseline_fixed_m - truth)
+    assert err < 0.01, f"fixed baseline off by {err*1000:.1f} mm"
+
+
 def test_receiver_export_is_physically_consistent():
     """Run the real receiver, export, re-parse, and check the observables
     against the scene geometry: pseudoranges within tens of meters of the
