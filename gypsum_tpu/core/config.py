@@ -314,6 +314,14 @@ class SolverConfig:
     # Fast corrections older than this are discarded (DO-229's en-route
     # degradation tier; there is no RRC modeling here).
     sbas_fast_timeout_s: float = 30.0
+    # Geometry-seeded time bases: a (re)acquired satellite with a known
+    # orbit and a recent position fix gets its millisecond tick anchor from
+    # the predicted transit (good to microseconds — far inside the 0.5 ms
+    # integer rounding margin) instead of waiting ~6 s for its next
+    # subframe. The reference must always re-decode
+    # (gypsum/world_model.py:314-328 invalidates, :716-718 re-anchors).
+    geometry_reseed: bool = True
+    geometry_reseed_max_fix_age_s: float = 30.0
     # Apply the Saastamoinen tropospheric model (solve/tropo.py) once a
     # position estimate exists. Needs no broadcast data; False reproduces
     # the reference's (uncorrected) behavior.

@@ -32,7 +32,8 @@ from pathlib import Path
 #   5 — _SatelliteRecord gained ``cn0_dbhz`` (C/N0-weighted integrity).
 #   6 — WorldModel gained ``sbas_corrections`` (MT1/MT2-5 fast-correction
 #       store, solve/sbas_corrections.py); _SatelliteRecord gained
-#       ``orbit_version`` + the per-record position/clock memo fields.
+#       ``orbit_version`` + the per-record position/clock memo fields;
+#       SolverConfig gained the SBAS-correction and geometry-reseed knobs.
 CHECKPOINT_VERSION = 6
 
 

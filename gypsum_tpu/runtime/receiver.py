@@ -84,6 +84,10 @@ class BlockReport:
     newly_acquired: list[AcquisitionResult] = field(default_factory=list)
     dropped_prns: list[int] = field(default_factory=list)
     rescued_prns: list[int] = field(default_factory=list)
+    # PRNs whose millisecond time base was seeded from geometry this block
+    # (solve/world.py:seed_time_base_from_geometry) — ranging immediately
+    # after (re)acquisition instead of waiting for a subframe.
+    reseeded_prns: list[int] = field(default_factory=list)
     subframes: list[tuple[int, EmitSubframeEvent]] = field(default_factory=list)
     sbas_blocks: list = field(default_factory=list)  # [(prn, nav.sbas.SbasBlock)]
     fix: ReceiverSolution | None = None
@@ -414,6 +418,11 @@ class Receiver:
             self.world.handle_prn_observed(
                 obs.prn, cp_delay, count=block_ms - consumed, doppler_hz=doppler
             )
+
+        if not lost and self.world.seed_time_base_from_geometry(
+            obs.prn, block_start + block_ms * 1e-3
+        ):
+            report.reseeded_prns.append(obs.prn)
 
         if lost:
             self._drop_satellite(obs.prn, report)

@@ -452,6 +452,52 @@ class WorldModel:
         rec.smoothing_depth = max(rec.smoothing_depth, 1)
         return events
 
+    def seed_time_base_from_geometry(self, prn: int, receiver_timestamp: float) -> bool:
+        """(Re)acquired satellite with a known orbit: anchor its millisecond
+        tick time base from geometry instead of waiting for its next
+        subframe (~6 s at 50 bps). With a recent fix and the clock slide the
+        predicted transit is accurate to microseconds — far inside the
+        0.5 ms integer-millisecond rounding margin — so the anchor lands on
+        the exact SV-clock whole millisecond of the code edge nearest
+        ``receiver_timestamp`` (the same integer-ambiguity trick as the
+        SBAS integer-SNT-second anchor in handle_sbas_block).
+
+        Returns True when a time base was seeded."""
+        cfg = self.config
+        if not cfg.geometry_reseed:
+            return False
+        rec = self._record(prn)
+        if rec.counting or not rec.has_orbit:
+            return False
+        if self.receiver_clock_slide is None or not self.position_fixes:
+            return False
+        fix = self.position_fixes[-1]
+        age = receiver_timestamp - fix.receiver_timestamp
+        if not 0.0 <= age <= cfg.geometry_reseed_max_fix_age_s:
+            return False
+        d_w = ((rec.code_phase_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
+        arrival_gps = self.receiver_clock_slide + receiver_timestamp + d_w
+        sv_tow = arrival_gps - 0.072
+        for _ in range(2):
+            pos = rec.sv_position(sv_tow, kepler_iterations=cfg.kepler_iterations)
+            sv_tow = arrival_gps - float(np.linalg.norm(pos - fix.ecef)) / C
+        delta = rec.sv_clock_correction(
+            sv_tow, iterations=cfg.clock_correction_iterations
+        )
+        # SV-clock time of the edge = system emission time + clock error;
+        # the true value is a whole millisecond, so rounding snaps the
+        # microsecond-level prediction onto it exactly.
+        rec.tow_at_last_subframe = round((sv_tow + delta) * 1e3) / 1e3
+        rec.prn_ticks_since_subframe = 0
+        rec.counting = True
+        rec.smoothed_delay_s = d_w
+        rec.smoothing_depth = max(rec.smoothing_depth, 1)
+        _logger.info(
+            "PRN %d time base seeded from geometry (fix age %.1f s) — "
+            "ranging without waiting for a subframe", prn, age,
+        )
+        return True
+
     def handle_lost_satellite_lock(self, prn: int) -> None:
         """PRN counting is no longer reliable; invalidate the SV's time base
         but keep its ephemeris (reference: gypsum/world_model.py:314-328).

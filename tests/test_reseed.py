@@ -1,0 +1,126 @@
+"""Geometry-seeded time bases (solve/world.py:seed_time_base_from_geometry):
+a (re)acquired satellite with a known orbit ranges immediately instead of
+waiting ~6 s for its next subframe."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gypsum_tpu.core.config import (
+    AcquisitionConfig,
+    ReceiverConfig,
+    SolverConfig,
+    TrackingConfig,
+)
+from gypsum_tpu.core.constants import SPEED_OF_LIGHT_M_PER_S as C
+from gypsum_tpu.solve.geodesy import lla_to_ecef
+from gypsum_tpu.solve.world import ReceiverSolution, WorldModel
+
+
+def test_seed_recovers_exact_whole_millisecond_anchor():
+    """Construct a satellite whose code edge was emitted at a KNOWN whole
+    SV-clock millisecond; seeding from a fix displaced tens of meters from
+    the truth must still snap to that exact anchor (the prediction error is
+    microseconds against a 0.5 ms rounding margin)."""
+    from gypsum_tpu.signal.scenarios import DEMO_EPHEMERIDES
+    from gypsum_tpu.solve.ephemeris import clock_correction, satellite_position
+
+    world = WorldModel(SolverConfig())
+    eph = DEMO_EPHEMERIDES[0]
+    rec = world._record(25)
+    rec.sf1 = object()  # not used once ephemeris is set directly
+    rec.ephemeris = eph
+    truth_pos = lla_to_ecef(51.5, -0.1, 80.0)
+
+    anchor_true = 21615.123  # whole millisecond on the SV clock
+    delta = float(clock_correction(eph, anchor_true))
+    emission_sys = anchor_true - delta
+    sv = satellite_position(eph, emission_sys)
+    tau = float(np.linalg.norm(sv - truth_pos)) / C
+    arrival_sys = emission_sys + tau
+
+    world.receiver_clock_slide = 21600.0  # receiver stream ~ sow - slide
+    t_rx = arrival_sys - world.receiver_clock_slide  # stream time of the edge
+    # Block end sits 0.3 ms after the edge; the measured sub-ms code delay
+    # is then -0.3 ms (edge BEHIND the epoch, wrapped convention).
+    epoch = t_rx + 0.3e-3
+    rec.code_phase_delay_s = (-0.3e-3) % 1e-3
+    # A fix 40 m away from the truth, 5 s old.
+    world.position_fixes.append(ReceiverSolution(
+        clock_bias_s=0.0, ecef=truth_pos + np.array([25.0, -20.0, 22.0]),
+        lat_deg=0, lon_deg=0, alt_m=0, satellites_used=(1, 2, 3, 4),
+        receiver_timestamp=epoch - 5.0,
+    ))
+
+    assert world.seed_time_base_from_geometry(25, epoch)
+    assert rec.counting
+    assert abs(rec.tow_at_last_subframe - anchor_true) < 1e-9
+    # And the resulting observed SV time reproduces the system emission.
+    assert abs(world.observed_sv_time_of_week(25) - emission_sys) < 1e-9
+
+    # Gates: a second call is a no-op; a stale fix refuses.
+    assert not world.seed_time_base_from_geometry(25, epoch)
+    rec2 = world._record(28)
+    rec2.ephemeris = eph
+    rec2.code_phase_delay_s = 0.0
+    assert not world.seed_time_base_from_geometry(28, epoch + 100.0)
+
+
+def test_outage_recovery_without_redecoding():
+    """A satellite masked mid-capture returns: with geometry reseeding it
+    re-enters the position fix within ~2 s of reacquisition — the reference
+    (and round-1 behavior) must wait for the SV's next subframe."""
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GPS_START_SOW,
+        DEMO_PRNS_8,
+        demo_constellation,
+    )
+
+    fs = 2.046e6
+    prns = DEMO_PRNS_8[:5]
+    sats = demo_constellation(prns)
+    outage_prn = prns[4]
+    # Emulate an obstruction: the SV transmits over [0, 21) and [27, end) —
+    # two entries with the same PRN/ephemeris and complementary windows.
+    gone_lo, gone_hi = 21.0, 27.0
+    vis_a = dataclasses.replace(sats[4], visible_until_s=gone_lo)
+    vis_b = dataclasses.replace(sats[4], visible_from_s=gone_hi)
+    sats = sats[:4] + [vis_a, vis_b]
+
+    truth = lla_to_ecef(51.5, -0.1, 80.0)
+    iq, _ = synthesize_constellation(
+        sats, truth, DEMO_GPS_START_SOW, 36.0, fs, noise_sigma=0.25,
+    )
+    cfg = ReceiverConfig(
+        tracking=TrackingConfig(watchdog_warmup_ms=1500,
+                                quality_drop_threshold=0.25),
+        acquisition=AcquisitionConfig(scan_period_s=2.0),
+    )
+    recv = Receiver(ArraySampleSource(iq, fs), cfg, eligible_prns=prns)
+    reports = recv.run()
+
+    dropped = [r.block_start for r in reports if outage_prn in r.dropped_prns]
+    assert dropped and gone_lo <= dropped[0] <= gone_hi + 2.0, dropped
+    reacq = [r.block_start for r in reports
+             if any(h.prn == outage_prn for h in r.newly_acquired)
+             and r.block_start > gone_hi - 1.0]
+    assert reacq, "never reacquired after the outage"
+    reseeded = [r.block_start for r in reports
+                if outage_prn in r.reseeded_prns and r.block_start > gone_hi - 1.0]
+    assert reseeded, "time base never geometry-seeded after reacquisition"
+    # Back in the fix within ~2 s of reacquisition — far less than the
+    # >= 6 s a subframe re-anchor needs.
+    back = [r.block_end for r in reports
+            if r.fix is not None and outage_prn in r.fix.satellites_used
+            and r.block_end > reacq[0]]
+    assert back, "reacquired satellite never used in a fix"
+    assert back[0] - reacq[0] <= 2.5, (back[0], reacq[0])
+    # And the fixes that use it are sane.
+    errs = [float(np.linalg.norm(r.fix.ecef - truth)) for r in reports
+            if r.fix is not None and r.block_end >= back[0]]
+    assert max(errs) < 15.0
