@@ -385,14 +385,20 @@ def cmd_synth(args) -> int:
             raise SystemExit('--rover-out needs --rover-enu "east,north,up" (m)')
         east, north, up = enu_basis(rx)
         iq2, _ = synthesize_constellation(
-            sats, rx + de * east + dn * north + du * up, DEMO_GPS_START_SOW,
+            sats, rx + de * east + dn * north + du * up,
+            DEMO_GPS_START_SOW + args.rover_clock_offset,
             args.duration, args.rate, noise_sigma=args.noise,
             receiver_velocity_ecef=velocity, tropo=not args.no_tropo,
             impairments=impairments,
+            receiver_clock_drift=args.rover_clock_drift,
         )
         _write(args.rover_out, iq2)
+        clk = ""
+        if args.rover_clock_offset or args.rover_clock_drift:
+            clk = (f", independent clock (start {args.rover_clock_offset*1e3:+.3f} ms,"
+                   f" drift {args.rover_clock_drift:g})")
         print(f"wrote rover capture {args.rover_out} at ENU offset "
-              f"({de}, {dn}, {du}) m")
+              f"({de}, {dn}, {du}) m{clk}")
     print(f"wrote {args.out}: {args.duration}s @ {args.rate:.0f} Hz, "
           f"PRNs {[s for s in truth.doppler_hz]}")
     for prn in truth.doppler_hz:
@@ -477,12 +483,45 @@ def cmd_rtk(args) -> int:
             "need >=4 ephemerides (longer capture?)"
         )
     sv_fn = sv_position_fn_from_ephemerides(eph, world.receiver_clock_slide)
+    base_ecef = lla_to_ecef(*args.base_lla)
+
+    alignment = None
+    if args.independent_clocks:
+        # Whole-ms part of the stream offset from each receiver's own decoded
+        # time base (GPS = stream + slide  =>  r_b = r_v + slide_v - slide_b);
+        # the estimator refines the sub-ms offset and the relative drift from
+        # the observables. The rover's own code fix (meter-level) removes the
+        # SD geometry term, keeping long baselines unbiased.
+        from gypsum_tpu.solve.rtk import estimate_stream_alignment
+
+        world_v = receivers[1].world
+        if world_v.receiver_clock_slide is None:
+            raise SystemExit("--independent-clocks needs the rover to decode "
+                             "a time base too (longer capture?)")
+        coarse = world_v.receiver_clock_slide - world.receiver_clock_slide
+        sd_range_fn = None
+        if world_v.position_fixes:
+            rover_hint = np.asarray(world_v.position_fixes[-1].ecef)
+
+            def sd_range_fn(p, t):
+                sv = sv_fn(p, t)
+                return float(np.linalg.norm(sv - rover_hint)
+                             - np.linalg.norm(sv - base_ecef))
+
+        alignment = estimate_stream_alignment(
+            logs[0], logs[1], prns=sorted(eph), coarse_offset_s=coarse,
+            sd_range_fn=sd_range_fn,
+        )
+        print(f"stream alignment: rover starts {alignment.offset_s*1e3:+.4f} ms "
+              f"into the base stream, relative drift {alignment.drift:+.3g} "
+              f"(sigma {alignment.sigma_offset_s*1e9:.0f} ns, "
+              f"{alignment.n_satellites} SVs)")
 
     dd = form_double_differences(
         logs[0], logs[1], prns=sorted(eph),
         epoch_every_ms=args.epoch_every_ms,
+        alignment=alignment,
     )
-    base_ecef = lla_to_ecef(*args.base_lla)
     east, north, up = enu_basis(base_ecef)
     if args.kinematic:
         sol = solve_kinematic(dd, sv_fn, base_ecef, ratio_threshold=args.ratio)
@@ -607,6 +646,13 @@ def main(argv=None) -> int:
                         "an offset receiver (the `rtk` subcommand's input)")
     p.add_argument("--rover-enu", default=None, metavar="E,N,U",
                    help='rover offset from the base in meters, e.g. "12,-5,0"')
+    p.add_argument("--rover-clock-offset", type=float, default=0.0,
+                   help="rover sampling starts this many seconds later in GPS "
+                        "time (independent clock; pair with `rtk "
+                        "--independent-clocks`)")
+    p.add_argument("--rover-clock-drift", type=float, default=0.0,
+                   help="rover fractional oscillator frequency error "
+                        "(e.g. 2e-8)")
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser(
@@ -636,6 +682,10 @@ def main(argv=None) -> int:
                    help="integer-fix acceptance ratio (2nd-best/best cost)")
     p.add_argument("--kinematic", action="store_true",
                    help="moving rover: per-epoch baselines (shared ambiguities)")
+    p.add_argument("--independent-clocks", action="store_true",
+                   help="receivers sample on their own oscillators: estimate "
+                        "the stream offset/drift from the observables and "
+                        "interpolate the rover onto the base epochs")
     p.set_defaults(fn=cmd_rtk)
 
     p = sub.add_parser("bench", help="run the tracked-throughput benchmark")

@@ -47,10 +47,26 @@ an exact depth-first integer-least-squares search returning the two best
 candidates for the ratio test. Fixed: Gauss-Newton re-solve of the baseline
 with ambiguities held at the integers.
 
-Epoch alignment: both logs index epochs by integer stream milliseconds, so
-captures must share a stream time base (simultaneous captures of the same
-scene). Per-SV measurement epochs differing between receivers by a clock
-bias would need base-to-rover epoch interpolation, not implemented here.
+Epoch alignment: both logs index epochs by integer stream milliseconds. Two
+modes:
+
+- Shared time base (default): simultaneous captures of the same scene
+  (e.g. two channels of one ADC clock) are differenced sample-for-sample.
+- Independent clocks: when the receivers sample on their own oscillators
+  (start offset + relative drift), pass a ``StreamAlignment`` to
+  ``form_double_differences``. The alignment is measured from the
+  observables themselves by ``estimate_stream_alignment`` — sub-ms offset
+  from the single-difference code (geometry contributes only baseline/c
+  <= 50 ns over short baselines), relative drift from the common
+  single-difference carrier slope (the LO term, identical on every
+  satellite) — and the whole-ms/seconds part from each receiver's decoded
+  time base (world-model clock slide). Rover observables are then
+  interpolated onto the base epochs' GPS instants: unwrapped carrier phase
+  and unwrapped code delay are both smooth in time (slopes ~Doppler and
+  ~range-rate/c), so linear interpolation on the 1 kHz grid costs
+  micro-cycles. A residual alignment error dt mis-cancels Doppler as
+  f_d * dt per satellite: the estimator's ~0.1 us keeps that below the
+  tracker's own phase noise.
 """
 
 from __future__ import annotations
@@ -175,6 +191,173 @@ class CarrierPhaseLog:
 
 
 # --------------------------------------------------------------------------
+# Stream alignment (independent receiver clocks)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class StreamAlignment:
+    """Affine map between two receivers' sample-stream time bases.
+
+    The GPS instant sampled at rover stream time ``r_v`` was sampled at base
+    stream time ``r_b = offset_s + (1 + drift) * r_v``. ``offset_s`` is the
+    base stream time of the rover's first sample; ``drift`` is the relative
+    oscillator rate (base minus rover fractional frequency error).
+    """
+
+    offset_s: float
+    drift: float
+    sigma_offset_s: float  # scatter of the per-epoch code offsets (s)
+    n_satellites: int
+
+    def base_time_of(self, r_rover_s: float) -> float:
+        return self.offset_s + (1.0 + self.drift) * r_rover_s
+
+    def rover_time_of(self, r_base_s):
+        return (np.asarray(r_base_s) - self.offset_s) / (1.0 + self.drift)
+
+
+#: Zero alignment: both captures share one sample clock (the default mode).
+SHARED_CLOCK = StreamAlignment(0.0, 0.0, 0.0, 0)
+
+
+def estimate_stream_alignment(
+    base: CarrierPhaseLog,
+    rover: CarrierPhaseLog,
+    prns: list[int] | None = None,
+    coarse_offset_s: float = 0.0,
+    epoch_every_ms: int = 250,
+    settle_ms: int = 2000,
+    sd_range_fn=None,
+) -> StreamAlignment:
+    """Measure the rover->base stream time map from the observables alone.
+
+    - Relative drift: every satellite's single-difference carrier slides at
+      ``-f_L1 * (d_rover - d_base)`` (the LO term is common to all
+      satellites); the cross-satellite median of per-SV phase slopes rejects
+      the small geometry-driven terms.
+    - Sub-ms offset: the single-difference code delay is
+      ``(tau_v - tau_b) - delta(t)  (mod 1 ms)`` where ``delta`` is the
+      stream offset; window-medians over epochs give it to ~0.1 us. The
+      geometry term ``tau_v - tau_b`` is baseline/c (< 50 ns over short
+      baselines); pass ``sd_range_fn(prn, t_base_s) -> meters`` (e.g. from
+      each receiver's own code fix) to remove it on longer baselines.
+    - Whole milliseconds/seconds: NOT observable from wrapped code — supply
+      ``coarse_offset_s`` (e.g. the difference of the two receivers' decoded
+      clock slides, accurate to well under 0.5 ms).
+    """
+    k0 = int(round(coarse_offset_s * 1e3))  # whole-ms part, base-ms units
+    avail = sorted(set(base.arcs) & set(rover.arcs))
+    prns = [p for p in (prns or avail) if p in avail]
+    if not prns:
+        raise ValueError("no common satellites to align on")
+
+    per: dict[int, dict[int, tuple]] = {}
+    for p in prns:
+        ab, ar = base.longest_arc(p), rover.longest_arc(p)
+        mb = {m: i for i, m in enumerate(ab.ms)}
+        series = {}
+        for i_r, m in enumerate(ar.ms):
+            i_b = mb.get(m + k0)
+            if i_b is None or not (ab.locked[i_b] and ar.locked[i_r]):
+                continue
+            series[m] = (
+                ar.phase_cycles[i_r] - ab.phase_cycles[i_b],
+                ar.code_delay_s[i_r] - ab.code_delay_s[i_b],
+            )
+        if len(series) >= 3:
+            per[p] = series
+    if not per:
+        raise ValueError(
+            "no overlapping locked spans after the coarse shift "
+            f"({k0} ms) — is coarse_offset_s right?"
+        )
+    prns = sorted(per)
+    common = set.intersection(*(set(s) for s in per.values()))
+    common = sorted(m for m in common if m >= settle_ms)[::epoch_every_ms]
+    if len(common) < 3:
+        raise ValueError("fewer than 3 common locked epochs for alignment")
+
+    t = np.array(common, np.float64) * 1e-3  # rover stream seconds
+    half = epoch_every_ms // 2
+
+    # Drift from the common carrier slope (see module docstring for signs:
+    # time_transfer's drift_carrier = d_rover - d_base = -median/f_L1, and
+    # this map needs d_base - d_rover).
+    phase_sd = np.array(
+        [[per[p][m][0] for p in prns] for m in common]
+    )  # [T, P] cycles
+    ph_slopes = np.polyfit(t - t[0], phase_sd, 1)[0]  # [P] cycles/s
+    drift = float(np.median(ph_slopes) / GPS_L1_FREQUENCY_HZ)
+
+    # Sub-ms offset from window-medians of the SD code, geometry removed if
+    # the caller can predict it, drift slope removed, wrapped to +/-0.5 ms.
+    deltas = np.empty((len(common), len(prns)))
+    for j, p in enumerate(prns):
+        for i, m in enumerate(common):
+            vals = np.array([
+                per[p][k][1]
+                for k in range(m - half, m + half + 1)
+                if k in per[p]
+            ])
+            vals = vals[0] + _wrap_ms(vals - vals[0])
+            sd_code = float(np.median(vals))
+            if sd_range_fn is not None:
+                sd_code -= sd_range_fn(p, coarse_offset_s + t[i]) / SPEED_OF_LIGHT
+            deltas[i, j] = -sd_code
+    # Each satellite's raw SD code sits on its own 1 ms branch; re-center
+    # every column to the first column's branch before the cross-SV median.
+    deltas = deltas[:, :1] + _wrap_ms(deltas - deltas[:, :1])
+    delta_series = np.median(deltas, axis=1)  # [T]
+    resid = delta_series - drift * t
+    # All residuals live within one wrap of the first: re-center then wrap.
+    resid = resid[0] + _wrap_ms(resid - resid[0])
+    offset_sub = float(np.median(resid))
+    sigma = float(np.std(resid - offset_sub))
+    offset = k0 * 1e-3 + float(_wrap_ms(np.array([offset_sub]))[0])
+    return StreamAlignment(
+        offset_s=offset, drift=drift, sigma_offset_s=sigma,
+        n_satellites=len(prns),
+    )
+
+
+def _unwrap_code_delay(cd: np.ndarray) -> np.ndarray:
+    """Sub-ms code delays -> continuous series (rate ~range-rate/c, us/s)."""
+    return cd[0] + np.concatenate(([0.0], np.cumsum(_wrap_ms(np.diff(cd)))))
+
+
+def _sd_series_aligned(
+    ab: "PhaseArc", ar: "PhaseArc", alignment: StreamAlignment
+) -> dict[int, tuple]:
+    """Single differences keyed by BASE stream ms, the rover's unwrapped
+    phase and code delay linearly interpolated to each base epoch's GPS
+    instant. Requires both bracketing rover samples locked and adjacent
+    (1 ms apart) — gaps or unlock spans simply drop those epochs."""
+    t_v = np.asarray(ar.ms, np.float64) * 1e-3
+    ph_v = np.asarray(ar.phase_cycles, np.float64)
+    cd_v = _unwrap_code_delay(np.asarray(ar.code_delay_s, np.float64))
+    lk_v = np.asarray(ar.locked, bool)
+
+    ms_b = np.asarray(ab.ms, np.int64)
+    r_v = alignment.rover_time_of(ms_b * 1e-3)  # rover stream seconds
+    j = np.searchsorted(t_v, r_v)  # t_v[j-1] <= r_v < t_v[j]
+    ok = (j > 0) & (j < len(t_v)) & np.asarray(ab.locked, bool)
+    j = np.clip(j, 1, max(len(t_v) - 1, 1))
+    ok &= lk_v[j - 1] & lk_v[j] & (t_v[j] - t_v[j - 1] < 1.5e-3)
+    w = np.clip((r_v - t_v[j - 1]) / np.maximum(t_v[j] - t_v[j - 1], 1e-12), 0, 1)
+    ph_i = ph_v[j - 1] * (1 - w) + ph_v[j] * w
+    cd_i = cd_v[j - 1] * (1 - w) + cd_v[j] * w
+
+    ph_b = np.asarray(ab.phase_cycles, np.float64)
+    cd_b = np.asarray(ab.code_delay_s, np.float64)
+    return {
+        int(m): (ph_i[i] - ph_b[i], cd_i[i] - cd_b[i])
+        for i, m in enumerate(ms_b)
+        if ok[i]
+    }
+
+
+# --------------------------------------------------------------------------
 # Double differences
 # --------------------------------------------------------------------------
 
@@ -199,8 +382,15 @@ def form_double_differences(
     ref_prn: int | None = None,
     epoch_every_ms: int = 250,
     settle_ms: int = 2000,
+    alignment: StreamAlignment | None = None,
 ) -> DDObservations:
-    """Common-epoch double differences from two receivers' longest arcs."""
+    """Common-epoch double differences from two receivers' longest arcs.
+
+    With ``alignment`` (independent receiver clocks, see
+    ``estimate_stream_alignment``), epochs live on the BASE stream and the
+    rover's observables are interpolated to each epoch's GPS instant;
+    without it the two streams are differenced sample-for-sample (shared
+    sample clock)."""
     avail = sorted(set(base.arcs) & set(rover.arcs))
     prns = [p for p in (prns or avail) if p in avail]
     if len(prns) < 4:
@@ -208,8 +398,11 @@ def form_double_differences(
 
     per: dict[int, dict[int, tuple]] = {}
     for p in prns:
-        series = {}
         ab, ar = base.longest_arc(p), rover.longest_arc(p)
+        if alignment is not None:
+            per[p] = _sd_series_aligned(ab, ar, alignment)
+            continue
+        series = {}
         mb = {m: i for i, m in enumerate(ab.ms)}
         for i_r, m in enumerate(ar.ms):
             i_b = mb.get(m)

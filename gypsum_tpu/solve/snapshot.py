@@ -169,3 +169,70 @@ def orbit_fn_from_ephemerides(ephemerides: dict, kepler_iterations: int = 10):
         )
 
     return orbit_fn
+
+def doppler_position_seed(
+    measurements: list[tuple[int, float]],
+    orbit_fn,
+    time_sow: float,
+    initial_ecef: np.ndarray | None = None,
+    iterations: int = 12,
+) -> np.ndarray | None:
+    """Coarse receiver position from measured carrier Dopplers alone.
+
+    The classic Doppler-positioning bootstrap (assisted-GNSS cold start with
+    NO position prior): each satellite's received Doppler is
+    ``-f/c * d|sv - rx|/dt + b`` with ``b`` a common receiver LO offset, so
+    >= 4 (prn, doppler_hz) pairs determine [rx (3), b]. Sensitivity is
+    ~|v_sv|/range ~ 1.8e-4 Hz per meter: 1 Hz of tracker Doppler noise maps
+    to ~1 km of position — far inside ``snapshot_fix``'s ~150 km
+    convergence basin, which is exactly the job of this seed.
+
+    Returns ECEF [3] m or None (underdetermined / diverged). ``time_sow``
+    must be right to ~seconds (satellite velocity rotates slowly).
+    """
+    from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
+    from gypsum_tpu.core.constants import SPEED_OF_LIGHT_M_PER_S as C_
+
+    n = len(measurements)
+    if n < 4:
+        return None
+    prns = [p for p, _ in measurements]
+    fd = np.array([d for _, d in measurements], dtype=np.float64)
+
+    sat_pos = np.empty((n, 3))
+    sat_vel = np.empty((n, 3))
+    for i, prn in enumerate(prns):
+        p, v, _ = orbit_fn(prn, time_sow - 0.075)
+        sat_pos[i], sat_vel[i] = p, v
+
+    if initial_ecef is None:
+        # Surface point under the constellation centroid: always inside the
+        # footprint of the satellites actually being received.
+        centroid = sat_pos.mean(axis=0)
+        pos = 6371e3 * centroid / np.linalg.norm(centroid)
+    else:
+        pos = np.asarray(initial_ecef, dtype=np.float64).copy()
+    bias_hz = 0.0
+    k = GPS_L1_FREQUENCY_HZ / C_
+
+    for _ in range(iterations):
+        dx = sat_pos - pos[None, :]
+        rng = np.linalg.norm(dx, axis=1)
+        e = dx / rng[:, None]
+        rdot = np.sum(e * sat_vel, axis=1)  # d|sv-rx|/dt (receiver static)
+        pred = -k * rdot + bias_hz
+        res = fd - pred
+        # d(rdot)/d(rx) = (e (e.v) - v) / range  =>  d(pred)/d(rx) = -k * that.
+        d_rdot = (e * rdot[:, None] - sat_vel) / rng[:, None]
+        h = np.concatenate([-k * d_rdot, np.ones((n, 1))], axis=1)
+        try:
+            delta, *_ = np.linalg.lstsq(h, res, rcond=None)
+        except np.linalg.LinAlgError:
+            return None
+        pos += delta[:3]
+        bias_hz += delta[3]
+        if np.linalg.norm(delta[:3]) < 1.0:
+            break
+    if not np.all(np.isfinite(pos)) or np.linalg.norm(pos) > 1e8:
+        return None
+    return pos

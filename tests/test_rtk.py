@@ -364,3 +364,86 @@ def test_common_view_time_transfer():
     assert res.sigma_offset_s < 3e-9  # nanosecond-level epoch scatter
     # The offset series is d * t from a shared start.
     assert abs(res.offset_at_start_s - d_true * res.epochs_s[0]) < 5e-9
+
+
+# --------------------------------------------------------------------------
+# Independent receiver clocks: stream alignment + interpolated DD
+# --------------------------------------------------------------------------
+
+
+def test_unwrap_code_delay():
+    from gypsum_tpu.solve.rtk import _unwrap_code_delay
+
+    t = np.arange(5000) * 1e-3
+    true = 0.95e-3 + 2.7e-6 * t  # range-rate-scale drift crossing the wrap
+    wrapped = true % 1e-3
+    un = _unwrap_code_delay(wrapped)
+    # Continuous and equal to the truth up to the starting branch.
+    assert np.allclose(np.diff(un), np.diff(true), atol=1e-12)
+    assert np.allclose(un - un[0], true - true[0], atol=1e-12)
+
+
+def test_independent_clock_rtk_end_to_end():
+    """Rover sampled on its OWN clock — started 2.37 ms later in GPS time
+    and drifting at 2e-8 — must still fix to millimeters: the alignment is
+    estimated from the observables (sub-ms from SD code, drift from SD
+    carrier) and the rover is interpolated onto the base epochs."""
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GPS_START_SOW,
+        DEMO_PRNS_8,
+        demo_constellation,
+    )
+    from gypsum_tpu.solve.rtk import estimate_stream_alignment
+
+    fs = 2.046e6
+    prns = DEMO_PRNS_8[:6]
+    sats = demo_constellation(prns)
+    base = lla_to_ecef(51.5, -0.1, 80.0)
+    east, north, up = enu_basis(base)
+    truth = 11.0 * east - 7.5 * north + 2.0 * up
+    rover = base + truth
+    offset_true = 2.37e-3  # rover's first sample is 2.37 ms late in GPS time
+    drift_rover = 2e-8
+
+    seconds = 16.0
+    logs = []
+    for rx, sow, drift in (
+        (base, DEMO_GPS_START_SOW, 0.0),
+        (rover, DEMO_GPS_START_SOW + offset_true, drift_rover),
+    ):
+        iq, _ = synthesize_constellation(
+            sats, rx, sow, seconds, fs, noise_sigma=0.25,
+            receiver_clock_drift=drift,
+        )
+        recv = Receiver(ArraySampleSource(iq, fs), ReceiverConfig(),
+                        eligible_prns=prns)
+        log = CarrierPhaseLog(recv.sample_rate, recv.samples_per_prn,
+                              recv.config.tracking)
+        recv.add_block_listener(log.listener())
+        recv.run()
+        logs.append(log)
+
+    # Whole-ms part from "decoded time bases" (here: the known 2 ms); the
+    # estimator recovers the sub-ms part and the drift from the data.
+    align = estimate_stream_alignment(logs[0], logs[1], prns=prns,
+                                      coarse_offset_s=2e-3)
+    # r_b = offset + (1 + drift) r_v: rover stream 0 is at base stream
+    # +offset_true; rover seconds run long by d (synth: t = sow + r(1-d)),
+    # so the relative rate is -drift_rover.
+    assert abs(align.offset_s - offset_true) < 0.5e-6, align
+    assert abs(align.drift - (-drift_rover)) < 2e-9, align
+    assert align.sigma_offset_s < 1e-6
+
+    dd = form_double_differences(logs[0], logs[1], prns=prns,
+                                 epoch_every_ms=200, settle_ms=2000,
+                                 alignment=align)
+    sol = solve_baseline(dd, _demo_sv_fn(prns), base)
+    err_float = np.linalg.norm(sol.baseline_float_m - truth)
+    assert err_float < 0.5, f"float baseline off by {err_float:.2f} m"
+    assert sol.fixed, f"not fixed (ratio {sol.ratio:.2f})"
+    err_fixed = np.linalg.norm(sol.baseline_fixed_m - truth)
+    assert err_fixed < 0.010, f"fixed baseline off by {err_fixed*1000:.1f} mm"
+    assert sol.phase_rms_half_cycles < 0.02
