@@ -113,6 +113,24 @@ def cmd_replay(args) -> int:
         prns = sorted(set(prns or ALL_PRN_IDS) | set(SBAS_PRN_IDS))
     receiver = Receiver(source, config, eligible_prns=prns)
 
+    if getattr(args, "assist_nav", None):
+        # Assisted start: broadcast ephemerides from a RINEX NAV file (ours
+        # or any IGS/receiver product). Orbits are known before any decode,
+        # so the first fix needs only the first handover word
+        # (solve/world.py:_assisted_bootstrap).
+        from gypsum_tpu.obs.rinex import parse_nav
+
+        with open(args.assist_nav) as f:
+            eph = parse_nav(f.read())
+        n = receiver.world.assist_ephemerides(eph)
+        _logger.info("assist-nav %s: %d ephemerides loaded", args.assist_nav, n)
+    if getattr(args, "assist_time", None) is not None:
+        # Coarse time (network-time grade, ~minute accuracy is enough):
+        # with assist-nav this publishes coarse snapshot fixes before any
+        # nav bit is decoded (solve/world.py:_coarse_time_snapshot).
+        receiver.world.assist_time(args.assist_time)
+        _logger.info("assist-time: stream t=0 is SOW %.1f (coarse)", args.assist_time)
+
     if args.checkpoint and pathlib.Path(args.checkpoint).exists():
         from gypsum_tpu.runtime.checkpoint import fast_forward, load_checkpoint
 
@@ -176,7 +194,9 @@ def cmd_replay(args) -> int:
                 vel = f" |v|={speed:.2f}m/s drift={f.clock_drift_s_per_s * 1e9:.2f}ns/s"
             # EKF coast fixes (< 4 satellites, solve/world.py:_ekf_coast)
             # are labeled so logs distinguish them from least-squares fixes.
-            tag = "FIX" if f.kind == "lsq" else "COAST"
+            tag = {"lsq": "FIX", "ekf": "COAST", "snapshot": "SNAPSHOT"}.get(
+                f.kind, f.kind.upper()
+            )
             pl = ""
             if f.protection is not None:
                 pl = (f" hpl={f.protection['hpl_m']:.0f}m"
@@ -581,6 +601,15 @@ def main(argv=None) -> int:
     p.add_argument("--duration", type=float, default=None, help="seconds of signal to process")
     p.add_argument("--until-fix", action="store_true", help="stop at the first position fix")
     p.add_argument("--block-ms", type=int, default=None, help="tracking block size")
+    p.add_argument("--assist-nav", default=None, metavar="PATH",
+                   help="assisted start: load broadcast ephemerides from a "
+                        "RINEX 3 NAV file (e.g. a previous run's --rinex-nav "
+                        "export) — first fix right after the first handover "
+                        "word instead of after full subframe 1-3 decode")
+    p.add_argument("--assist-time", type=float, default=None, metavar="SOW",
+                   help="coarse GPS seconds-of-week of the stream start "
+                        "(±1 min is fine): with --assist-nav, snapshot fixes "
+                        "are published before any nav bit is decoded")
     p.add_argument("--web-ui", action="store_true", help="push state to the web dashboard")
     p.add_argument("--render-figures", action="store_true",
                    help="render the 20-panel per-satellite tracker figures (pushed to the "

@@ -322,6 +322,18 @@ class SolverConfig:
     # (gypsum/world_model.py:314-328 invalidates, :716-718 re-anchors).
     geometry_reseed: bool = True
     geometry_reseed_max_fix_age_s: float = 30.0
+    # Assisted/bootstrap fix: when fewer than 4 satellites have decoded time
+    # bases but >= 4 tracked channels have KNOWN orbits (assist ephemerides
+    # via `replay --assist-nav`, a checkpoint, or early cross-SV decode) and
+    # the clock slide is set (first HOW), solve the integer-millisecond
+    # snapshot problem (solve/snapshot.py) — seeded by a Doppler-only
+    # position solve when no prior fix exists — and geometry-seed every
+    # channel from the result. Cuts time-to-first-fix from ~20-30 s (decode
+    # subframes 1-3 on four SVs) to just past the first handover word.
+    assisted_bootstrap: bool = True
+    # Reject bootstrap solutions whose ms-resolved residual RMS exceeds this
+    # (a wrong integer is ~300 km of residual; genuine fixes sit at meters).
+    assisted_bootstrap_max_residual_m: float = 75.0
     # Apply the Saastamoinen tropospheric model (solve/tropo.py) once a
     # position estimate exists. Needs no broadcast data; False reproduces
     # the reference's (uncorrected) behavior.

@@ -34,7 +34,7 @@ from pathlib import Path
 #       store, solve/sbas_corrections.py); _SatelliteRecord gained
 #       ``orbit_version`` + the per-record position/clock memo fields;
 #       SolverConfig gained the SBAS-correction and geometry-reseed knobs.
-CHECKPOINT_VERSION = 6
+CHECKPOINT_VERSION = 7
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:
