@@ -34,6 +34,10 @@ def _add_file_source_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--format", default=None,
                    help="named capture format (gnu_radio_2x/8x/16x, rtl_sdr, hackrf) "
                    "instead of a sidecar (reference: radio_input.py INPUT_SOURCES)")
+    p.add_argument("--notch", action="store_true",
+                   help="excise narrowband interference (CW jammers, "
+                        "harmonics) from each block with the STFT spectral "
+                        "mask before processing (ops/interference.py)")
 
 
 PROCESSING_RATE = 2.046e6  # all signal processing runs at 2x the chip rate
@@ -93,6 +97,10 @@ def _open_source(args):
             "decimating %.0f Hz capture to %.0f Hz", source.attributes.sample_rate, PROCESSING_RATE
         )
         source = DecimatingSampleSource(source, PROCESSING_RATE)
+    if getattr(args, "notch", False):
+        from gypsum_tpu.io.sources import NotchingSampleSource
+
+        source = NotchingSampleSource(source)
     return source
 
 
@@ -360,7 +368,8 @@ def cmd_synth(args) -> int:
         except ValueError:
             raise SystemExit(f'--vel expects "vx,vy,vz" in m/s, got {args.vel!r}')
     impairments = None
-    if args.bandwidth or args.phase_noise or args.multipath or args.adc_bits:
+    if (args.bandwidth or args.phase_noise or args.multipath or args.adc_bits
+            or args.cw):
         from gypsum_tpu.signal.constellation import RfImpairments
 
         impairments = RfImpairments(
@@ -368,6 +377,9 @@ def cmd_synth(args) -> int:
             phase_noise_rad_per_sqrt_s=args.phase_noise or 0.0,
             multipath_delay_s=args.multipath,
             adc_bits=args.adc_bits,
+            cw_amplitude=args.cw,
+            cw_freq_hz=args.cw_freq,
+            cw_chirp_hz_per_s=args.cw_chirp,
         )
     sats = demo_constellation(prns)
     if args.sbas:
@@ -666,6 +678,14 @@ def main(argv=None) -> int:
                    help="one multipath ray at this excess delay (seconds)")
     p.add_argument("--adc-bits", type=int, default=None,
                    help="quantize the capture to this many ADC bits per component")
+    p.add_argument("--cw", type=float, default=None, metavar="AMPLITUDE",
+                   help="inject a CW jammer of this amplitude (satellites are "
+                        "~1, noise sigma ~0.3; try 10-30 — then replay with "
+                        "--notch)")
+    p.add_argument("--cw-freq", type=float, default=257e3,
+                   help="jammer baseband offset in Hz")
+    p.add_argument("--cw-chirp", type=float, default=0.0,
+                   help="jammer sweep rate in Hz/s (swept interference)")
     p.add_argument("--sbas", type=int, nargs="?", const=120, default=None,
                    metavar="PRN",
                    help="add an SBAS GEO (PRN 120-138; replay it with "

@@ -19,6 +19,7 @@ re-designed for block-based device dispatch:
 from __future__ import annotations
 
 import json
+import logging
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
 from pathlib import Path
@@ -27,6 +28,8 @@ import numpy as np
 
 from gypsum_tpu.core.constants import PRN_REPETITIONS_PER_SECOND
 from gypsum_tpu.core.events import NoMoreSamplesError
+
+_logger = logging.getLogger(__name__)
 
 _DTYPE_NAMES = {
     "float32": np.float32,
@@ -376,6 +379,83 @@ class DecimatingSampleSource(SampleSource):
         ts, block = self.peek_block(n_ms)
         self._out_cursor += n_ms * self._spp_out
         return ts, block
+
+
+class NotchingSampleSource(SampleSource):
+    """Interference-excision front end: wraps any source and removes
+    narrowband interference (CW jammers, harmonics, DC ridges) from each
+    block with the STFT spectral mask in ops/interference.py. Detection
+    events are kept in ``events`` (stream time, NotchReport) and summarized
+    by ``interference_seconds``.
+
+    Host-side numpy by design: on the TPU platform blocks must not bounce
+    through the device for preprocessing (upload bandwidth is the scarce
+    resource); the jittable twin (ops/interference.make_stft_notch_jax) is
+    parity-tested for in-graph use.
+    """
+
+    def __init__(
+        self,
+        inner: SampleSource,
+        nfft: int = 4096,
+        threshold: float = 8.0,
+        guard_bins: int = 2,
+        max_fraction: float = 0.05,
+    ) -> None:
+        self.inner = inner
+        self.nfft = int(nfft)
+        self.threshold = float(threshold)
+        self.guard_bins = int(guard_bins)
+        self.max_fraction = float(max_fraction)
+        self.events: list[tuple[float, "object"]] = []  # (t, NotchReport)
+        self.last_report = None
+
+    @property
+    def attributes(self) -> StreamAttributes:
+        return self.inner.attributes
+
+    @property
+    def seconds_consumed(self) -> float:
+        return self.inner.seconds_consumed
+
+    def _process(self, ts: float, block: np.ndarray, record: bool) -> np.ndarray:
+        from gypsum_tpu.ops.interference import stft_notch_np
+
+        shape = block.shape
+        clean, report = stft_notch_np(
+            block.ravel(),
+            self.attributes.sample_rate,
+            nfft=self.nfft,
+            threshold=self.threshold,
+            guard_bins=self.guard_bins,
+            max_fraction=self.max_fraction,
+        )
+        if record:
+            self.last_report = report
+            if report.detected:
+                self.events.append((ts, report))
+                _logger.info(
+                    "[%7.1fs] interference: %d/%d bins %.1f dB over the "
+                    "floor at %s Hz — %s",
+                    ts, report.n_bins, self.nfft, report.peak_over_median_db,
+                    [f"{f:.0f}" for f in report.freqs_hz[:4]],
+                    "excised" if report.fraction <= self.max_fraction
+                    else "TOO WIDE, passed through",
+                )
+        return clean.reshape(shape)
+
+    @property
+    def interference_seconds(self) -> float:
+        """Stream seconds on which interference was detected (1 block ~ 1 s)."""
+        return float(len(self.events))
+
+    def peek_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        ts, block = self.inner.peek_block(n_ms)
+        return ts, self._process(ts, block, record=False)
+
+    def read_block(self, n_ms: int) -> tuple[float, np.ndarray]:
+        ts, block = self.inner.read_block(n_ms)
+        return ts, self._process(ts, block, record=True)
 
 
 class StreamBuffer:

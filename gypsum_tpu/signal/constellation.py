@@ -172,6 +172,14 @@ class RfImpairments:
     # scale).
     adc_bits: int | None = None
     adc_scale: float | None = None
+    # CW / narrowband jammer entering the antenna: complex tone of this
+    # amplitude (same units as satellite amplitudes ~1 and noise sigma) at
+    # the given baseband offset, optionally swept (chirp). Applied FIRST so
+    # the LO phase noise, front-end filter and ADC all act on it, exactly
+    # as they would on a real interferer. None = off.
+    cw_amplitude: float | None = None
+    cw_freq_hz: float = 257e3
+    cw_chirp_hz_per_s: float = 0.0
 
 
 def apply_rf_impairments(
@@ -188,6 +196,18 @@ def apply_rf_impairments(
     out = np.asarray(iq)
     rng = np.random.default_rng(seed ^ 0x5EED)
     n = len(out)
+
+    if imp.cw_amplitude:
+        res = np.empty_like(out)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            t = np.arange(lo, hi, dtype=np.float64) / sample_rate
+            ph = 2.0 * np.pi * (imp.cw_freq_hz * t
+                                + 0.5 * imp.cw_chirp_hz_per_s * t * t)
+            res[lo:hi] = out[lo:hi] + (
+                imp.cw_amplitude * np.exp(1j * ph)
+            ).astype(np.complex64)
+        out = res
 
     if imp.phase_noise_rad_per_sqrt_s:
         # Random-walk phase: increments N(0, sigma^2 / fs) per sample.
