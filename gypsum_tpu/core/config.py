@@ -331,6 +331,12 @@ class SolverConfig:
     # channel from the result. Cuts time-to-first-fix from ~20-30 s (decode
     # subframes 1-3 on four SVs) to just past the first handover word.
     assisted_bootstrap: bool = True
+    # Velocity from time-differenced carrier phase (TDCP): the NCO's cycle
+    # count over each block integrates the Doppler with millicycle noise —
+    # mm/s-class velocity vs ~0.1 m/s from the instantaneous-Doppler solve,
+    # which remains the fallback for channels without a continuous locked
+    # block (solve/velocity.py:solve_tdcp).
+    tdcp_velocity: bool = True
     # Reject bootstrap solutions whose ms-resolved residual RMS exceeds this
     # (a wrong integer is ~300 km of residual; genuine fixes sit at meters).
     assisted_bootstrap_max_residual_m: float = 75.0

@@ -397,10 +397,13 @@ class Receiver:
         cp_delay, doppler = self._block_end_observables(obs)
         from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
 
-        # Once-per-block observables (carrier smoothing + C/N0 weighting).
+        # Once-per-block observables (carrier smoothing + C/N0 weighting +
+        # the block's carrier-phase advance for the TDCP velocity solve).
+        adv = self._block_phase_advance(obs)
         self.world.handle_channel_block(
             obs.prn, cp_delay, doppler, block_ms,
             cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
+            phase_advance_cycles=adv,
         )
         consumed = 0
         for t_edge, sf_event in sorted(subframe_edges, key=lambda x: x[0]):
@@ -436,6 +439,33 @@ class Receiver:
                 "rescued marginal PRN %d in place (quality %.2f, attempt %d)",
                 obs.prn, float(obs.quality[-1]), self.bank.rescue_counts[obs.slot],
             )
+
+    def _block_phase_advance(self, obs: ChannelObservation) -> float | None:
+        """The channel's NCO carrier-phase advance over this block (cycles),
+        for the TDCP velocity solve (solve/velocity.py:solve_tdcp).
+
+        Same exact-reconstruction math as RTK's CarrierPhaseLog.ingest
+        (solve/rtk.py): replay the per-ms update law in f64 to count whole
+        turns, pin each sample back to the kernel's own wrapped value. The
+        NCO runs continuously WITHIN a block by construction, so within-block
+        validity only needs the loop locked throughout (pull-in phase noise
+        would corrupt the measurement, and so would the different kp)."""
+        locked = np.asarray(obs.locked, bool)
+        if not locked.all():
+            return None
+        cfg = self.config.tracking
+        t_ms = self.samples_per_prn / self.sample_rate
+        kp = 4.0 * cfg.pll_damping_factor * cfg.pll_bandwidth_locked_hz * t_ms
+        th = np.asarray(obs.carrier_phases, np.float64)
+        fd = np.asarray(obs.dopplers, np.float64)
+        pe = np.asarray(obs.pll_errors, np.float64)
+        two_pi = 2.0 * np.pi
+        dth = two_pi * fd * t_ms + kp * pe
+        acc = th[0] + np.concatenate(([0.0], np.cumsum(dth[:-1])))
+        pinned = th + two_pi * np.round((acc - th) / two_pi)
+        if np.max(np.abs(pinned - acc)) > 1.0:  # replay diverged: reject
+            return None
+        return float((pinned[-1] + dth[-1] - pinned[0]) / two_pi)
 
     def _block_end_observables(self, obs: ChannelObservation) -> tuple[float, float]:
         """Block-end (code-phase delay s, carrier Doppler Hz) for pseudoranges.

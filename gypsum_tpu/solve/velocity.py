@@ -72,3 +72,49 @@ def solve_velocity(
     v_rx = x[:3]
     clock_drift = x[3] / SPEED_OF_LIGHT_M_PER_S
     return v_rx, float(clock_drift)
+
+def solve_tdcp(
+    sat_pos_t0: np.ndarray,  # [N, 3] ECEF m at the interval start emissions
+    sat_pos_t1: np.ndarray,  # [N, 3] at the interval end emissions
+    sv_clock_delta_s: np.ndarray,  # [N] sv clock corr(t1) - corr(t0)
+    receiver_ecef: np.ndarray,  # [3] position at the fix (end of interval)
+    delta_phase_cycles: np.ndarray,  # [N] NCO phase advance over the interval
+    dt_s: float,
+) -> tuple[np.ndarray, float]:
+    """Time-differenced carrier phase (TDCP): receiver displacement over one
+    tracking block from the carrier's own cycle count — one to two orders of
+    magnitude tighter than the Doppler solve, because the NCO phase advance
+    integrates the Doppler with millicycle noise instead of sampling it.
+
+    Model (the NCO accumulates cycles = -f_L1 * tau_phase, the synthesizer's
+    and tracker's shared convention — solve/rtk.py docstring):
+
+        -lambda * dphi_i + c * dδsv_i
+            = |sv_i(t1) - x1| - |sv_i(t0) - x0| + c * db
+            ≈ [|sv_i(t1) - x0| - |sv_i(t0) - x0|] - e_i . dx + c * db
+
+    Linear least squares for (dx [3], c*db); returns (velocity = dx/dt,
+    clock drift db/dt). Needs >= 4 satellites with continuous (lock-chained)
+    phase over the interval.
+    """
+    sat_pos_t0 = np.asarray(sat_pos_t0, dtype=np.float64)
+    sat_pos_t1 = np.asarray(sat_pos_t1, dtype=np.float64)
+    x0 = np.asarray(receiver_ecef, dtype=np.float64)
+    n = len(delta_phase_cycles)
+    if n < 4:
+        raise ValueError(f"TDCP solve needs >= 4 satellites, got {n}")
+
+    r0 = np.linalg.norm(sat_pos_t0 - x0[None, :], axis=1)
+    r1 = np.linalg.norm(sat_pos_t1 - x0[None, :], axis=1)
+    e = (sat_pos_t1 - x0[None, :]) / r1[:, None]
+
+    y = (
+        -WAVELENGTH_M * np.asarray(delta_phase_cycles, dtype=np.float64)
+        + SPEED_OF_LIGHT_M_PER_S * np.asarray(sv_clock_delta_s, dtype=np.float64)
+        - (r1 - r0)
+    )
+    a = np.concatenate([-e, np.ones((n, 1))], axis=1)  # [N, 4] for (dx, c db)
+    sol, *_ = np.linalg.lstsq(a, y, rcond=None)
+    dx = sol[:3]
+    db = sol[3] / SPEED_OF_LIGHT_M_PER_S
+    return dx / dt_s, float(db / dt_s)

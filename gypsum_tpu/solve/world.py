@@ -149,6 +149,10 @@ class _SatelliteRecord:
     code_phase_delay_s: float = 0.0  # sub-ms arrival offset of the PRN edge
     doppler_hz: float | None = None  # last measured carrier Doppler
     cn0_dbhz: float | None = None  # last block's C/N0 estimate (obs/cn0.py)
+    # Last block's NCO carrier-phase advance (cycles) + its duration, for
+    # the TDCP velocity solve; None when the loop was not locked throughout.
+    tdcp_cycles: float | None = None
+    tdcp_dt_s: float = 0.0
     # Hatch-filtered sub-ms delay (carrier-smoothed pseudorange) + its
     # averaging depth (grows until the configured window).
     smoothed_delay_s: float | None = None
@@ -277,6 +281,7 @@ class WorldModel:
         doppler_hz: float,
         block_ms: int,
         cn0_dbhz: float | None = None,
+        phase_advance_cycles: float | None = None,
     ) -> None:
         """Once-per-block channel observables: updates the carrier-smoothed
         pseudorange (and the channel's C/N0, which weights its pseudorange
@@ -287,6 +292,8 @@ class WorldModel:
         rec = self._record(prn)
         if cn0_dbhz is not None:
             rec.cn0_dbhz = cn0_dbhz
+        rec.tdcp_cycles = phase_advance_cycles
+        rec.tdcp_dt_s = block_ms * 1e-3
         self._update_carrier_smoothing(rec, code_phase_delay_s, block_ms, doppler_hz)
 
     def _update_carrier_smoothing(
@@ -679,6 +686,7 @@ class WorldModel:
         rec.tow_at_last_subframe = None
         rec.smoothed_delay_s = None
         rec.smoothing_depth = 0
+        rec.tdcp_cycles = None
 
     # ------------------------------------------------------------- queries
 
@@ -1320,10 +1328,41 @@ class WorldModel:
     def _solve_velocity(
         self, prns: list[int], rx_ecef: np.ndarray, sat_pos_all: np.ndarray
     ):
-        """Doppler-based velocity + clock drift (solve/velocity.py); the
-        reference has no analogue. Satellite positions are reused from the
-        position solve's final round."""
-        from gypsum_tpu.solve.velocity import solve_velocity
+        """Velocity + clock drift (solve/velocity.py); the reference has no
+        analogue. Preferred path: TDCP — the NCO's own cycle count over the
+        block integrates the Doppler with millicycle noise, giving mm/s-class
+        velocity; channels without a continuous locked block (or with the
+        knob off) fall back to the instantaneous-Doppler solve. Satellite
+        positions are reused from the position solve's final round."""
+        from gypsum_tpu.solve.velocity import solve_tdcp, solve_velocity
+
+        cfg = self.config
+        if cfg.tdcp_velocity:
+            usable = [
+                i for i, p in enumerate(prns)
+                if self._sats[p].tdcp_cycles is not None
+                and self._sats[p].tdcp_dt_s > 0
+            ]
+            if len(usable) >= 4:
+                dts = {self._sats[prns[i]].tdcp_dt_s for i in usable}
+                if len(dts) == 1:  # one shared block interval
+                    dt = dts.pop()
+                    pos_t1 = sat_pos_all[usable]
+                    pos_t0 = np.empty_like(pos_t1)
+                    dclk = np.empty(len(usable))
+                    dphi = np.empty(len(usable))
+                    for j, i in enumerate(usable):
+                        rec = self._sats[prns[i]]
+                        sv_tow = self.observed_sv_time_of_week(prns[i])
+                        pos_t0[j] = rec.sv_position(
+                            sv_tow - dt, kepler_iterations=cfg.kepler_iterations
+                        )
+                        dclk[j] = rec.sv_clock_correction(
+                            sv_tow, iterations=4
+                        ) - rec.sv_clock_correction(sv_tow - dt, iterations=4)
+                        dphi[j] = rec.tdcp_cycles
+                    v, drift = solve_tdcp(pos_t0, pos_t1, dclk, rx_ecef, dphi, dt)
+                    return v, drift
 
         usable = [
             i for i, p in enumerate(prns) if self._sats[p].doppler_hz is not None
