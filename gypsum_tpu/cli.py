@@ -244,6 +244,13 @@ def cmd_replay(args) -> int:
     print(f"processed {source.seconds_consumed:.1f}s; "
           f"{receiver.subframe_count} subframes; "
           f"{len(receiver.world.position_fixes)} fixes")
+    if receiver.spoofing is not None and receiver.spoofing.alerts:
+        kinds = {}
+        for a in receiver.spoofing.alerts:
+            kinds[a.kind] = kinds.get(a.kind, 0) + 1
+        print(f"SPOOFING ALERTS: {len(receiver.spoofing.alerts)} "
+              f"({', '.join(f'{k}: {v}' for k, v in sorted(kinds.items()))}) "
+              f"— first at t={receiver.spoofing.alerts[0].t:.1f}s")
     # Predicted sky view from everything learned this run (decoded
     # ephemerides + almanac pages relayed off the air, solve/almanac.py).
     sky = receiver.world.predicted_sky(source.seconds_consumed)

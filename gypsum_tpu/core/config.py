@@ -376,6 +376,39 @@ class ObservabilityConfig:
 
 
 @dataclass(frozen=True)
+class SpoofingConfig:
+    """Spoofing monitors (solve/spoofing.py). All detection-only: alerts are
+    logged and counted, never acted on automatically (a false alarm turned
+    into an automatic re-acquire would itself be a denial of service)."""
+
+    enabled: bool = True
+    # Vestigial-peak scan: how often to correlate tracked PRNs against a
+    # snapshot with the tracked peak excluded, the exclusion radius, and the
+    # second-peak strength that raises an alert (same peak/mean-rest
+    # statistic as acquisition; its detection threshold is 3.0).
+    scan_period_s: float = 4.0
+    exclude_chips: float = 2.0
+    vestigial_threshold: float = 3.5
+    # ... AND it must stand comparison with the tracked peak itself: the
+    # authentic signal's own Gold-code sidelobes reach 65/1023 (~0.065) of
+    # its peak, while a spoofer must be comparable to capture the loops.
+    vestigial_min_ratio: float = 0.2
+    # C/N0 step detector: dB over the channel's EMA, sustained for this many
+    # blocks (the EMA freezes while hot so a captured channel cannot teach
+    # the baseline its new power).
+    cn0_jump_db: float = 6.0
+    cn0_jump_blocks: int = 2
+    cn0_ema_alpha: float = 0.05
+    # Clock-slide innovation gate: absolute floor (s) on top of 6 sigma of
+    # the robust-fit residuals over the history window.
+    clock_innovation_s: float = 3e-7
+    clock_history: int = 40
+    # Position-jump gate: fixed allowance + per-second motion allowance.
+    position_jump_m: float = 50.0
+    position_jump_speed_mps: float = 75.0
+
+
+@dataclass(frozen=True)
 class ReceiverConfig:
     """Top-level receiver configuration."""
 
@@ -384,6 +417,7 @@ class ReceiverConfig:
     nav: NavConfig = field(default_factory=NavConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     obs: ObservabilityConfig = field(default_factory=ObservabilityConfig)
+    spoofing: SpoofingConfig = field(default_factory=SpoofingConfig)
     # Maximum number of simultaneously tracked satellite channels. Static so
     # device buffers have fixed shapes; inactive channels are masked.
     max_channels: int = 12

@@ -92,6 +92,8 @@ class BlockReport:
     sbas_blocks: list = field(default_factory=list)  # [(prn, nav.sbas.SbasBlock)]
     fix: ReceiverSolution | None = None
     observations: list[ChannelObservation] = field(default_factory=list)
+    # Alerts raised by the spoofing monitors this block (solve/spoofing.py).
+    spoofing_alerts: list = field(default_factory=list)
 
 
 class Receiver:
@@ -132,6 +134,12 @@ class Receiver:
             prns=self.prn_family,
         )
         self.world = WorldModel(self.config.solver)
+        # Spoofing monitors (solve/spoofing.py): detection-only watchdogs.
+        self.spoofing = None
+        if self.config.spoofing.enabled:
+            from gypsum_tpu.solve.spoofing import SpoofingMonitor
+
+            self.spoofing = SpoofingMonitor(self.config.spoofing)
         # reference: gypsum/receiver.py:61-64.
         self.eligible_prns: set[int] = set(eligible_prns or ALL_PRN_IDS)
         self.pipelines: dict[int, _ChannelPipeline] = {}
@@ -256,6 +264,30 @@ class Receiver:
                 block = (head[..., 0] + 1j * head[..., 1]).astype(np.complex64)
             self._acquire(block, block_start, report)
 
+        # --- vestigial-peak spoofing scan over the same snapshot cadence
+        # (solve/spoofing.py): tracked PRNs, tracked peak excluded.
+        if self.spoofing is not None and self.spoofing.should_scan(block_start):
+            n = min(self.config.acquisition.integration_period_ms,
+                    track_input.shape[0])
+            if block is None:
+                head = planes[:n].astype(np.float32) - offset
+                blk = (head[..., 0] + 1j * head[..., 1]).astype(np.complex64)
+            else:
+                blk = block[:n]
+            tracked = {}
+            for prn in self.pipelines:
+                rec = self.world._sats.get(prn)
+                if rec is not None and rec.doppler_hz is not None:
+                    cp = (rec.code_phase_delay_s * self.sample_rate) % self.samples_per_prn
+                    tracked[prn] = (cp, rec.doppler_hz)
+            if tracked:
+                alerts = self.spoofing.vestigial_scan(
+                    blk, self.sample_rate, tracked, block_start
+                )
+                report.spoofing_alerts.extend(alerts)
+                for a in alerts:
+                    _logger.warning("SPOOFING suspected (PRN %s): %s", a.prn, a.detail)
+
         # --- one device dispatch tracks every channel for the whole block;
         # with pipelining the dispatch returns immediately and the block
         # processed below is the PREVIOUS one (sample upload + device
@@ -294,6 +326,12 @@ class Receiver:
         # the PROCESSED block's end (the world model's tick counters are
         # only advanced this far).
         report.fix = self.world.attempt_position_fix(t0 + n_ms * 1e-3)
+
+        if self.spoofing is not None:
+            alerts = self.spoofing.observe_block(self.world, report)
+            report.spoofing_alerts.extend(alerts)
+            for a in alerts:
+                _logger.warning("SPOOFING suspected (%s): %s", a.kind, a.detail)
 
     def _should_scan(self, now: float) -> bool:
         if not self.eligible_prns or not self.bank.free_slots:
