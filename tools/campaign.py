@@ -97,11 +97,19 @@ def _impairment_levels():
             multipath_amplitude=0.4,
             adc_bits=8,
         ),
+        # CW / swept jammers (ops/interference.py): trials at these levels
+        # run through the excision front end (NotchingSampleSource) — the
+        # pass criterion is unchanged: fix to tolerance THROUGH the jammer.
+        "cw": RfImpairments(cw_amplitude=10.0, cw_freq_hz=-151e3),
+        "cw_swept": RfImpairments(
+            cw_amplitude=8.0, cw_freq_hz=120e3, cw_chirp_hz_per_s=500.0
+        ),
     }
 
 
 IMPAIRMENT_LEVELS = tuple(
-    ["none", "bandlimit", "phase_noise", "multipath", "adc2", "full"]
+    ["none", "bandlimit", "phase_noise", "multipath", "adc2", "full",
+     "cw", "cw_swept"]
 )
 
 
@@ -206,7 +214,12 @@ def run_trial(seed: int, impairment: str = "none") -> dict:
                 tracking=cfg.tracking,
                 nav=NavConfig(bit_phase_resync_cutoff_s=float("inf")),
             )
-        recv = Receiver(ArraySampleSource(iq, 2.046e6), cfg, eligible_prns=eligible)
+        source = ArraySampleSource(iq, 2.046e6)
+        if sc.impairment.startswith("cw"):
+            from gypsum_tpu.io.sources import NotchingSampleSource
+
+            source = NotchingSampleSource(source)
+        recv = Receiver(source, cfg, eligible_prns=eligible)
         recv.run(until_fix=True)
         fixes = recv.world.position_fixes
         if not fixes:
