@@ -41,6 +41,10 @@ class ReceiverMetrics:
     acquisitions: int = 0
     drops: int = 0
     rescues: int = 0
+    # Spoofing alerts (solve/spoofing.py) by kind, and interference blocks
+    # seen by a NotchingSampleSource front end (ops/interference.py).
+    spoofing_alerts: dict = field(default_factory=lambda: defaultdict(int))
+    interference_blocks: int = 0
     counters: dict = field(default_factory=lambda: defaultdict(int))
     channels: dict = field(default_factory=dict)
     last_fix: dict | None = None
@@ -59,6 +63,11 @@ class ReceiverMetrics:
         self.acquisitions += len(report.newly_acquired)
         self.drops += len(report.dropped_prns)
         self.rescues += len(getattr(report, "rescued_prns", []))
+        for alert in getattr(report, "spoofing_alerts", []):
+            self.spoofing_alerts[alert.kind] += 1
+        src = getattr(receiver, "source", None)
+        if src is not None and hasattr(src, "interference_seconds"):
+            self.interference_blocks = len(src.events)
         for obs in report.observations:
             self.channels[obs.prn] = ChannelHealth(
                 prn=obs.prn,
@@ -118,6 +127,8 @@ class ReceiverMetrics:
             "acquisitions": self.acquisitions,
             "drops": self.drops,
             "rescues": self.rescues,
+            "spoofing_alerts": dict(self.spoofing_alerts),
+            "interference_blocks": self.interference_blocks,
             # Atmospheric-correction state (solve/iono.py, solve/tropo.py):
             # whether subframe 4 page 18 has been decoded yet.
             "iono_utc_decoded": self._iono_decoded,
