@@ -122,6 +122,7 @@ class SpoofingMonitor:
         self._slide_hist: list[tuple[float, float]] = []  # (t, slide)
         self._last_fix: tuple[float, np.ndarray] | None = None
         self._last_scan_t: float | None = None
+        self._fixed_once = False  # slide history datum is fix-corrected
 
     # -------------------------------------------------------- cheap checks
 
@@ -156,6 +157,14 @@ class SpoofingMonitor:
                 )
 
         if world.receiver_clock_slide is not None:
+            # The FIRST least-squares fix re-bases the slide by the solved
+            # clock bias (~ the SV transit time, tens of ms): the pre-fix
+            # history, whose datum was raw subframe timing, predicts nothing
+            # about the fix-corrected slide. Restart the drift history at
+            # that datum change instead of alarming on it.
+            if not self._fixed_once and report.fix is not None and report.fix.kind == "lsq":
+                self._fixed_once = True
+                self._slide_hist.clear()
             self._slide_hist.append((t, world.receiver_clock_slide))
             del self._slide_hist[: -cfg.clock_history]
             if len(self._slide_hist) >= 6:
