@@ -48,3 +48,32 @@ SECONDS_PER_WEEK: int = 60 * 60 * 24 * 7
 SECONDS_PER_HALF_WEEK: int = SECONDS_PER_WEEK // 2
 
 ONE_MILLISECOND: float = 0.001
+
+# --- GLONASS L1OF (GLONASS ICD L1/L2 edition 5.1) ------------------------------
+# The standard-precision (SP) ranging code is a single 511-chip m-sequence
+# shared by every satellite; satellites are separated in FREQUENCY (FDMA),
+# not by code (ICD §3.3.2.2). The code period is 1 ms — the same as GPS C/A —
+# so one tracking "tick" is 1 ms for both constellations.
+GLONASS_CHIP_COUNT: int = 511
+GLONASS_CHIP_RATE_HZ: float = 0.511e6  # 511 kchip/s (ICD §3.3.2.2)
+# L1 sub-band center: f_k = 1602 MHz + k * 562.5 kHz, k = -7..+6 (ICD §3.3.1.1;
+# k >= +7 was retired in 2005 per the frequency plan).
+GLONASS_L1_BASE_HZ: float = 1602.0e6
+GLONASS_L1_CHANNEL_SPACING_HZ: float = 562.5e3
+GLONASS_FREQUENCY_NUMBERS: tuple[int, ...] = tuple(range(-7, 7))
+# Navigation message: 50 bps data XOR'd with a 100 Hz meander sequence ->
+# 100 symbols/s line code; 85-bit strings every 2 s, the last 0.3 s of each
+# string being a fixed 30-symbol time mark (ICD §4.3).
+GLONASS_SYMBOLS_PER_SECOND: int = 100
+GLONASS_PSEUDOSYMBOLS_PER_SYMBOL: int = 10  # 10 x 1 ms PRN periods per symbol
+GLONASS_STRING_SECONDS: float = 2.0
+GLONASS_STRINGS_PER_FRAME: int = 15
+GLONASS_FRAME_SECONDS: float = 30.0
+
+# --- PZ-90.11 geodetic constants (GLONASS ICD Appendix J) ----------------------
+# PZ-90.11 and WGS84 agree to centimeters; positions are treated as ECEF/WGS84
+# downstream. The orbit integrator (solve/glonass.py) uses these values.
+PZ90_MU: float = 398600.4418e9  # m^3/s^2
+PZ90_EARTH_RADIUS_M: float = 6378136.0
+PZ90_J2: float = 1082.62575e-6  # second zonal harmonic (= -C20)
+PZ90_EARTH_ROTATION_RATE_RAD_PER_S: float = 7.292115e-5

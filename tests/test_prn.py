@@ -133,3 +133,75 @@ def test_mixed_family_replica_table_rows():
         )
     with pytest.raises(ValueError):
         code_table((25, 119))  # 119 is not an allocated L1 C/A PRN
+
+
+# ------------------------------------------------------------------ GLONASS
+
+
+def test_glonass_code_msequence_properties():
+    """The GLONASS SP code is the m-sequence of 1 + x^5 + x^9 (output stage
+    7, all-ones start): period 511, balanced, two-level autocorrelation."""
+    from gypsum_tpu.core.constants import GLONASS_CHIP_COUNT
+    from gypsum_tpu.signal.prn import _glonass_code
+
+    c = _glonass_code()
+    assert c.shape == (GLONASS_CHIP_COUNT,)
+    # All-ones initialization: stage 7 stays 1 for the first 7 chips.
+    assert list(c[:9]) == [1, 1, 1, 1, 1, 1, 1, 0, 0]
+    pm = c.astype(np.int32) * 2 - 1
+    assert pm.sum() == 1  # 256 ones, 255 zeros
+    acf = np.round(np.fft.ifft(np.fft.fft(pm) * np.conj(np.fft.fft(pm))).real)
+    assert acf[0] == 511 and set(acf[1:].astype(int)) == {-1}
+
+
+def test_glonass_code_matches_independent_generator():
+    """Cross-check against scipy's maximal-length-sequence generator for the
+    same primitive polynomial: the sequences must be cyclic shifts of each
+    other (the output tap only sets the phase)."""
+    from scipy.signal import max_len_seq
+
+    from gypsum_tpu.signal.prn import _glonass_code
+
+    ours = _glonass_code().astype(np.int32) * 2 - 1
+    # Our generator uses the GNSS-ICD tap convention (delayed stages XOR'd
+    # into the input — the same _mls structure whose (3,10) taps pass the
+    # published GPS octal watermark); scipy's taps describe the RECIPROCAL
+    # polynomial, so x^9 + x^5 + 1 is scipy taps=[4].
+    theirs = max_len_seq(9, taps=[4])[0].astype(np.int32) * 2 - 1
+    xc = np.fft.ifft(np.fft.fft(ours) * np.conj(np.fft.fft(theirs))).real
+    assert int(np.round(xc.max())) == 511  # perfect alignment at some shift
+
+
+def test_glonass_channel_id_mapping():
+    from gypsum_tpu.signal.prn import (
+        GLONASS_PRN_IDS,
+        glonass_frequency_number,
+        glonass_prn_id,
+    )
+
+    assert [glonass_frequency_number(p) for p in GLONASS_PRN_IDS] == list(range(-7, 7))
+    for k in range(-7, 7):
+        assert glonass_frequency_number(glonass_prn_id(k)) == k
+    with pytest.raises(ValueError):
+        glonass_prn_id(7)
+    with pytest.raises(ValueError):
+        glonass_frequency_number(25)
+
+
+def test_glonass_replica_table_and_family_separation():
+    from gypsum_tpu.signal.prn import GLONASS_PRN_IDS, code_table
+
+    reps = replica_table(4092, GLONASS_PRN_IDS)
+    assert reps.shape == (14, 4092)
+    # Every FDMA channel shares the single SP code.
+    assert all(np.array_equal(reps[0], reps[i]) for i in range(14))
+    np.testing.assert_array_equal(
+        reps[0], sampled_replica(208, 4092, dtype=np.float32).real
+    )
+    # Resampling at ~8.008 samples/chip (511 chips per 4092-sample ms)
+    # matches the direct floor-indexed construction.
+    code = ca_code(208).astype(np.float32) * 2 - 1
+    idx = (np.arange(4092) * 511 // 4092) % 511
+    np.testing.assert_array_equal(reps[0], code[idx])
+    with pytest.raises(ValueError):
+        code_table((25, 208))  # mixed 1023/511-chip families
