@@ -77,6 +77,51 @@ class ConstellationSatellite:
 
 
 @dataclass
+class GlonassSatellite:
+    """A GLONASS L1OF satellite in a GLONASS-band scene (FDMA: the capture's
+    front end is centered at 1602 MHz and each satellite rides its own
+    k * 562.5 kHz sub-band; satellites share the 511-chip SP code).
+
+    The scene timeline stays GPS seconds-of-week; the satellite's own data
+    and code timelines run on GLONASS time (UTC+3h, see solve/glonass.py)
+    plus the scene's ``glonass_time_offset_s`` — the sub-microsecond
+    inter-system offset the receiver must SOLVE, not assume."""
+
+    ephemeris: "object"  # solve.glonass.GlonassEphemeris
+    amplitude: float = 0.2
+    visible_from_s: float | None = None
+    visible_until_s: float | None = None
+
+    @property
+    def prn(self) -> int:
+        from gypsum_tpu.signal.prn import glonass_prn_id
+
+        return glonass_prn_id(self.ephemeris.frequency_number)
+
+
+def _glonass_symbols(
+    sat: "GlonassSatellite", glo_day_start: float, duration_s: float
+) -> tuple[np.ndarray, float]:
+    """(+/-1 100 sps symbol stream, GLONASS-day time of its first symbol)
+    covering the capture with slack. Strings are emitted against the SV's
+    own clock; frame starts sit on 30 s boundaries of the GLONASS day and
+    string 1's tk stamps each frame."""
+    from gypsum_tpu.nav.glonass import encode_frame_symbols, frame_strings_for_ephemeris
+    from gypsum_tpu.solve.glonass import strings_from_glonass_ephemeris
+
+    eph_strings = strings_from_glonass_ephemeris(sat.ephemeris)
+    first_frame = int(np.floor((glo_day_start - 2.0) / 30.0))
+    n_frames = int(np.ceil((duration_s + 6.0) / 30.0)) + 1
+    chunks = []
+    for f in range(first_frame, first_frame + n_frames):
+        frame_start_day_s = (f * 30.0) % 86400.0
+        chunks.append(encode_frame_symbols(
+            frame_strings_for_ephemeris(eph_strings, frame_start_day_s)
+        ))
+    return np.concatenate(chunks).astype(np.float64), first_frame * 30.0
+
+
+@dataclass
 class SbasGeoSatellite:
     """An SBAS GEO in the scene: ranges exactly like a GPS SV (same Gold-code
     family, signal/prn.py) but broadcasts the DO-229 data channel — 500 sps
@@ -305,6 +350,13 @@ def synthesize_constellation(
     receiver_velocity_ecef: np.ndarray | None = None,
     receiver_clock_drift: float = 0.0,
     impairments: "RfImpairments | None" = None,
+    # GLONASS-band scenes (all satellites GlonassSatellite): the residual
+    # GPS->GLONASS time offset beyond the deterministic UTC+3h/leap mapping
+    # (receiver hardware biases + broadcast-level offset, typically well
+    # under a microsecond). The receiver must SOLVE this as its
+    # per-constellation clock unknown; it is never handed over.
+    glonass_time_offset_s: float = 0.0,
+    leap_seconds: int = 18,
     iono=None,  # solve.iono.IonoUtcParams: inject Klobuchar-consistent delay
     # Saastamoinen tropospheric delay: ON by default — real signals always
     # carry it, and the solver's default correction removes it (set False
@@ -346,9 +398,61 @@ def synthesize_constellation(
     chunk = int(round(chunk_seconds * sample_rate))
     rng = np.random.default_rng(seed)
 
+    glonass_band = any(isinstance(s, GlonassSatellite) for s in satellites)
+    if glonass_band and not all(isinstance(s, GlonassSatellite) for s in satellites):
+        raise ValueError(
+            "GLONASS (1602 MHz) and GPS/SBAS (1575.42 MHz) cannot share one "
+            "baseband capture; synthesize the bands separately"
+        )
+
     for sat in satellites:
         code = ca_code(sat.prn).astype(np.float64) * 2.0 - 1.0
-        if isinstance(sat, SbasGeoSatellite):
+        # Per-satellite signal parameters (GPS defaults; GLONASS overrides).
+        chip_rate = CA_CHIP_RATE_HZ
+        chip_count = PRN_CHIP_COUNT
+        f_car = GPS_L1_FREQUENCY_HZ  # passband carrier
+        f_off = 0.0  # FDMA baseband offset (carrier - front-end center)
+        sv_time_shift = 0.0  # t_sv timeline = t + shift - tau + dtsv
+        iono_scale = 1.0
+        if isinstance(sat, GlonassSatellite):
+            from gypsum_tpu.core.constants import (
+                GLONASS_CHIP_COUNT,
+                GLONASS_CHIP_RATE_HZ,
+                GLONASS_L1_BASE_HZ,
+            )
+            from gypsum_tpu.solve.glonass import (
+                glonass_clock_ahead_s,
+                glonass_day_time_from_gps_sow,
+                glonass_satellite_position,
+            )
+
+            eph_g = sat.ephemeris
+            chip_rate = GLONASS_CHIP_RATE_HZ
+            chip_count = GLONASS_CHIP_COUNT
+            f_car = eph_g.carrier_frequency_hz
+            f_off = f_car - GLONASS_L1_BASE_HZ
+            # Klobuchar is referenced to GPS L1; group delay scales as f^-2.
+            iono_scale = (GPS_L1_FREQUENCY_HZ / f_car) ** 2
+            # GLONASS day-time of the scene origin (assumes the capture does
+            # not straddle GLONASS midnight — day wrap unsupported here).
+            glo0 = (
+                glonass_day_time_from_gps_sow(gps_start_time_sow, leap_seconds)
+                + glonass_time_offset_s
+            )
+            sv_time_shift = glo0 - gps_start_time_sow
+            data_vals, data_t0_sv = _glonass_symbols(
+                sat, glo0, duration_s
+            )
+            data_dur = 1.0 / 100.0  # 100 sps bi-binary line code
+
+            def pos_at(t, _e=eph_g, _sh=sv_time_shift):
+                return glonass_satellite_position(_e, np.asarray(t) + _sh)
+
+            def clk_at(t, _e=eph_g, _sh=sv_time_shift):
+                return np.asarray(glonass_clock_ahead_s(_e, np.asarray(t) + _sh))
+
+            tau_guess = 0.075  # MEO at ~19,100 km altitude
+        elif isinstance(sat, SbasGeoSatellite):
             # SBAS data channel: 2 ms FEC symbols, edges at integer SNT
             # seconds (SNT modeled as == GPS time).
             data_vals, data_t0_sv = _sbas_symbols(
@@ -405,7 +509,7 @@ def synthesize_constellation(
             from gypsum_tpu.solve.iono import klobuchar_delay_s
 
             lat_u, lon_u, _ = ecef_to_lla(rx)
-            iono_g = np.array([
+            iono_g = iono_scale * np.array([
                 klobuchar_delay_s(
                     iono, lat_u, lon_u,
                     *elevation_azimuth(rx_g[i], sat_pos[i]), float(grid[i]),
@@ -436,12 +540,17 @@ def synthesize_constellation(
         dtau_dt = float((np.interp(gps_start_time_sow + d_step, grid, tau_g) - tau0) / d_step)
         truth_transit[sat.prn] = tau0
         # Measured baseband Doppler in *stream* time: d/dr of the carrier
-        # phase -f_L1 tau(t(r)) plus the sampler-rate term (the receiver's
-        # fast/slow clock shows up as a common frequency offset).
-        truth_doppler[sat.prn] = -GPS_L1_FREQUENCY_HZ * (
+        # phase f_off r - f_car tau(t(r)) plus the sampler-rate term (the
+        # receiver's fast/slow clock shows up as a common frequency offset).
+        # For GPS f_off = 0 and f_car = f_L1; for GLONASS the FDMA offset
+        # rides on top and the truth value is the full BASEBAND frequency.
+        truth_doppler[sat.prn] = f_off - f_car * (
             dtau_dt * (1.0 - receiver_clock_drift) + receiver_clock_drift
         )
-        t_sv0 = gps_start_time_sow - tau0 + float(np.interp(gps_start_time_sow, grid, dtsv_g))
+        t_sv0 = (
+            gps_start_time_sow + sv_time_shift - tau0
+            + float(np.interp(gps_start_time_sow, grid, dtsv_g))
+        )
         spp = sample_rate / 1000.0
         truth_code_phase[sat.prn] = float((-t_sv0 * sample_rate) % spp)
 
@@ -483,7 +592,7 @@ def synthesize_constellation(
             tau = np.interp(t, grid, tau_code_g) + delay_extra
             tau_ph = np.interp(t, grid, tau_phase_g) + delay_extra
             dtsv = np.interp(t, grid, dtsv_g)
-            t_sv = t - tau + dtsv
+            t_sv = t + sv_time_shift - tau + dtsv
 
             # Integrate-and-dump chip sampling: each output sample averages
             # the +/-1 chip waveform over its sample period, so a chip
@@ -491,13 +600,13 @@ def synthesize_constellation(
             # what preserves *sub-sample* code timing in the capture (naive
             # floor-sampling quantizes the delay to whole samples and no
             # receiver could measure better than +/-0.5 sample from it).
-            chip_pos0 = t_sv * CA_CHIP_RATE_HZ
-            step = CA_CHIP_RATE_HZ / sample_rate
+            chip_pos0 = t_sv * chip_rate
+            step = chip_rate / sample_rate
             chip_pos1 = chip_pos0 + step
             i0 = np.floor(chip_pos0).astype(np.int64)
             i1 = np.floor(chip_pos1).astype(np.int64)
-            c0 = code[i0 % PRN_CHIP_COUNT]
-            c1 = code[i1 % PRN_CHIP_COUNT]
+            c0 = code[i0 % chip_count]
+            c1 = code[i1 % chip_count]
             w = np.clip((chip_pos1 - i1) / step, 0.0, 1.0)
             chips = np.where(i1 > i0, c0 * (1.0 - w) + c1 * w, c0)
             sym_idx = np.floor((t_sv - data_t0_sv) / data_dur).astype(np.int64)
@@ -505,9 +614,10 @@ def synthesize_constellation(
 
             # Baseband phase: keep only the fractional cycle count in f64.
             # The fast oscillator also scales the downconversion LO to
-            # f_L1 (1+d), leaving a common -f_L1 d baseband offset on every
-            # satellite (consistent with the fast sampler above).
-            cycles = -GPS_L1_FREQUENCY_HZ * (tau_ph + receiver_clock_drift * r)
+            # f_center (1+d), leaving a common -f_car d baseband offset on
+            # every satellite (consistent with the fast sampler above); a
+            # GLONASS satellite additionally rides its FDMA offset f_off.
+            cycles = f_off * r - f_car * (tau_ph + receiver_clock_drift * r)
             phase = 2.0 * np.pi * (cycles - np.round(cycles)) + phase_extra
             out[lo:hi] += (
                 sat.amplitude * amp_factor * vis * chips * data * np.exp(1j * phase)

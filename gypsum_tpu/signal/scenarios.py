@@ -106,3 +106,47 @@ def demo_sbas_geo(prn: int = 120, amplitude: float = 0.22):
         a_gf1_ss=0.0,
     )
     return SbasGeoSatellite(prn=prn, geo=geo, amplitude=amplitude, mt9_every=4)
+
+
+# ------------------------------------------------------------------ GLONASS
+
+# Demo GLONASS band: front end centered at 1602 MHz, sampled at 4.092 Msps
+# (one 511-chip / 1 ms code period = 4092 samples; FDMA channels out to
+# k = +/-2 fit inside Nyquist with their full +/-511 kHz main lobes).
+DEMO_GLONASS_SAMPLE_RATE = 4.092e6
+# GLONASS-day time of the scene origin (DEMO_GPS_START_SOW = 21600 ->
+# UTC 05:59:42 -> Moscow 08:59:42 = 32382 s); tb at the next 15-min grid.
+DEMO_GLONASS_TB_DAY_S = 36 * 900.0  # 32400 s, 18 s after scene start
+
+
+def demo_glonass_constellation(
+    frequency_numbers: list[int] | None = None, amplitude: float = 0.22
+):
+    """[GlonassSatellite, ...]: well-spread look geometries from the demo
+    receiver, one FDMA channel each (defaults k = -2..+2)."""
+    from gypsum_tpu.signal.constellation import GlonassSatellite
+    from gypsum_tpu.solve.glonass import glonass_ephemeris_from_look
+
+    ks = frequency_numbers if frequency_numbers is not None else [-2, -1, 0, 1, 2]
+    looks = [  # (elevation, azimuth, heading) spread around the sky
+        (62.0, 35.0, 25.0),
+        (48.0, 140.0, 160.0),
+        (35.0, 215.0, 75.0),
+        (55.0, 305.0, -40.0),
+        (28.0, 85.0, 120.0),
+        (41.0, 255.0, -130.0),
+    ]
+    rx = demo_receiver_ecef()
+    out = []
+    for i, k in enumerate(ks):
+        el, az, heading = looks[i % len(looks)]
+        out.append(GlonassSatellite(
+            ephemeris=glonass_ephemeris_from_look(
+                rx, el, az, frequency_number=k,
+                tb_day_s=DEMO_GLONASS_TB_DAY_S, heading_deg=heading,
+                tau_n_s=(2.0 * i - 4.0) * 1e-5, gamma_n=(i - 2) * 4e-12,
+                slot=i + 1,
+            ),
+            amplitude=amplitude,
+        ))
+    return out
