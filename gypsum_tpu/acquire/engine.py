@@ -82,11 +82,26 @@ class AcquisitionEngine:
         samples_per_prn: int,
         config: AcquisitionConfig | None = None,
         prns: tuple[int, ...] = ALL_PRN_IDS,
+        center_offsets_hz: "tuple[float, ...] | None" = None,
     ) -> None:
+        """``center_offsets_hz``: per-row FDMA sub-band centers (aligned with
+        ``prns``) for frequency-division families — GLONASS channels search
+        +/-doppler_max around k * 562.5 kHz instead of around 0. Requires all
+        rows to share ONE code (true of GLONASS); the whole [channel x
+        Doppler] grid then flattens into a single-code sweep over a
+        concatenated Doppler list, reusing the CDMA kernels unchanged.
+        Reported ``doppler_hz`` stays the ABSOLUTE baseband frequency
+        (offset + Doppler); callers subtract the channel center when seeding
+        a tracker's offset-relative Doppler."""
         self.config = config or AcquisitionConfig()
         self.sample_rate = float(sample_rate)
         self.samples_per_prn = int(samples_per_prn)
         self.prns = tuple(prns)
+        self._center_offsets = None
+        if center_offsets_hz is not None:
+            if len(center_offsets_hz) != len(self.prns):
+                raise ValueError("center_offsets_hz must align with prns")
+            self._center_offsets = np.asarray(center_offsets_hz, dtype=np.float32)
 
         cfg = self.config
         # All closure constants stay as NUMPY arrays: the lowering embeds them
@@ -94,10 +109,19 @@ class AcquisitionEngine:
         # at trace time (which this environment's TPU backend cannot do for
         # every shape).
         reps = replica_table(self.samples_per_prn, self.prns)  # [S, L] float32 +/-1
+        if self._center_offsets is not None and not all(
+            np.array_equal(reps[0], reps[i]) for i in range(len(self.prns))
+        ):
+            raise ValueError(
+                "center_offsets_hz requires all rows to share one code "
+                "(an FDMA family); these PRNs have distinct codes"
+            )
+        # FDMA: one shared code row drives the flattened sweep.
+        sweep_reps = reps[:1] if self._center_offsets is not None else reps
         # Stored as float32 I/Q planes: a complex64 closure constant would be
         # materialized through the complex transfer path this environment's
         # TPU backend lacks (see core/planes.py).
-        self._prn_fft_planes = to_planes(replica_fft_conj_table(reps))
+        self._prn_fft_planes = to_planes(replica_fft_conj_table(sweep_reps))
         if cfg.correlator not in (None, "matmul", "fft"):
             raise ValueError(
                 f"AcquisitionConfig.correlator must be 'matmul', 'fft' or None, "
@@ -116,7 +140,7 @@ class AcquisitionEngine:
             # uploading the prebuilt 256 MB table cost ~3 s on this
             # environment's tunnel and was the whole post-cache cold start.
             self._circulant = jax.jit(build_circulant_table_device)(
-                jnp.asarray(reps)
+                jnp.asarray(sweep_reps)
             )
         self._replica_tiled = np.concatenate([reps, reps], axis=1)  # [32, 2L]
         self._coarse_dopplers = np.arange(
@@ -141,17 +165,31 @@ class AcquisitionEngine:
 
         # ---- Stage 1: coarse non-coherent sweep over the full grid —
         # circulant MXU matmuls on TPU, FFT elsewhere (config.correlator).
+        # FDMA families flatten [channel x Doppler] into one single-code
+        # sweep over the concatenated per-channel grids (see __init__).
+        if self._center_offsets is not None:
+            sweep_dopplers = jnp.asarray(
+                (self._center_offsets[:, None] + self._coarse_dopplers[None, :])
+                .reshape(-1)
+                .astype(np.float32)
+            )
+        else:
+            sweep_dopplers = coarse_dopplers
         if circulant is not None:
             from gypsum_tpu.ops.correlate import noncoherent_acquisition_sweep_matmul
 
             noncoh = noncoherent_acquisition_sweep_matmul(
-                samples_ms, coarse_dopplers, circulant, fs
-            )  # [S, D, L]
+                samples_ms, sweep_dopplers, circulant, fs
+            )  # [S, D, L] (FDMA: [1, K*D, L])
         else:
             prn_fft_conj = to_complex(jnp.asarray(self._prn_fft_planes))  # [S, L]
             noncoh = noncoherent_acquisition_sweep(
-                samples_ms, coarse_dopplers, prn_fft_conj, fs
-            )  # [S, D, L]
+                samples_ms, sweep_dopplers, prn_fft_conj, fs
+            )  # [S, D, L] (FDMA: [1, K*D, L])
+        if self._center_offsets is not None:
+            noncoh = noncoh.reshape(
+                len(self.prns), len(self._coarse_dopplers), length
+            )
         s_count, d_count, _ = noncoh.shape
         use_pallas = self.config.use_pallas_peak_reduce
         if use_pallas is None:
@@ -180,6 +218,9 @@ class AcquisitionEngine:
             )[:, 0, :]  # [S, L]
             strength = peak_strength(best_profiles)  # [S]
         coarse_doppler = coarse_dopplers[best_d_idx]  # [S]
+        if self._center_offsets is not None:
+            # Back to absolute baseband frequency per channel.
+            coarse_doppler = coarse_doppler + jnp.asarray(self._center_offsets)
 
         # ---- Stage 2: coherent fine grid at the detected code phase.
         # Prompt replica for each satellite: roll(r, cp)[l] = tiled[(L-cp)+l].
@@ -306,21 +347,24 @@ def shared_acquisition_engine(
     samples_per_prn: int,
     config: "AcquisitionConfig | None" = None,
     prns: tuple[int, ...] = ALL_PRN_IDS,
+    center_offsets_hz: "tuple[float, ...] | None" = None,
 ) -> AcquisitionEngine:
     prns = tuple(prns)
+    offsets = None if center_offsets_hz is None else tuple(center_offsets_hz)
     key = (
         float(sample_rate),
         int(samples_per_prn),
         config,
         prns,
+        offsets,
         jax.default_backend(),  # correlator selection is backend-dependent
     )
     try:
         eng = _ENGINE_CACHE.get(key)
     except TypeError:  # unhashable config — build uncached
-        return AcquisitionEngine(sample_rate, samples_per_prn, config, prns)
+        return AcquisitionEngine(sample_rate, samples_per_prn, config, prns, offsets)
     if eng is None:
         eng = _ENGINE_CACHE[key] = AcquisitionEngine(
-            sample_rate, samples_per_prn, config, prns
+            sample_rate, samples_per_prn, config, prns, offsets
         )
     return eng

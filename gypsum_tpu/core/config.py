@@ -140,8 +140,12 @@ class TrackingConfig:
     pll_damping_factor: float = 0.7071067811865476  # 1/sqrt(2)
     # DLL gain: code phase (samples) += gain * normalized early-late disc.
     dll_gain_samples: float = 0.05
-    # Advance the code phase by -doppler/f_L1 * samples_per_prn each ms.
+    # Advance the code phase by -doppler/f_carrier * samples_per_prn each ms.
     carrier_aiding: bool = True
+    # Carrier frequency the aiding ratio is computed against. None = GPS L1
+    # (1575.42 MHz); a GLONASS L1OF bank sets 1602 MHz (per-channel FDMA
+    # differences of +/-0.25% are far below the DLL's authority).
+    aiding_carrier_hz: float | None = None
     # Half-width (in samples) of the correlation lag window evaluated around
     # the prompt each millisecond. Replaces the reference's full-length FFT
     # correlation per ms (reference: gypsum/tracker.py:307-313) with a small

@@ -40,11 +40,11 @@ from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
 
 _EPS = 1e-12
 
-# Carry rows in the (N_CARRY, S) init/final/scratch arrays. The last three
-# are block constants (the lag-window center and the phase-1 wipeoff
-# reference state) that ride the carry for convenience.
-(_CP, _TH, _FD, _EERR, _EERR2, _EQ, _STEP, _LOST, _CPI0, _TH0, _FD0) = range(11)
-N_CARRY = 11
+# Carry rows in the (N_CARRY, S) init/final/scratch arrays. The last four
+# are block constants (the lag-window center, the phase-1 wipeoff reference
+# state, and the FDMA carrier offset) that ride the carry for convenience.
+(_CP, _TH, _FD, _EERR, _EERR2, _EQ, _STEP, _LOST, _CPI0, _TH0, _FD0, _OFF) = range(12)
+N_CARRY = 12
 
 # Output rows in the per-ms (N_OUT, S) block (same order as
 # track/loop.py's TrackBlockOutputs fields).
@@ -89,6 +89,11 @@ def _fixup_kernel(
     cpi0 = carry[_CPI0, :][None, :]
     th0 = carry[_TH0, :][None, :]
     fd0 = carry[_FD0, :][None, :]
+    # FDMA carrier offset: its per-ms NCO advance, reduced mod one cycle in
+    # CYCLES before the f32 radian conversion (exact for k * 562.5 kHz
+    # offsets — see track/loop.py step's rationale). Block-constant.
+    off_cycles = carry[_OFF, :][None, :] * t_ms
+    off_frac = off_cycles - jnp.round(off_cycles)
 
     for t in range(group_ms):
         cp = carry[_CP, :][None, :]  # (1, S)
@@ -180,7 +185,9 @@ def _fixup_kernel(
         locked = warmed & (err_var < max_err_var) & (ema_q > min_quality)
         kp = jnp.where(locked, kp_locked, kp_pullin)
         ki = jnp.where(locked, ki_locked, ki_pullin)
-        new_th = jnp.mod(th + two_pi * fd * t_ms + kp * pll_err, two_pi)
+        new_th = jnp.mod(
+            th + two_pi * (fd * t_ms + off_frac) + kp * pll_err, two_pi
+        )
         new_fd = fd + ki * pll_err
 
         watchdog_armed = n > float(watchdog_warmup_ms)
@@ -217,6 +224,7 @@ def _fixup_kernel(
         new_carry = jnp.where(crow == _CPI0, cpi0, new_carry)
         new_carry = jnp.where(crow == _TH0, th0, new_carry)
         new_carry = jnp.where(crow == _FD0, fd0, new_carry)
+        new_carry = jnp.where(crow == _OFF, carry[_OFF, :][None, :], new_carry)
         carry[:, :] = new_carry
 
     fin_ref[:, :] = carry[:, :]
@@ -258,7 +266,10 @@ def make_fixup_fn(
 
     kp_l, ki_l = gains(cfg.pll_bandwidth_locked_hz)
     kp_p, ki_p = gains(cfg.pll_bandwidth_pullin_hz)
-    aiding = (length / GPS_L1_FREQUENCY_HZ) if cfg.carrier_aiding else 0.0
+    aiding = (
+        (length / (cfg.aiding_carrier_hz or GPS_L1_FREQUENCY_HZ))
+        if cfg.carrier_aiding else 0.0
+    )
     cfg_consts = (
         kp_l, ki_l, kp_p, ki_p,
         1.0 / cfg.lock_window_ms, 1.0 / cfg.quality_window_ms,

@@ -34,7 +34,11 @@ from pathlib import Path
 #       store, solve/sbas_corrections.py); _SatelliteRecord gained
 #       ``orbit_version`` + the per-record position/clock memo fields;
 #       SolverConfig gained the SBAS-correction and geometry-reseed knobs.
-CHECKPOINT_VERSION = 7
+#   7 — WorldModel gained assisted-GNSS state (``assist_time_origin_sow``).
+#   8 — TrackState (bank_state) gained ``carrier_offset`` (GLONASS FDMA
+#       sub-band offsets); a v7 bank_state would unpickle into the wrong
+#       NamedTuple shape, so the gate rejects it.
+CHECKPOINT_VERSION = 8
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:

@@ -51,6 +51,11 @@ class TrackState(NamedTuple):
     code_phase: jax.Array  # f32, fractional samples in [0, L)
     carrier_phase: jax.Array  # f32, NCO phase mod 2*pi
     doppler: jax.Array  # f32 Hz
+    # Static per-channel carrier frequency offset (Hz) joined to the wipeoff
+    # and NCO advance but NOT to carrier aiding or the PLL state: the FDMA
+    # sub-band offset of a GLONASS channel (k * 562.5 kHz), zero for
+    # CDMA (GPS/SBAS) channels. Set at assignment, constant while tracking.
+    carrier_offset: jax.Array  # f32 Hz
     ema_err: jax.Array  # f32 — EMA of the Costas error
     ema_err_sq: jax.Array  # f32 — EMA of its square (for variance)
     ema_quality: jax.Array  # f32 — EMA of (I^2-Q^2)/(I^2+Q^2)
@@ -96,6 +101,7 @@ def fresh_state(n_channels: int) -> TrackState:
         code_phase=z,
         carrier_phase=z.copy(),
         doppler=z.copy(),
+        carrier_offset=z.copy(),
         ema_err=z.copy(),
         ema_err_sq=z.copy(),
         ema_quality=z.copy(),
@@ -192,7 +198,8 @@ def _build_track_block_fn(
     # Code-phase advance per ms implied by carrier Doppler (carrier aiding):
     # the received code rate scales by (1 + fd/fL1), so the code arrives
     # earlier by fd/fL1 * L samples each ms.
-    aiding_scale = (length / GPS_L1_FREQUENCY_HZ) if cfg.carrier_aiding else 0.0
+    f_aid = cfg.aiding_carrier_hz or GPS_L1_FREQUENCY_HZ
+    aiding_scale = (length / f_aid) if cfg.carrier_aiding else 0.0
 
     # numpy closure constant (a captured device array would need a
     # device->host copy at lowering time).
@@ -221,15 +228,16 @@ def _build_track_block_fn(
         margin = cfg.lag_window_block_margin
     else:
         # Doppler-aided code drift at +/-7 kHz over one block + DLL slack.
-        aiding_drift = 7000.0 / GPS_L1_FREQUENCY_HZ * length * cfg.block_size_ms
+        aiding_drift = 7000.0 / f_aid * length * cfg.block_size_ms
         margin = int(np.ceil(aiding_drift)) + 8
     k_eff = k_half + margin
     n_lags_eff = 2 * k_eff + 1
 
     def correlate_xla(replicas_wide, state, chunk_2d, base):
-        # --- carrier wipeoff: x = chunk * e^{-j(theta + 2 pi f l / fs)}
+        # --- carrier wipeoff: x = chunk * e^{-j(theta + 2 pi (f + f_off) l / fs)}
         phase = state.carrier_phase[:, None] + (
-            2.0 * jnp.pi * state.doppler[:, None] * jnp.asarray(l_over_fs)[None, :]
+            2.0 * jnp.pi * (state.doppler + state.carrier_offset)[:, None]
+            * jnp.asarray(l_over_fs)[None, :]
         )  # [S, L]
         wipe = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
         x = chunk_2d * wipe  # [S, L] ([1, L] chunks broadcast)
@@ -242,7 +250,12 @@ def _build_track_block_fn(
 
         chunk = chunk_2d[0]  # the per-ms kernel supports one shared stream
         params = jnp.stack(
-            [state.carrier_phase, state.doppler, base.astype(jnp.float32)], axis=-1
+            [
+                state.carrier_phase,
+                state.doppler + state.carrier_offset,  # wipeoff frequency
+                base.astype(jnp.float32),
+            ],
+            axis=-1,
         )  # [S, 3]
         planes = wipeoff_lag_correlate_pallas(
             jnp.stack([jnp.real(chunk), jnp.imag(chunk)]),
@@ -278,7 +291,8 @@ def _build_track_block_fn(
             # chunk_2d: [1, L] (shared stream, broadcasts) or [S, L] (one
             # stream per channel — the farm path).
             phase = state.carrier_phase[:, None] + (
-                2.0 * jnp.pi * state.doppler[:, None] * jnp.asarray(l_over_fs)[None, :]
+                2.0 * jnp.pi * (state.doppler + state.carrier_offset)[:, None]
+                * jnp.asarray(l_over_fs)[None, :]
             )  # [S, L]
             c, s = jnp.cos(phase), jnp.sin(phase)
             cr_ = jnp.real(chunk_2d)
@@ -367,11 +381,20 @@ def _build_track_block_fn(
 
         kp = jnp.where(locked, kp_locked, kp_pullin)
         ki = jnp.where(locked, ki_locked, ki_pullin)
-        # NCO advance for the elapsed chunk (using the Doppler the chunk was
-        # wiped with), then the loop correction.
+        # NCO advance for the elapsed chunk (using the frequency the chunk
+        # was wiped with), then the loop correction. The FDMA offset's
+        # contribution is reduced mod one cycle BEFORE the f32 radian
+        # conversion: offset * t_ms is exactly representable (k * 562.5
+        # cycles) while 2 pi * that is not, and the resulting rounding bias
+        # would otherwise masquerade as a ~0.1 Hz Doppler error.
         two_pi = 2.0 * jnp.pi
+        off_cycles = state.carrier_offset * t_ms
+        off_frac = off_cycles - jnp.round(off_cycles)
         carrier_phase = jnp.mod(
-            state.carrier_phase + two_pi * state.doppler * t_ms + kp * pll_err, two_pi
+            state.carrier_phase
+            + two_pi * (state.doppler * t_ms + off_frac)
+            + kp * pll_err,
+            two_pi,
         )
         doppler = state.doppler + ki * pll_err
 
@@ -384,6 +407,7 @@ def _build_track_block_fn(
             code_phase=code_phase,
             carrier_phase=carrier_phase,
             doppler=doppler,
+            carrier_offset=state.carrier_offset,
             ema_err=ema_err,
             ema_err_sq=ema_err_sq,
             ema_quality=ema_quality_raw,
@@ -534,10 +558,14 @@ def _make_block_kernel_wrapper(cfg, length, fs, n_channels, input_offset=0.0):
             ]
         )  # [N_CARRY, S]
         fin, outs = inner(rows, samples_block, replicas_wide)
+        # NOTE: the legacy block kernel predates FDMA carrier offsets and
+        # ignores them (TrackerBank.assign rejects nonzero offsets when this
+        # path is forced); the offset column rides through unchanged.
         new_state = TrackState(
             code_phase=fin[pt._CP, :][:, None],
             carrier_phase=fin[pt._TH, :][:, None],
             doppler=fin[pt._FD, :][:, None],
+            carrier_offset=state.carrier_offset[:, None],
             ema_err=fin[pt._EERR, :][:, None],
             ema_err_sq=fin[pt._EERR2, :][:, None],
             ema_quality=fin[pt._EQ, :][:, None],
@@ -649,9 +677,19 @@ class TrackerBank:
         doppler_hz: float,
         code_phase_samples: float,
         carrier_phase_rad: float,
+        carrier_offset_hz: float = 0.0,
     ) -> int:
         """Bind a free slot to a newly acquired satellite; returns the slot.
-        State lives on the host (numpy), so this is a plain array edit."""
+        State lives on the host (numpy), so this is a plain array edit.
+
+        ``carrier_offset_hz``: static sub-band offset for FDMA signals
+        (GLONASS: k * 562.5 kHz); ``doppler_hz`` stays the Doppler RELATIVE
+        to that offset."""
+        if carrier_offset_hz and self.config.use_pallas_block_tracker is True:
+            raise ValueError(
+                "the legacy Pallas block tracker does not support FDMA "
+                "carrier offsets; use the matmul or scan tracker"
+            )
         self.sync_host_state()
         try:
             slot = self.slot_prn.index(None)
@@ -662,6 +700,7 @@ class TrackerBank:
         s.code_phase[slot] = code_phase_samples % self.samples_per_prn
         s.carrier_phase[slot] = carrier_phase_rad % (2 * np.pi)
         s.doppler[slot] = doppler_hz
+        s.carrier_offset[slot] = carrier_offset_hz
         s.ema_err[slot] = 0.0
         s.ema_err_sq[slot] = 0.0
         s.ema_quality[slot] = 0.0
@@ -673,6 +712,7 @@ class TrackerBank:
         self.sync_host_state()
         self.slot_prn[slot] = None
         self.state.lost[slot] = False
+        self.state.carrier_offset[slot] = 0.0
         self._last_rescue_time[slot] = -np.inf
         self.rescue_counts[slot] = 0
 

@@ -94,14 +94,15 @@ def make_matmul_track_block_fn(
     kp_pullin, ki_pullin = gains(cfg.pll_bandwidth_pullin_hz)
     lam_err = 1.0 / cfg.lock_window_ms
     lam_q = 1.0 / cfg.quality_window_ms
-    aiding_scale = (length / GPS_L1_FREQUENCY_HZ) if cfg.carrier_aiding else 0.0
+    f_aid = cfg.aiding_carrier_hz or GPS_L1_FREQUENCY_HZ
+    aiding_scale = (length / f_aid) if cfg.carrier_aiding else 0.0
 
     if cfg.lag_window_block_margin is not None:
         margin = cfg.lag_window_block_margin
     else:
         # Window centered on the predicted mid-block code phase: half the
         # worst-case Doppler-aided drift over the block + DLL slack.
-        drift = 7000.0 / GPS_L1_FREQUENCY_HZ * length * cfg.block_size_ms
+        drift = 7000.0 / f_aid * length * cfg.block_size_ms
         margin = int(np.ceil(drift / 2.0)) + 8
     k_eff = k_half + margin
     n_lags_eff = 2 * k_eff + 1
@@ -142,9 +143,13 @@ def make_matmul_track_block_fn(
         Returns (corr_r, corr_i): [S, B, n_lags_eff] f32.
         """
         # Fold the block-start wipeoff phasor into the replica side:
-        # W[s, l, j] = rows[s, j, l] * e^{-j(theta0 + 2 pi f0 l / fs)}.
+        # W[s, l, j] = rows[s, j, l] * e^{-j(theta0 + 2 pi (f0 + f_off) l / fs)}.
+        # The FDMA offset joins the wipeoff ramp; since it is constant over
+        # the block, the fixup's rotation alpha (built from theta/f DELTAS)
+        # is unchanged.
         phase0 = state.carrier_phase[:, None] + (
-            2.0 * jnp.pi * state.doppler[:, None] * jnp.asarray(l_over_fs)[None, :]
+            2.0 * jnp.pi * (state.doppler + state.carrier_offset)[:, None]
+            * jnp.asarray(l_over_fs)[None, :]
         )  # [S, L]
         c0, s0 = jnp.cos(phase0), jnp.sin(phase0)
         rows_lj = jnp.swapaxes(rows, 1, 2)  # [S, L, NLE]
@@ -251,8 +256,15 @@ def make_matmul_track_block_fn(
         kp = jnp.where(locked, kp_locked, kp_pullin)
         ki = jnp.where(locked, ki_locked, ki_pullin)
         two_pi = 2.0 * jnp.pi
+        # FDMA offset advance reduced mod one cycle pre-f32-radians (see
+        # track/loop.py's step for the rounding-bias rationale).
+        off_cycles = state.carrier_offset * t_ms
+        off_frac = off_cycles - jnp.round(off_cycles)
         carrier_phase = jnp.mod(
-            state.carrier_phase + two_pi * state.doppler * t_ms + kp * pll_err, two_pi
+            state.carrier_phase
+            + two_pi * (state.doppler * t_ms + off_frac)
+            + kp * pll_err,
+            two_pi,
         )
         doppler = state.doppler + ki * pll_err
 
@@ -265,6 +277,7 @@ def make_matmul_track_block_fn(
             code_phase=code_phase,
             carrier_phase=carrier_phase,
             doppler=doppler,
+            carrier_offset=state.carrier_offset,
             ema_err=ema_err,
             ema_err_sq=ema_err_sq,
             ema_quality=ema_quality_raw,
@@ -323,6 +336,7 @@ def make_matmul_track_block_fn(
                 cpi0.astype(jnp.float32),
                 theta0.astype(jnp.float32),
                 f0.astype(jnp.float32),
+                state.carrier_offset.astype(jnp.float32),
             ]
         )  # [N_CARRY, S]
         fin, outs = pallas_fixup_fn(init, corr_bs[0], corr_bs[1])
@@ -330,6 +344,7 @@ def make_matmul_track_block_fn(
             code_phase=fin[pf._CP, :],
             carrier_phase=fin[pf._TH, :],
             doppler=fin[pf._FD, :],
+            carrier_offset=state.carrier_offset,
             ema_err=fin[pf._EERR, :],
             ema_err_sq=fin[pf._EERR2, :],
             ema_quality=fin[pf._EQ, :],
