@@ -41,6 +41,47 @@ def _add_file_source_args(p: argparse.ArgumentParser) -> None:
 
 
 PROCESSING_RATE = 2.046e6  # all signal processing runs at 2x the chip rate
+# GLONASS L1OF band processing rate: 4092 samples per 1 ms code period keeps
+# FDMA channels out to k = +/-2 inside Nyquist (signal/scenarios.py).
+GLONASS_PROCESSING_RATE = 4.092e6
+
+
+def _open_glonass_source(path: str, sample_rate: float | None):
+    """The GLONASS band front end: .npy (or sidecar-described raw) capture
+    at the GLONASS processing rate (decimated down to it if higher)."""
+    import pathlib
+
+    from gypsum_tpu.io.sources import (
+        ArraySampleSource,
+        DecimatingSampleSource,
+        FileSampleSource,
+        RecordingInfo,
+    )
+
+    if path.endswith(".npy"):
+        rate = sample_rate
+        if rate is None:
+            sidecar = pathlib.Path(path + ".json")
+            rate = (
+                float(json.loads(sidecar.read_text())["sample_rate"])
+                if sidecar.exists()
+                else GLONASS_PROCESSING_RATE
+            )
+        source = ArraySampleSource(np.load(path), rate)
+    else:
+        info = (
+            RecordingInfo(path=pathlib.Path(path), sample_rate=sample_rate)
+            if sample_rate
+            else RecordingInfo.from_sidecar(path)
+        )
+        source = FileSampleSource(info)
+    if abs(source.attributes.sample_rate - GLONASS_PROCESSING_RATE) > 1e-6:
+        _logger.info(
+            "decimating %.0f Hz GLONASS capture to %.0f Hz",
+            source.attributes.sample_rate, GLONASS_PROCESSING_RATE,
+        )
+        source = DecimatingSampleSource(source, GLONASS_PROCESSING_RATE)
+    return source
 
 
 def _open_source(args):
@@ -110,7 +151,11 @@ def cmd_replay(args) -> int:
     from gypsum_tpu.core.config import DEFAULT_CONFIG
     from gypsum_tpu.runtime.receiver import Receiver
 
-    source = _open_source(args)
+    glonass_file = getattr(args, "glonass_file", None)
+    if not args.file and not getattr(args, "rtlsdr", False) and glonass_file:
+        source = None  # GLONASS-only replay
+    else:
+        source = _open_source(args)
     config = DEFAULT_CONFIG
     if args.block_ms:
         config = config.replace(tracking=config.tracking.__class__(block_size_ms=args.block_ms))
@@ -119,7 +164,27 @@ def cmd_replay(args) -> int:
         from gypsum_tpu.signal.prn import ALL_PRN_IDS, SBAS_PRN_IDS
 
         prns = sorted(set(prns or ALL_PRN_IDS) | set(SBAS_PRN_IDS))
-    receiver = Receiver(source, config, eligible_prns=prns)
+    dual = None
+    if glonass_file and source is not None:
+        from gypsum_tpu.runtime.receiver import DualBandReceiver
+
+        dual = DualBandReceiver(
+            source,
+            _open_glonass_source(glonass_file, getattr(args, "glonass_rate", None)),
+            config,
+            eligible_prns=prns,
+        )
+        receiver = dual.gps  # listeners/narration ride the fix-owning band
+        _logger.info("dual-band replay: GPS %s + GLONASS %s", args.file, glonass_file)
+    elif glonass_file:
+        receiver = Receiver(
+            _open_glonass_source(glonass_file, getattr(args, "glonass_rate", None)),
+            config, band="glonass",
+        )
+        source = receiver.source
+        _logger.info("GLONASS-only replay: %s", glonass_file)
+    else:
+        receiver = Receiver(source, config, eligible_prns=prns)
 
     if getattr(args, "assist_nav", None):
         # Assisted start: broadcast ephemerides from a RINEX NAV file (ours
@@ -194,6 +259,11 @@ def cmd_replay(args) -> int:
             if blk.message_type == 9:  # GEO navigation (1-line/s otherwise)
                 print(f"[{report.block_start:8.1f}s] SBAS PRN {prn} MT9 "
                       f"GEO navigation @ {blk.leading_edge_timestamp:.3f}s")
+        for prn, ev in report.glonass_strings:
+            if ev.string.m <= 4:  # the ephemeris strings (2 s cadence otherwise)
+                print(f"[{report.block_start:8.1f}s] GLONASS k={prn - 208:+d} "
+                      f"string {ev.string.m} @ "
+                      f"{ev.trailing_edge_receiver_timestamp:.3f}s")
         if report.fix is not None:
             f = report.fix
             vel = ""
@@ -210,13 +280,22 @@ def cmd_replay(args) -> int:
                 pl = (f" hpl={f.protection['hpl_m']:.0f}m"
                       f" vpl={f.protection['vpl_m']:.0f}m")
             dgps = f" sbas-corrected={list(f.sbas_corrected)}" if f.sbas_corrected else ""
+            isb = (
+                f" isb={f.inter_system_bias_s * 1e9:+.1f}ns"
+                if f.inter_system_bias_s is not None
+                else ""
+            )
             print(f"[{report.block_end:8.1f}s] {tag} lat={f.lat_deg:.6f} lon={f.lon_deg:.6f} "
-                  f"alt={f.alt_m:.0f}m bias={f.clock_bias_s * 1e6:.2f}us{vel}{pl} "
+                  f"alt={f.alt_m:.0f}m bias={f.clock_bias_s * 1e6:.2f}us{vel}{pl}{isb} "
                   f"sats={f.satellites_used}{dgps}")
 
     receiver.add_block_listener(narrate)
+    if dual is not None:
+        dual.glonass.add_block_listener(narrate)
+        if args.checkpoint:
+            raise SystemExit("--checkpoint does not support dual-band replays yet")
     try:
-        receiver.run(max_seconds=args.duration, until_fix=args.until_fix)
+        (dual or receiver).run(max_seconds=args.duration, until_fix=args.until_fix)
     finally:
         if args.checkpoint:
             from gypsum_tpu.runtime.checkpoint import save_checkpoint
@@ -388,13 +467,18 @@ def cmd_synth(args) -> int:
             cw_freq_hz=args.cw_freq,
             cw_chirp_hz_per_s=args.cw_chirp,
         )
+    start_sow = args.start_sow if args.start_sow is not None else DEMO_GPS_START_SOW
+    if args.glonass_out and args.start_sow is None:
+        # A GLONASS frame boundary at t=0 (strings 1-4 in the first 8 s):
+        # GPS SOW 21618 maps to GLONASS day time 32400, a 30 s multiple.
+        start_sow = 21618.0
     sats = demo_constellation(prns)
     if args.sbas:
         from gypsum_tpu.signal.scenarios import demo_sbas_geo
 
         sats.append(demo_sbas_geo(args.sbas))
     iq, truth = synthesize_constellation(
-        sats, rx, DEMO_GPS_START_SOW, args.duration,
+        sats, rx, start_sow, args.duration,
         args.rate, noise_sigma=args.noise, receiver_velocity_ecef=velocity,
         tropo=not args.no_tropo, impairments=impairments,
     )
@@ -425,7 +509,7 @@ def cmd_synth(args) -> int:
         east, north, up = enu_basis(rx)
         iq2, _ = synthesize_constellation(
             sats, rx + de * east + dn * north + du * up,
-            DEMO_GPS_START_SOW + args.rover_clock_offset,
+            start_sow + args.rover_clock_offset,
             args.duration, args.rate, noise_sigma=args.noise,
             receiver_velocity_ecef=velocity, tropo=not args.no_tropo,
             impairments=impairments,
@@ -438,6 +522,36 @@ def cmd_synth(args) -> int:
                    f" drift {args.rover_clock_drift:g})")
         print(f"wrote rover capture {args.rover_out} at ENU offset "
               f"({de}, {dn}, {du}) m{clk}")
+    if args.glonass_out:
+        # The same scene's GLONASS L1OF band (a second front end at
+        # 1602 MHz): FDMA channels from the demo look set, plus a residual
+        # inter-system time offset the receiver must SOLVE (the dual-band
+        # fix's isb output).
+        from gypsum_tpu.signal.scenarios import demo_glonass_constellation
+
+        ks = (
+            [int(k) for k in args.glonass_ks]
+            if args.glonass_ks
+            else [-2, -1, 0, 1, 2]
+        )
+        glo_iq, glo_truth = synthesize_constellation(
+            demo_glonass_constellation(ks), rx, start_sow, args.duration,
+            args.glonass_rate, noise_sigma=args.noise,
+            receiver_velocity_ecef=velocity, tropo=not args.no_tropo,
+            glonass_time_offset_s=args.glonass_time_offset,
+        )
+        if args.glonass_out.endswith(".npy"):
+            np.save(args.glonass_out, glo_iq)
+        else:
+            inter = np.empty(2 * len(glo_iq), dtype=np.float32)
+            inter[0::2] = glo_iq.real
+            inter[1::2] = glo_iq.imag
+            inter.tofile(args.glonass_out)
+        with open(args.glonass_out + ".json", "w") as f:
+            json.dump({"sample_rate": args.glonass_rate, "dtype": "float32"}, f)
+        print(f"wrote GLONASS band {args.glonass_out}: {args.duration}s @ "
+              f"{args.glonass_rate:.0f} Hz, channels k={ks}, inter-system "
+              f"offset {args.glonass_time_offset * 1e9:.0f} ns")
     print(f"wrote {args.out}: {args.duration}s @ {args.rate:.0f} Hz, "
           f"PRNs {[s for s in truth.doppler_hz]}")
     for prn in truth.doppler_hz:
@@ -641,6 +755,13 @@ def main(argv=None) -> int:
                    "(the reference always cold-starts, SURVEY.md §5)")
     p.add_argument("--rinex-obs", default=None, metavar="PATH",
                    help="export observables (C1C/L1C/D1C/S1C) as RINEX 3.04")
+    p.add_argument("--glonass-file", default=None, metavar="PATH",
+                   help="GLONASS L1OF band capture (second front end at "
+                   "1602 MHz): with --file, a dual-constellation replay "
+                   "whose fix solves the GPS-GLONASS inter-system bias; "
+                   "alone, a GLONASS-only replay")
+    p.add_argument("--glonass-rate", type=float, default=None,
+                   help="GLONASS capture sample rate (else sidecar; 4.092e6 for .npy)")
     p.add_argument("--rinex-nav", default=None, metavar="PATH",
                    help="export decoded broadcast ephemerides as RINEX 3.04 NAV")
     p.set_defaults(fn=cmd_replay)
@@ -706,6 +827,20 @@ def main(argv=None) -> int:
                    help="rover sampling starts this many seconds later in GPS "
                         "time (independent clock; pair with `rtk "
                         "--independent-clocks`)")
+    p.add_argument("--start-sow", type=float, default=None,
+                   help="GPS seconds-of-week of the scene start (default "
+                   "21600; --glonass-out defaults to 21618 so a GLONASS "
+                   "frame boundary lands at t=0)")
+    p.add_argument("--glonass-out", default=None, metavar="PATH",
+                   help="also write the scene's GLONASS L1OF band (a second "
+                   "front end at 1602 MHz) to this path")
+    p.add_argument("--glonass-ks", nargs="*", default=None,
+                   help="GLONASS FDMA frequency numbers to put on air "
+                   "(default -2 -1 0 1 2)")
+    p.add_argument("--glonass-rate", type=float, default=4.092e6)
+    p.add_argument("--glonass-time-offset", type=float, default=8e-7,
+                   help="residual GPS->GLONASS time offset (s) the dual-band "
+                   "receiver must solve (default 800 ns)")
     p.add_argument("--rover-clock-drift", type=float, default=0.0,
                    help="rover fractional oscillator frequency error "
                         "(e.g. 2e-8)")

@@ -287,6 +287,11 @@ class SolverConfig:
     # Week-number disambiguation base (reference: gypsum/config.py:16).
     gps_epoch_base_week_number: int = 2048
     utc_leap_seconds: int = 27
+    # GPS-UTC leap count for the GLONASS time-scale mapping (GLONASS time =
+    # UTC + 3 h; GPS = UTC + leap). Distinct from the reference-parity
+    # ``utc_leap_seconds`` display knob above: this one enters the
+    # GLONASS string-edge time anchoring (solve/world.py).
+    leap_seconds: int = 18
     # Iteration counts (reference: gypsum/world_model.py:404,540,606,684).
     kepler_iterations: int = 10
     newton_iterations: int = 20

@@ -65,6 +65,10 @@ class _ChannelPipeline:
     decoder: SubframeDecoder | None
     acquired_at: float = 0.0
     sbas: "object | None" = None  # nav.sbas.SbasFrameDecoder
+    # GLONASS channels (ids 201-214) carry the string decoder instead; the
+    # tracking slot underneath is identical (1 ms code period either way).
+    glonass: "object | None" = None  # nav.glonass.GlonassStringDecoder
+    carrier_offset_hz: float = 0.0  # FDMA sub-band offset of this channel
 
 
 @dataclass
@@ -90,6 +94,7 @@ class BlockReport:
     reseeded_prns: list[int] = field(default_factory=list)
     subframes: list[tuple[int, EmitSubframeEvent]] = field(default_factory=list)
     sbas_blocks: list = field(default_factory=list)  # [(prn, nav.sbas.SbasBlock)]
+    glonass_strings: list = field(default_factory=list)  # [(id, GlonassStringEvent)]
     fix: ReceiverSolution | None = None
     observations: list[ChannelObservation] = field(default_factory=list)
     # Alerts raised by the spoofing monitors this block (solve/spoofing.py).
@@ -102,23 +107,74 @@ class Receiver:
         source: SampleSource,
         config: ReceiverConfig | None = None,
         eligible_prns: list[int] | None = None,
+        band: str = "gps",
+        world: WorldModel | None = None,
+        attempt_fixes: bool = True,
     ) -> None:
+        """``band``: "gps" (L1 C/A + SBAS family, the default) or "glonass"
+        (the L1OF FDMA band at 1602 MHz — its own source, acquisition
+        centers, tracker carrier offsets, and string-decode pipeline).
+
+        ``world``: share a WorldModel across receivers (DualBandReceiver
+        runs one Receiver per band into one world model and one fix);
+        ``attempt_fixes=False`` makes this receiver contribute observations
+        without racing the owner's fix attempts."""
+        if band not in ("gps", "glonass"):
+            raise ValueError(f"unknown band {band!r} (gps | glonass)")
         self.config = config or ReceiverConfig()
+        self.band = band
         self.source = source
         attrs = source.attributes
         self.sample_rate = attrs.sample_rate
         self.samples_per_prn = attrs.samples_per_prn
+        self._attempt_fixes = attempt_fixes
 
-        # The searched/tracked PRN family: the 32 GPS SVs, widened to include
-        # any SBAS (or other registered C/A-family) PRNs the caller asks for.
-        requested = set(eligible_prns or ALL_PRN_IDS)
-        extra = requested - set(ALL_PRN_IDS)
-        self.prn_family: tuple[int, ...] = (
-            tuple(sorted(set(ALL_PRN_IDS) | extra)) if extra else ALL_PRN_IDS
-        )
+        tracking_cfg = self.config.tracking
+        acq_offsets = None
+        if band == "glonass":
+            import dataclasses
+
+            from gypsum_tpu.core.constants import (
+                GLONASS_L1_BASE_HZ,
+                GLONASS_L1_CHANNEL_SPACING_HZ,
+            )
+            from gypsum_tpu.signal.prn import (
+                GLONASS_PRN_IDS,
+                glonass_frequency_number,
+            )
+
+            requested = set(eligible_prns or GLONASS_PRN_IDS)
+            bad = requested - set(GLONASS_PRN_IDS)
+            if bad:
+                raise ValueError(f"not GLONASS channel ids (201..214): {sorted(bad)}")
+            self.prn_family = GLONASS_PRN_IDS
+            acq_offsets = tuple(
+                float(glonass_frequency_number(p) * GLONASS_L1_CHANNEL_SPACING_HZ)
+                for p in self.prn_family
+            )
+            self._channel_offset_hz = dict(zip(self.prn_family, acq_offsets))
+            self._channel_carrier_hz = {
+                p: GLONASS_L1_BASE_HZ + off
+                for p, off in self._channel_offset_hz.items()
+            }
+            if tracking_cfg.aiding_carrier_hz is None:
+                tracking_cfg = dataclasses.replace(
+                    tracking_cfg, aiding_carrier_hz=GLONASS_L1_BASE_HZ
+                )
+        else:
+            # The searched/tracked PRN family: the 32 GPS SVs, widened to
+            # include any SBAS (or other registered C/A-family) PRNs the
+            # caller asks for.
+            requested = set(eligible_prns or ALL_PRN_IDS)
+            extra = requested - set(ALL_PRN_IDS)
+            self.prn_family: tuple[int, ...] = (
+                tuple(sorted(set(ALL_PRN_IDS) | extra)) if extra else ALL_PRN_IDS
+            )
+            self._channel_offset_hz = {}
+            self._channel_carrier_hz = {}
         self.acquisition = shared_acquisition_engine(
             self.sample_rate, self.samples_per_prn, self.config.acquisition,
-            prns=self.prn_family,
+            prns=self.prn_family, center_offsets_hz=acq_offsets,
         )
         # Integer captures ship raw words to the device and dequantize
         # in-graph (core/planes.py:dequantize_planes) — 4x less host->device
@@ -128,12 +184,12 @@ class Receiver:
         self.bank = TrackerBank(
             self.sample_rate,
             self.samples_per_prn,
-            self.config.tracking,
+            tracking_cfg,
             n_channels=self.config.max_channels,
             input_offset=self._input_offset,
             prns=self.prn_family,
         )
-        self.world = WorldModel(self.config.solver)
+        self.world = world if world is not None else WorldModel(self.config.solver)
         # Spoofing monitors (solve/spoofing.py): detection-only watchdogs.
         self.spoofing = None
         if self.config.spoofing.enabled:
@@ -141,7 +197,7 @@ class Receiver:
 
             self.spoofing = SpoofingMonitor(self.config.spoofing)
         # reference: gypsum/receiver.py:61-64.
-        self.eligible_prns: set[int] = set(eligible_prns or ALL_PRN_IDS)
+        self.eligible_prns: set[int] = set(requested)
         self.pipelines: dict[int, _ChannelPipeline] = {}
         self._last_scan_time: float | None = None
         self.block_reports: list[BlockReport] = []
@@ -324,8 +380,10 @@ class Receiver:
 
         # --- position fix attempt (reference: gypsum/receiver.py:137) at
         # the PROCESSED block's end (the world model's tick counters are
-        # only advanced this far).
-        report.fix = self.world.attempt_position_fix(t0 + n_ms * 1e-3)
+        # only advanced this far). Secondary band receivers sharing a world
+        # model leave the attempt to the owner (attempt_fixes=False).
+        if self._attempt_fixes:
+            report.fix = self.world.attempt_position_fix(t0 + n_ms * 1e-3)
 
         if self.spoofing is not None:
             alerts = self.spoofing.observe_block(self.world, report)
@@ -373,13 +431,25 @@ class Receiver:
         for hit in hits:
             if not self.bank.free_slots:
                 break
+            # FDMA channels: the engine reports the ABSOLUTE baseband
+            # frequency; the tracker's Doppler state is offset-relative.
+            offset = self._channel_offset_hz.get(hit.prn, 0.0)
             slot = self.bank.assign(
                 prn=hit.prn,
-                doppler_hz=hit.doppler_hz,
+                doppler_hz=hit.doppler_hz - offset,
                 code_phase_samples=hit.code_phase_samples,
                 carrier_phase_rad=hit.carrier_phase_rad,
+                carrier_offset_hz=offset,
             )
-            if hit.prn >= 100:
+            if self.band == "glonass":
+                from gypsum_tpu.nav.glonass import GlonassStringDecoder
+
+                self.pipelines[hit.prn] = _ChannelPipeline(
+                    prn=hit.prn, slot=slot, integrator=None, decoder=None,
+                    acquired_at=block_start, glonass=GlonassStringDecoder(),
+                    carrier_offset_hz=offset,
+                )
+            elif hit.prn >= 100:
                 from gypsum_tpu.nav.sbas import SbasFrameDecoder
 
                 self.pipelines[hit.prn] = _ChannelPipeline(
@@ -407,6 +477,9 @@ class Receiver:
         self, obs: ChannelObservation, block_start: float, block_ms: int, report: BlockReport
     ) -> None:
         pipe = self.pipelines[obs.prn]
+        if pipe.glonass is not None:
+            self._process_glonass_channel(obs, block_start, block_ms, report, pipe)
+            return
         if pipe.sbas is not None:
             self._process_sbas_channel(obs, block_start, block_ms, report, pipe)
             return
@@ -505,7 +578,9 @@ class Receiver:
             return None
         return float((pinned[-1] + dth[-1] - pinned[0]) / two_pi)
 
-    def _block_end_observables(self, obs: ChannelObservation) -> tuple[float, float]:
+    def _block_end_observables(
+        self, obs: ChannelObservation, carrier_hz: float | None = None
+    ) -> tuple[float, float]:
         """Block-end (code-phase delay s, carrier Doppler Hz) for pseudoranges.
 
         The sub-sample *measured* code phase feeds pseudoranges (1 sample of
@@ -520,7 +595,8 @@ class Receiver:
 
         spp = float(self.samples_per_prn)
         cm = np.asarray(obs.code_phases_measured, dtype=np.float64)
-        steps = (spp / GPS_L1_FREQUENCY_HZ) * np.asarray(obs.dopplers, np.float64)
+        f_car = carrier_hz or GPS_L1_FREQUENCY_HZ
+        steps = (spp / f_car) * np.asarray(obs.dopplers, np.float64)
         # suffix[t] = sum(steps[t : -1]) — the drift between ms t and the
         # block's final millisecond (cp advances by -steps_t per ms).
         suffix = np.concatenate([np.cumsum(steps[:-1][::-1])[::-1], [0.0]])
@@ -532,6 +608,68 @@ class Receiver:
         w = (w - cm[-1] + spp / 2.0) % spp - spp / 2.0
         cp_block_end = (cm[-1] + float(np.median(w))) % spp
         return cp_block_end / self.sample_rate, float(obs.dopplers[-1])
+
+    def _process_glonass_channel(
+        self,
+        obs: ChannelObservation,
+        block_start: float,
+        block_ms: int,
+        report: BlockReport,
+        pipe: _ChannelPipeline,
+    ) -> None:
+        """GLONASS channel: same tracking observables and tick accounting as
+        GPS, but the decode stack is the string decoder (nav/glonass.py) and
+        a KX-verified string's trailing edge — on the 2 s GLONASS grid —
+        plays the subframe edge's role in the time base
+        (solve/world.py:handle_glonass_string)."""
+        from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
+        from gypsum_tpu.signal.prn import glonass_frequency_number
+
+        events = pipe.glonass.process_block(
+            obs.pseudosymbol_signs.astype(np.float64), obs.start_times
+        )
+        f_car = self._channel_carrier_hz.get(obs.prn)
+        cp_delay, doppler = self._block_end_observables(obs, carrier_hz=f_car)
+        # TDCP phase advance deliberately omitted: the NCO replay law
+        # changes under an FDMA offset; GLONASS rows use the Doppler
+        # velocity fallback (with their own wavelength, solve/velocity.py).
+        self.world.handle_channel_block(
+            obs.prn, cp_delay, doppler, block_ms,
+            cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
+            carrier_hz=f_car,
+        )
+        k = glonass_frequency_number(obs.prn)
+        consumed = 0
+        for ev in events:  # emitted in edge order
+            t_edge = ev.trailing_edge_receiver_timestamp
+            k_raw = int(np.floor((t_edge - block_start) / 1e-3))
+            # The decoder needs ~2.3 s buffered past a string before it can
+            # emit it, so an edge may precede this block: those ticks were
+            # counted against the old anchor — hand them to the reset.
+            late_ticks = max(0, -k_raw)
+            k_done = max(0, min(k_raw, block_ms))
+            if k_done > consumed:
+                self.world.handle_prn_observed(
+                    obs.prn, cp_delay, count=k_done - consumed, doppler_hz=doppler
+                )
+                consumed = k_done
+            self.world.handle_glonass_string(
+                obs.prn, ev, frequency_number=k, initial_ticks=late_ticks
+            )
+            self.subframe_count += 1
+            report.glonass_strings.append((obs.prn, ev))
+        if block_ms > consumed:
+            self.world.handle_prn_observed(
+                obs.prn, cp_delay, count=block_ms - consumed, doppler_hz=doppler
+            )
+        if obs.lost:
+            self._drop_satellite(obs.prn, report)
+        elif self.bank.maybe_rescue(obs, block_start + block_ms * 1e-3):
+            report.rescued_prns.append(obs.prn)
+            _logger.info(
+                "rescued marginal GLONASS channel k=%+d in place (quality %.2f)",
+                k, float(obs.quality[-1]),
+            )
 
     def _process_sbas_channel(
         self,
@@ -591,3 +729,73 @@ class Receiver:
         self.eligible_prns.add(prn)
         report.dropped_prns.append(prn)
         _logger.info("dropped PRN %d (lost lock); returned to acquisition pool", prn)
+
+
+class DualBandReceiver:
+    """Two front ends, one navigation solution: a GPS L1 C/A receiver and a
+    GLONASS L1OF receiver stepping in lockstep over time-aligned captures,
+    feeding a SHARED WorldModel whose dual-constellation solve estimates the
+    inter-system clock bias (solve/world.py:_compute_position_dual).
+
+    The reference is single-band single-constellation by construction; real
+    dual-band hardware has two tuners on one clock, which is exactly the
+    model here (both streams' sample timestamps share the receiver's
+    timeline). Block cadence is in milliseconds, so the bands stay in step
+    at different sample rates as long as their block_size_ms agree.
+    """
+
+    def __init__(
+        self,
+        gps_source: SampleSource,
+        glonass_source: SampleSource,
+        config: ReceiverConfig | None = None,
+        glonass_config: ReceiverConfig | None = None,
+        eligible_prns: list[int] | None = None,
+    ) -> None:
+        self.config = config or ReceiverConfig()
+        self.world = WorldModel(self.config.solver)
+        # The GLONASS band contributes observations; the GPS receiver owns
+        # the fix attempt (after BOTH bands' ticks advanced — see run()).
+        self.glonass = Receiver(
+            glonass_source, glonass_config or config, band="glonass",
+            world=self.world, attempt_fixes=False,
+        )
+        self.gps = Receiver(
+            gps_source, config, eligible_prns=eligible_prns, world=self.world,
+        )
+        if (
+            self.gps.config.tracking.block_size_ms
+            != self.glonass.config.tracking.block_size_ms
+        ):
+            raise ValueError("both bands must use the same block_size_ms")
+
+    def step_block(self) -> BlockReport:
+        """One block of both bands; the returned report is the GPS band's
+        (carrying the fix) with the GLONASS band's strings merged in."""
+        glo_report = self.glonass.step_block()
+        report = self.gps.step_block()
+        report.glonass_strings.extend(glo_report.glonass_strings)
+        report.tracked_prns.extend(glo_report.tracked_prns)
+        return report
+
+    def run(
+        self, max_seconds: float | None = None, until_fix: bool = False
+    ) -> list[BlockReport]:
+        start = self.gps.stream_position_s
+        while True:
+            if (
+                max_seconds is not None
+                and self.gps.stream_position_s - start >= max_seconds
+            ):
+                break
+            try:
+                report = self.step_block()
+            except NoMoreSamplesError:
+                break
+            if until_fix and report.fix is not None:
+                break
+        while self.glonass.bank.pending_blocks:
+            self.glonass._drain_one()
+        while self.gps.bank.pending_blocks:
+            self.gps._drain_one()
+        return self.gps.block_reports

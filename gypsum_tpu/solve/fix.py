@@ -48,6 +48,59 @@ def solve_position(
     return pos, bias
 
 
+def solve_position_multi(
+    sat_positions: np.ndarray,  # [N, 3] ECEF meters
+    pseudo_transit_times: np.ndarray,  # [N] seconds (includes receiver bias)
+    system_of: np.ndarray,  # [N] int — constellation index 0..K-1 per row
+    initial_position: np.ndarray | None = None,
+    initial_biases: np.ndarray | None = None,
+    iterations: int = 20,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-constellation solve: (receiver_ecef [3], clock_biases [K]).
+
+    Each constellation gets its own receiver clock unknown — the standard
+    GPS+GLONASS formulation, where the inter-system bias (hardware delays +
+    the sub-microsecond GGTO-like time offset) is ESTIMATED, never assumed.
+    Needs >= 3 + K measurements with every system represented; K = 1 reduces
+    exactly to :func:`solve_position`.
+    """
+    sats = np.asarray(sat_positions, dtype=np.float64)
+    times = np.asarray(pseudo_transit_times, dtype=np.float64)
+    sys_idx = np.asarray(system_of, dtype=np.int64)
+    k = int(sys_idx.max()) + 1 if len(sys_idx) else 0
+    if sats.shape[0] < 3 + k:
+        raise ValueError(
+            f"need >= {3 + k} satellites for {k} constellations, got {sats.shape[0]}"
+        )
+    if set(np.unique(sys_idx)) != set(range(k)):
+        raise ValueError("every constellation index 0..K-1 must appear")
+    onehot = np.eye(k)[sys_idx]  # [N, K]
+
+    pos = (
+        np.zeros(3)
+        if initial_position is None
+        else np.asarray(initial_position, dtype=np.float64).copy()
+    )
+    biases = (
+        np.zeros(k)
+        if initial_biases is None
+        else np.asarray(initial_biases, dtype=np.float64).copy()
+    )
+    for _ in range(iterations):
+        diff = pos[None, :] - sats  # [N, 3]
+        ranges_sq = np.sum(diff * diff, axis=1)
+        b_row = onehot @ biases  # [N]
+        light = C * (times - b_row)
+        residuals = ranges_sq - light * light
+        jacobian = np.concatenate(
+            [2.0 * diff, (2.0 * C * C * (times - b_row))[:, None] * onehot], axis=1
+        )  # [N, 3 + K]
+        step, *_ = np.linalg.lstsq(jacobian, -residuals, rcond=None)
+        pos += step[:3]
+        biases += step[3:]
+    return pos, biases
+
+
 def dilution_of_precision(
     sat_positions: np.ndarray, receiver_ecef: np.ndarray
 ) -> dict[str, float]:

@@ -126,6 +126,10 @@ class SpoofingMonitor:
 
     # -------------------------------------------------------- cheap checks
 
+    def _finish(self, out: list[SpoofingAlert]) -> list[SpoofingAlert]:
+        self.alerts.extend(out)
+        return out
+
     def observe_block(self, world, report) -> list[SpoofingAlert]:
         """Per-block bookkeeping checks (C/N0 steps, clock innovation,
         position jumps). Cheap: a few scalars per channel."""
@@ -157,14 +161,17 @@ class SpoofingMonitor:
                 )
 
         if world.receiver_clock_slide is not None:
-            # The FIRST least-squares fix re-bases the slide by the solved
-            # clock bias (~ the SV transit time, tens of ms): the pre-fix
-            # history, whose datum was raw subframe timing, predicts nothing
-            # about the fix-corrected slide. Restart the drift history at
-            # that datum change instead of alarming on it.
-            if not self._fixed_once and report.fix is not None and report.fix.kind == "lsq":
-                self._fixed_once = True
-                self._slide_hist.clear()
+            # The slide's datum is only stable AFTER the first least-squares
+            # fix: before it, every decoded subframe re-bases the slide by
+            # its own satellite's transit time (ms-scale, and across BANDS
+            # in a dual-constellation receiver), so pre-fix innovations say
+            # nothing about spoofing. The monitor arms at the first fix.
+            if not self._fixed_once:
+                if report.fix is not None and report.fix.kind == "lsq":
+                    self._fixed_once = True
+                    self._slide_hist.clear()
+                else:
+                    return self._finish(out)
             self._slide_hist.append((t, world.receiver_clock_slide))
             del self._slide_hist[: -cfg.clock_history]
             if len(self._slide_hist) >= 6:

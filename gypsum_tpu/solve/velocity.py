@@ -54,8 +54,12 @@ def solve_velocity(
     sat_velocities: np.ndarray,  # [N, 3] ECEF m/s
     receiver_ecef: np.ndarray,  # [3] m (from the position fix)
     dopplers_hz: np.ndarray,  # [N] measured carrier Doppler
+    wavelengths_m: np.ndarray | None = None,  # [N]; None = GPS L1 everywhere
 ) -> tuple[np.ndarray, float]:
-    """Least-squares (v_rx [3] m/s, clock_drift s/s) from >= 4 Dopplers."""
+    """Least-squares (v_rx [3] m/s, clock_drift s/s) from >= 4 Dopplers.
+
+    ``wavelengths_m`` supports mixed constellations (a GLONASS channel's
+    Doppler is measured at its own FDMA carrier, ~1602 MHz)."""
     sat_positions = np.asarray(sat_positions, dtype=np.float64)
     sat_velocities = np.asarray(sat_velocities, dtype=np.float64)
     dopplers_hz = np.asarray(dopplers_hz, dtype=np.float64)
@@ -67,7 +71,12 @@ def solve_velocity(
     e = los / np.linalg.norm(los, axis=1, keepdims=True)  # [N, 3]
 
     a = np.concatenate([e, -np.ones((n, 1))], axis=1)  # [N, 4]
-    y = np.einsum("ij,ij->i", e, sat_velocities) + WAVELENGTH_M * dopplers_hz
+    lam = (
+        np.full(n, WAVELENGTH_M)
+        if wavelengths_m is None
+        else np.asarray(wavelengths_m, dtype=np.float64)
+    )
+    y = np.einsum("ij,ij->i", e, sat_velocities) + lam * dopplers_hz
     x, *_ = np.linalg.lstsq(a, y, rcond=None)
     v_rx = x[:3]
     clock_drift = x[3] / SPEED_OF_LIGHT_M_PER_S
@@ -80,6 +89,7 @@ def solve_tdcp(
     receiver_ecef: np.ndarray,  # [3] position at the fix (end of interval)
     delta_phase_cycles: np.ndarray,  # [N] NCO phase advance over the interval
     dt_s: float,
+    wavelengths_m: np.ndarray | None = None,  # [N]; None = GPS L1 everywhere
 ) -> tuple[np.ndarray, float]:
     """Time-differenced carrier phase (TDCP): receiver displacement over one
     tracking block from the carrier's own cycle count — one to two orders of
@@ -108,8 +118,13 @@ def solve_tdcp(
     r1 = np.linalg.norm(sat_pos_t1 - x0[None, :], axis=1)
     e = (sat_pos_t1 - x0[None, :]) / r1[:, None]
 
+    lam = (
+        np.full(n, WAVELENGTH_M)
+        if wavelengths_m is None
+        else np.asarray(wavelengths_m, dtype=np.float64)
+    )
     y = (
-        -WAVELENGTH_M * np.asarray(delta_phase_cycles, dtype=np.float64)
+        -lam * np.asarray(delta_phase_cycles, dtype=np.float64)
         + SPEED_OF_LIGHT_M_PER_S * np.asarray(sv_clock_delta_s, dtype=np.float64)
         - (r1 - r0)
     )

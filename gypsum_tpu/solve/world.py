@@ -123,6 +123,10 @@ class ReceiverSolution:
     # GPS SVs whose pseudoranges carried an SBAS fast correction
     # (solve/sbas_corrections.py) in this solve.
     sbas_corrected: tuple[int, ...] = ()
+    # Dual-constellation solves: the receiver's GLONASS clock bias minus its
+    # GPS clock bias (hardware inter-channel delays + the residual
+    # GPS-GLONASS time offset). None for single-constellation fixes.
+    inter_system_bias_s: float | None = None
 
 
 @dataclass(frozen=True)
@@ -142,6 +146,23 @@ class _SatelliteRecord:
     # SBAS GEO channels (PRNs 120-138) carry their orbit as an MT9 ECEF
     # polynomial instead of Keplerian subframes (nav/sbas.py).
     geo: "object | None" = None  # GeoNavigationMessage
+    # GLONASS channels (ids 201-214) carry theirs as a state vector
+    # integrated in the rotating frame (solve/glonass.py). ``sv_tow``
+    # values for these records live in the GPS-comparable frame; the
+    # deterministic UTC+3h/leap mapping converts back to the GLONASS day
+    # for orbit/clock evaluation (the sub-us residual inter-system offset
+    # rides the pseudoranges and is solved as the per-constellation bias).
+    glonass: "object | None" = None  # GlonassEphemeris
+    leap_seconds: int = 18
+    # Per-channel carrier frequency for carrier-smoothing / code-drift
+    # projection (None = GPS L1; GLONASS channels set their FDMA carrier).
+    carrier_hz: float | None = None
+    # GLONASS frame context: tk of the last string-1 frame + the receiver
+    # time of that string's trailing edge, and the pending strings 1-4
+    # ([m] -> (GlonassString, edge_rx)) for ephemeris assembly.
+    glo_tk: float | None = None
+    glo_tk_edge_rx: float | None = None
+    glo_pending: dict = field(default_factory=dict)
     # Time base
     tow_at_last_subframe: float | None = None  # s of week (next-subframe edge)
     prn_ticks_since_subframe: int = 0
@@ -179,7 +200,16 @@ class _SatelliteRecord:
 
     @property
     def has_orbit(self) -> bool:
-        return self.ephemeris is not None or self.geo is not None
+        return (
+            self.ephemeris is not None
+            or self.geo is not None
+            or self.glonass is not None
+        )
+
+    def _glonass_day(self, sv_tow: float) -> float:
+        from gypsum_tpu.solve.glonass import glonass_day_time_from_gps_sow
+
+        return glonass_day_time_from_gps_sow(sv_tow, self.leap_seconds)
 
     def sv_position(self, sv_tow: float, kepler_iterations: int) -> np.ndarray:
         key = (sv_tow, kepler_iterations, self.orbit_version)
@@ -189,6 +219,10 @@ class _SatelliteRecord:
             pos = satellite_position(
                 self.ephemeris, sv_tow, kepler_iterations=kepler_iterations
             )
+        elif self.glonass is not None:
+            from gypsum_tpu.solve.glonass import glonass_satellite_position
+
+            pos = glonass_satellite_position(self.glonass, self._glonass_day(sv_tow))
         else:
             pos = self.geo.position_velocity(sv_tow % 86400.0)[0]
         self._pos_cache = (key, pos)
@@ -201,6 +235,10 @@ class _SatelliteRecord:
             return satellite_velocity(
                 self.ephemeris, sv_tow, kepler_iterations=kepler_iterations
             )
+        if self.glonass is not None:
+            from gypsum_tpu.solve.glonass import glonass_satellite_velocity
+
+            return glonass_satellite_velocity(self.glonass, self._glonass_day(sv_tow))
         return self.geo.position_velocity(sv_tow % 86400.0)[1]
 
     def sv_clock_correction(self, t: float, iterations: int) -> float:
@@ -209,6 +247,10 @@ class _SatelliteRecord:
             return self._clk_cache[1]
         if self.ephemeris is not None:
             val = float(clock_correction(self.ephemeris, t, iterations=iterations))
+        elif self.glonass is not None:
+            from gypsum_tpu.solve.glonass import glonass_clock_ahead_s
+
+            val = float(glonass_clock_ahead_s(self.glonass, self._glonass_day(t)))
         else:
             val = float(self.geo.clock_correction_s(t % 86400.0))
         self._clk_cache = (key, val)
@@ -221,6 +263,11 @@ class WorldModel:
         self._sats: dict[int, _SatelliteRecord] = {}
         self.receiver_clock_slide: float | None = None
         self.position_fixes: list[ReceiverSolution] = []
+        # Persistent GLONASS-vs-GPS receiver clock bias estimate (s): each
+        # dual-constellation solve refines it; _measurement_set subtracts it
+        # from GLONASS rows so downstream consumers (EKF, snapshot) see
+        # corrected pseudoranges. (Joined the pickled state in v8.)
+        self.glonass_bias_s: float = 0.0
         # Coarse time assistance (assisted-GNSS): GPS seconds-of-week of
         # stream t=0, accurate to ~a minute (e.g. network time). With assist
         # ephemerides this publishes coarse-time snapshot fixes BEFORE any
@@ -282,6 +329,7 @@ class WorldModel:
         block_ms: int,
         cn0_dbhz: float | None = None,
         phase_advance_cycles: float | None = None,
+        carrier_hz: float | None = None,
     ) -> None:
         """Once-per-block channel observables: updates the carrier-smoothed
         pseudorange (and the channel's C/N0, which weights its pseudorange
@@ -292,6 +340,8 @@ class WorldModel:
         rec = self._record(prn)
         if cn0_dbhz is not None:
             rec.cn0_dbhz = cn0_dbhz
+        if carrier_hz is not None:
+            rec.carrier_hz = carrier_hz
         rec.tdcp_cycles = phase_advance_cycles
         rec.tdcp_dt_s = block_ms * 1e-3
         self._update_carrier_smoothing(rec, code_phase_delay_s, block_ms, doppler_hz)
@@ -310,7 +360,8 @@ class WorldModel:
             rec.smoothing_depth = 1
             return
         dt = count * 1e-3
-        predicted = rec.smoothed_delay_s - (doppler_hz / GPS_L1_FREQUENCY_HZ) * dt
+        f_car = rec.carrier_hz or GPS_L1_FREQUENCY_HZ
+        predicted = rec.smoothed_delay_s - (doppler_hz / f_car) * dt
         # The raw measurement lives mod 1 ms but the maintained delay is
         # CONTINUOUS (it may walk past +/-0.5 ms — its millisecond is pinned
         # to the tick anchor, handle_subframe_emitted). Wrapping the
@@ -463,6 +514,95 @@ class WorldModel:
         )
         rec.smoothed_delay_s = ((seed + 0.5e-3) % 1e-3) - 0.5e-3
         rec.smoothing_depth = max(rec.smoothing_depth, 1)
+        return events
+
+    def handle_glonass_string(
+        self, prn: int, event, frequency_number: int, initial_ticks: int = 0
+    ) -> list[Event]:
+        """A KX-verified GLONASS navigation string (nav/glonass.py
+        GlonassStringEvent) plays the GPS subframe's role for channel
+        ``prn`` (201-214): its trailing edge sits on the 2 s GLONASS-time
+        grid, anchoring the PRN-tick time base, and strings 1-4 of one frame
+        assemble the broadcast state-vector ephemeris.
+
+        Timing: string 1 carries tk (the frame start within the GLONASS
+        day), so its trailing edge is at tk + 2 exactly; later strings are
+        anchored by ROUNDING the receiver-measured elapsed time since that
+        edge onto the 2 s grid (receiver clocks are parts-in-1e7 — the
+        grid snap is unambiguous for hours). The GPS-frame sv time uses the
+        deterministic UTC+3h/leap mapping; in a dual-constellation receiver
+        the sub-us residual offset is solved as the per-constellation clock
+        bias, and for a GLONASS-only receiver the GPS frame is simply a
+        consistent internal timeline (the absolute week is unknowable
+        without GPS, and cancels)."""
+        from gypsum_tpu.solve.glonass import (
+            glonass_ephemeris_from_strings,
+            gps_sow_from_glonass_day_time,
+        )
+
+        rec = self._record(prn)
+        rec.leap_seconds = self.config.leap_seconds
+        s = event.string
+        edge_rx = event.trailing_edge_receiver_timestamp
+        events: list[Event] = []
+
+        if s.m == 1:
+            rec.glo_tk = s.tk_seconds
+            rec.glo_tk_edge_rx = edge_rx
+            rec.glo_pending = {1: (s, edge_rx)}
+        elif 2 <= s.m <= 4:
+            rec.glo_pending[s.m] = (s, edge_rx)
+            # Assemble once 1-4 are present and from one frame (<= 8 s span).
+            if all(m in rec.glo_pending for m in (1, 2, 3, 4)):
+                edges = [rec.glo_pending[m][1] for m in (1, 2, 3, 4)]
+                if max(edges) - min(edges) < 8.5:
+                    was = rec.glonass
+                    rec.glonass = glonass_ephemeris_from_strings(
+                        *(rec.glo_pending[m][0] for m in (1, 2, 3, 4)),
+                        frequency_number=frequency_number,
+                    )
+                    rec.orbit_version += 1
+                    if was is None:
+                        _logger.info(
+                            "determined orbit of GLONASS k=%+d (slot %d, tb %.0f)",
+                            frequency_number, rec.glonass.slot, rec.glonass.tb_day_s,
+                        )
+                        events.append(
+                            DeterminedSatelliteOrbitEvent(prn=prn, ephemeris=None)
+                        )
+                rec.glo_pending = {
+                    m: v for m, v in rec.glo_pending.items() if m == 1
+                }
+
+        if rec.glo_tk is None:
+            return events  # cannot anchor time until a string 1 arrives
+
+        # Edge instant on the 2 s GLONASS grid, then into the GPS frame.
+        elapsed = edge_rx - rec.glo_tk_edge_rx
+        edge_glo_day = rec.glo_tk + 2.0 + 2.0 * round(elapsed / 2.0)
+        approx = (
+            self.receiver_clock_slide + edge_rx
+            if self.receiver_clock_slide is not None
+            else edge_glo_day  # GLONASS-only: pick a consistent frame
+        )
+        tow = gps_sow_from_glonass_day_time(
+            edge_glo_day, approx, self.config.leap_seconds
+        )
+        rec.tow_at_last_subframe = tow
+        rec.prn_ticks_since_subframe = int(initial_ticks)
+        rec.counting = True
+        seed = (
+            rec.smoothed_delay_s
+            if rec.smoothed_delay_s is not None
+            else rec.code_phase_delay_s
+        )
+        rec.smoothed_delay_s = ((seed + 0.5e-3) % 1e-3) - 0.5e-3
+        rec.smoothing_depth = max(rec.smoothing_depth, 1)
+        # Never let a GLONASS edge re-base a GPS-derived clock slide (the
+        # two differ by the unsolved inter-system offset); set it only when
+        # no slide exists at all (GLONASS-only operation).
+        if self.receiver_clock_slide is None:
+            self.receiver_clock_slide = tow - edge_rx
         return events
 
     def seed_time_base_from_geometry(self, prn: int, receiver_timestamp: float) -> bool:
@@ -835,6 +975,11 @@ class WorldModel:
                 delay = ((rec.code_phase_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
             arrival = receiver_timestamp + delay
             transit[i] = (self.receiver_clock_slide + arrival) - sv_tow
+            # GLONASS rows: remove the current inter-system bias estimate
+            # (refined by each dual-constellation solve) so single-bias
+            # consumers see GPS-frame-consistent pseudoranges.
+            if rec.glonass is not None:
+                transit[i] -= self.glonass_bias_s
             sat_pos[i] = rec.sv_position(
                 sv_tow, kepler_iterations=cfg.kepler_iterations
             )
@@ -857,7 +1002,14 @@ class WorldModel:
                 if cfg.apply_iono_correction and self.iono_utc is not None:
                     from gypsum_tpu.solve.iono import klobuchar_delay_s
 
-                    transit[i] -= klobuchar_delay_s(
+                    # Klobuchar is referenced to GPS L1; the dispersive
+                    # delay scales as f^-2 for a GLONASS carrier.
+                    iono_f_scale = 1.0
+                    if rec.glonass is not None:
+                        iono_f_scale = (
+                            GPS_L1_FREQUENCY_HZ / rec.glonass.carrier_frequency_hz
+                        ) ** 2
+                    transit[i] -= iono_f_scale * klobuchar_delay_s(
                         self.iono_utc, lat_u, lon_u, el, az,
                         self.receiver_clock_slide + receiver_timestamp,
                     )
@@ -877,6 +1029,12 @@ class WorldModel:
 
     def _compute_position(self, receiver_timestamp: float, prns: list[int]) -> ReceiverSolution:
         cfg = self.config
+        glonass = [p for p in prns if self._sats[p].glonass is not None]
+        if glonass and len(glonass) < len(prns):
+            return self._compute_position_dual(receiver_timestamp, prns)
+        # Single-constellation epoch (all-GPS/SBAS or all-GLONASS): one
+        # clock unknown; the integer-ms repair machinery applies unchanged
+        # (both code periods are 1 ms).
         pos = np.zeros(3)
         bias = 0.0
         for _ in range(cfg.outer_rounds):
@@ -933,6 +1091,88 @@ class WorldModel:
         if self.config.ekf_enabled:
             self._ekf_shadow(receiver_timestamp, prns, solution)
         return solution
+
+    def _compute_position_dual(
+        self, receiver_timestamp: float, prns: list[int]
+    ) -> ReceiverSolution | None:
+        """Mixed GPS(+SBAS) / GLONASS epoch: 5-unknown solve with one clock
+        bias per constellation (solve/fix.py:solve_position_multi). The
+        integer-millisecond repair machinery is single-bias and does not run
+        here; a grossly inconsistent mixed set is reported, not repaired
+        (the single-constellation epochs around it carry the repair)."""
+        from gypsum_tpu.solve.fix import solve_position_multi
+
+        cfg = self.config
+        system_of = np.array(
+            [1 if self._sats[p].glonass is not None else 0 for p in prns]
+        )
+        if len(prns) < 5:
+            return None  # 5 unknowns
+        pos = np.zeros(3)
+        biases = np.zeros(2)
+        for _ in range(cfg.outer_rounds):
+            # _measurement_set already subtracts the STORED inter-system
+            # bias from GLONASS rows, so each round solves residuals.
+            sat_pos, transit = self._measurement_set(receiver_timestamp, prns, pos)
+            pos, biases = solve_position_multi(
+                sat_pos, transit, system_of,
+                initial_position=pos, initial_biases=None,
+                iterations=cfg.newton_iterations,
+            )
+            # Fold the GPS bias into the (GPS-anchored) clock slide and the
+            # GLONASS-vs-GPS part into the persistent inter-system estimate
+            # — the EKF and later epochs then consume corrected
+            # pseudoranges (its single clock state models GPS only).
+            self.receiver_clock_slide -= biases[0]
+            self.glonass_bias_s += float(biases[1] - biases[0])
+        onehot_b = biases[system_of]
+        ranges = np.linalg.norm(sat_pos - pos[None, :], axis=1)
+        r = C * (transit - onehot_b) - ranges
+        r -= r.mean()
+        rms = float(np.sqrt(np.mean(r * r)))
+        if rms > 1000.0:
+            _logger.warning(
+                "dual-constellation pseudorange set inconsistent (residual "
+                "RMS %.0f m); publishing anyway (ms-repair is per-system)",
+                rms,
+            )
+        lat, lon, alt = ecef_to_lla(pos)
+        velocity, drift = self._solve_velocity(prns, pos, sat_pos)
+        dop = dilution_of_precision(sat_pos, pos)
+        from gypsum_tpu.solve.integrity import protection_levels
+
+        sigmas = np.array([self._sigma_for(p, now=receiver_timestamp) for p in prns])
+        protection = protection_levels(sat_pos, pos, sigmas)
+        solution = ReceiverSolution(
+            clock_bias_s=float(biases[0]),
+            ecef=pos,
+            lat_deg=lat,
+            lon_deg=lon,
+            alt_m=alt,
+            satellites_used=tuple(prns),
+            receiver_timestamp=receiver_timestamp,
+            velocity_ecef_mps=velocity,
+            clock_drift_s_per_s=drift,
+            dop=dop,
+            protection=protection,
+            inter_system_bias_s=self.glonass_bias_s,
+        )
+        self.position_fixes.append(solution)
+        if self.config.ekf_enabled:
+            self._ekf_shadow(receiver_timestamp, prns, solution)
+        return solution
+
+    def _wavelengths_for(self, prns: list[int]) -> np.ndarray:
+        lams = np.empty(len(prns))
+        for i, p in enumerate(prns):
+            rec = self._sats[p]
+            f = (
+                rec.glonass.carrier_frequency_hz
+                if rec.glonass is not None
+                else GPS_L1_FREQUENCY_HZ
+            )
+            lams[i] = C / f
+        return lams
 
     def _sigma_for(self, prn: int, now: float | None = None) -> float:
         """Per-satellite 1-sigma pseudorange error for integrity weighting:
@@ -1361,7 +1601,10 @@ class WorldModel:
                             sv_tow, iterations=4
                         ) - rec.sv_clock_correction(sv_tow - dt, iterations=4)
                         dphi[j] = rec.tdcp_cycles
-                    v, drift = solve_tdcp(pos_t0, pos_t1, dclk, rx_ecef, dphi, dt)
+                    v, drift = solve_tdcp(
+                        pos_t0, pos_t1, dclk, rx_ecef, dphi, dt,
+                        wavelengths_m=self._wavelengths_for([prns[i] for i in usable]),
+                    )
                     return v, drift
 
         usable = [
@@ -1379,5 +1622,8 @@ class WorldModel:
                 sv_tow, kepler_iterations=self.config.kepler_iterations
             )
             dopp[j] = rec.doppler_hz
-        v, drift = solve_velocity(sat_pos, sat_vel, rx_ecef, dopp)
+        v, drift = solve_velocity(
+            sat_pos, sat_vel, rx_ecef, dopp,
+            wavelengths_m=self._wavelengths_for([prns[i] for i in usable]),
+        )
         return v, drift

@@ -1,0 +1,94 @@
+"""GLONASS receiver end-to-end: GLONASS-only and dual-constellation fixes."""
+
+import numpy as np
+import pytest
+
+from gypsum_tpu.core.config import ReceiverConfig
+from gypsum_tpu.io.sources import ArraySampleSource
+from gypsum_tpu.runtime.receiver import DualBandReceiver, Receiver
+from gypsum_tpu.signal.constellation import synthesize_constellation
+from gypsum_tpu.signal.scenarios import (
+    DEMO_GLONASS_SAMPLE_RATE as GLO_FS,
+    demo_constellation,
+    demo_glonass_constellation,
+    demo_receiver_ecef,
+)
+
+GPS_FS = 2.046e6
+# Scene start chosen so a GLONASS frame boundary lands at t=0 (GPS SOW
+# 21618 -> GLONASS day time 32400 = a 30 s multiple): strings 1-4 arrive in
+# the first 8 s and the first GLONASS fix lands ~t=9 s.
+START_SOW = 21618.0
+RX = demo_receiver_ecef()
+GLO_OFFSET_S = 8e-7  # injected inter-system time offset (unknown to receiver)
+
+
+def test_glonass_only_receiver_fixes():
+    sats = demo_glonass_constellation([-2, -1, 0, 1, 2])
+    iq, truth = synthesize_constellation(
+        sats, RX, START_SOW, 13.0, GLO_FS, noise_sigma=0.25,
+        glonass_time_offset_s=GLO_OFFSET_S,
+    )
+    recv = Receiver(ArraySampleSource(iq, GLO_FS), ReceiverConfig(), band="glonass")
+    reports = recv.run()
+    fixes = [r.fix for r in reports if r.fix is not None]
+    assert fixes, "no GLONASS-only fix"
+    first = next(r for r in reports if r.fix is not None)
+    assert first.block_end <= 11.0, "first GLONASS fix too late"
+    for fix in fixes:
+        assert np.linalg.norm(fix.ecef - RX) < 15.0
+        assert len(fix.satellites_used) >= 4
+        assert all(201 <= p <= 214 for p in fix.satellites_used)
+    # Strings decoded and ephemerides assembled for every channel.
+    n_strings = sum(len(r.glonass_strings) for r in reports)
+    assert n_strings >= 4 * len(sats)
+    assert np.linalg.norm(fixes[-1].ecef - RX) < 5.0
+    # Velocity solve (Doppler fallback with GLONASS wavelengths): static.
+    assert fixes[-1].velocity_ecef_mps is not None
+    assert np.linalg.norm(fixes[-1].velocity_ecef_mps) < 0.5
+
+
+def test_dual_band_fix_recovers_inter_system_bias():
+    """4 GPS + 3 GLONASS through two front ends into one world model: the
+    5-unknown solve must localize AND estimate the injected GPS-GLONASS
+    time offset (the estimate's constant ~120 ns residual is the cross-rate
+    half-sample group-delay convention — exactly the kind of receiver
+    inter-channel bias the ISB state exists to absorb)."""
+    gps_iq, _ = synthesize_constellation(
+        demo_constellation([25, 28, 31, 32]), RX, START_SOW, 24.0, GPS_FS,
+        noise_sigma=0.3,
+    )
+    glo_iq, _ = synthesize_constellation(
+        demo_glonass_constellation([-2, 0, 2]), RX, START_SOW, 24.0, GLO_FS,
+        noise_sigma=0.25, glonass_time_offset_s=GLO_OFFSET_S,
+    )
+    recv = DualBandReceiver(
+        ArraySampleSource(gps_iq, GPS_FS), ArraySampleSource(glo_iq, GLO_FS),
+    )
+    reports = recv.run()
+    fixes = [r.fix for r in reports if r.fix is not None]
+    assert fixes, "no dual-band fix"
+    last = fixes[-1]
+    assert np.linalg.norm(last.ecef - RX) < 5.0
+    gps_used = [p for p in last.satellites_used if p <= 32]
+    glo_used = [p for p in last.satellites_used if p >= 201]
+    assert len(gps_used) == 4 and len(glo_used) == 3
+    # ISB = b_glonass - b_gps = -(injected offset) + the constant
+    # convention bias; must be stable and in the right neighborhood.
+    isbs = [f.inter_system_bias_s for f in fixes if f.inter_system_bias_s is not None]
+    assert isbs, "no dual-constellation solve ran"
+    assert abs(isbs[-1] + GLO_OFFSET_S) < 250e-9
+    assert np.std(isbs[-3:]) < 20e-9  # converged, not wandering
+    # No spoofing false alarms on the clean dual-band scene.
+    assert not any(r.spoofing_alerts for r in reports)
+
+
+def test_glonass_band_rejects_gps_ids():
+    iq = np.zeros(int(GLO_FS * 0.01), dtype=np.complex64)
+    with pytest.raises(ValueError, match="201"):
+        Receiver(
+            ArraySampleSource(iq, GLO_FS), ReceiverConfig(),
+            eligible_prns=[25], band="glonass",
+        )
+    with pytest.raises(ValueError, match="band"):
+        Receiver(ArraySampleSource(iq, GLO_FS), ReceiverConfig(), band="galileo")
