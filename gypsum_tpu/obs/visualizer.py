@@ -204,6 +204,21 @@ class TrackerVisualizer:
                 "MT9: decoded" if geo is not None else "MT9: (waiting)",
                 f"t0: {geo.t0_sec_of_day:.0f}s" if geo is not None else "",
             ])
+        elif pipe is not None and getattr(pipe, "glonass", None) is not None:
+            # GLONASS channel: the string decoder replaces the bit stack.
+            gd = pipe.glonass
+            text_tile(A[16], "GLONASS strings", [
+                f"decoded: {gd.strings_decoded}",
+                f"rejected: {gd.strings_rejected}",
+            ])
+            geph = None
+            if world is not None and prn in world._sats:
+                geph = world._sats[prn].glonass
+            text_tile(A[17], "GLONASS orbit", [
+                f"ephemeris: tb={geph.tb_day_s:.0f}s slot {geph.slot}"
+                if geph is not None else "ephemeris: (waiting)",
+                f"k = {prn - 208:+d}",
+            ])
         else:
             text_tile(A[16], "bit health", ["(no pipeline)"])
             text_tile(A[17], "subframe health", ["(no pipeline)"])

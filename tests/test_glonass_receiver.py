@@ -92,3 +92,49 @@ def test_glonass_band_rejects_gps_ids():
         )
     with pytest.raises(ValueError, match="band"):
         Receiver(ArraySampleSource(iq, GLO_FS), ReceiverConfig(), band="galileo")
+
+
+def test_glonass_world_state_checkpoint_roundtrip(tmp_path):
+    """GLONASS records (state-vector ephemeris, frame context, inter-system
+    bias) survive the checkpoint pickle; a restored receiver reproduces the
+    same satellite positions."""
+    import pickle
+
+    from gypsum_tpu.nav.glonass import GlonassStringEvent
+    from gypsum_tpu.solve.glonass import strings_from_glonass_ephemeris
+    from gypsum_tpu.solve.world import WorldModel
+
+    eph = demo_glonass_constellation([1])[0].ephemeris
+    strings = strings_from_glonass_ephemeris(eph)
+    world = WorldModel()
+    world.glonass_bias_s = -9.1e-7
+    prn = 209  # k = +1
+    t = 10.0
+    for m in (1, 2, 3, 4):
+        s = strings[m]
+        if m == 1:
+            from gypsum_tpu.nav.glonass import GlonassString
+
+            s = GlonassString(m=1, fields={
+                **s.fields, "tk_raw": GlonassString.tk_raw_from_seconds(32400.0),
+            })
+        world.handle_glonass_string(
+            prn, GlonassStringEvent(s, t + 2.0 * m, 0), frequency_number=1
+        )
+    rec = world._sats[prn]
+    assert rec.glonass is not None and rec.counting
+    pos_before = rec.sv_position(rec.tow_at_last_subframe, kepler_iterations=10)
+
+    blob = pickle.loads(pickle.dumps(world))
+    rec2 = blob._sats[prn]
+    assert rec2.glonass == rec.glonass
+    assert blob.glonass_bias_s == world.glonass_bias_s
+    np.testing.assert_allclose(
+        rec2.sv_position(rec2.tow_at_last_subframe, kepler_iterations=10),
+        pos_before,
+    )
+    # The tick anchor landed on the 2 s GLONASS grid mapped into GPS frame.
+    from gypsum_tpu.solve.glonass import glonass_day_time_from_gps_sow
+
+    day = glonass_day_time_from_gps_sow(rec.tow_at_last_subframe, 18)
+    assert day % 2.0 == pytest.approx(0.0, abs=1e-9)
