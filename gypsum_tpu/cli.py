@@ -581,6 +581,25 @@ def cmd_rtk(args) -> int:
 
     prns = [int(p) for p in args.prns] if args.prns else None
 
+    def print_attitude(dd, sv_fn, base_ecef) -> int:
+        """--attitude: per-epoch heading/pitch of the base->rover antenna
+        axis, the known separation validating/arbitrating the fix."""
+        from gypsum_tpu.solve.attitude import solve_attitude
+
+        sol = solve_attitude(dd, sv_fn, base_ecef, separation_m=args.attitude,
+                             ratio_threshold=args.ratio)
+        for t, h, pch, ln in zip(sol.epochs_s, sol.heading_deg,
+                                 sol.pitch_deg, sol.length_m):
+            print(f"[{t:8.2f}s] heading {h:7.3f} deg  pitch {pch:+7.3f} deg"
+                  f"  |b| {ln:.3f} m")
+        print(f"attitude {'FIXED' if sol.fixed else 'FLOAT'}"
+              f" (by {sol.fixed_by}, ratio {sol.ratio:.1f}, "
+              f"length RMS {sol.length_rms_m*1e3:.1f} mm vs "
+              f"{args.attitude:.3f} m separation, "
+              f"{sol.n_length_consistent} length-consistent candidate(s), "
+              f"ref PRN {sol.ref_prn})")
+        return 0 if sol.fixed else 3
+
     if args.base_rinex or args.rover_rinex:
         # Interop path: standard RINEX observation files (any receiver that
         # logs C1C+L1C) + a RINEX NAV for the orbits.
@@ -595,6 +614,8 @@ def cmd_rtk(args) -> int:
         with open(args.base_rinex) as fb, open(args.rover_rinex) as fr:
             dd = dd_from_rinex(fb.read(), fr.read(), prns=prns)
         base_ecef = lla_to_ecef(*args.base_lla)
+        if args.attitude is not None:
+            return print_attitude(dd, sv_fn, base_ecef)
         east, north, up = enu_basis(base_ecef)
         sol = solve_baseline(dd, sv_fn, base_ecef, ratio_threshold=args.ratio)
         for label, b in (("float", sol.baseline_float_m),
@@ -675,6 +696,8 @@ def cmd_rtk(args) -> int:
         epoch_every_ms=args.epoch_every_ms,
         alignment=alignment,
     )
+    if args.attitude is not None:
+        return print_attitude(dd, sv_fn, base_ecef)
     east, north, up = enu_basis(base_ecef)
     if args.kinematic:
         sol = solve_kinematic(dd, sv_fn, base_ecef, ratio_threshold=args.ratio)
@@ -873,6 +896,10 @@ def main(argv=None) -> int:
                    help="integer-fix acceptance ratio (2nd-best/best cost)")
     p.add_argument("--kinematic", action="store_true",
                    help="moving rover: per-epoch baselines (shared ambiguities)")
+    p.add_argument("--attitude", type=float, default=None, metavar="SEP_M",
+                   help="dual-antenna attitude: known antenna separation in "
+                        "meters; prints per-epoch heading/pitch of the "
+                        "base->rover axis (solve/attitude.py)")
     p.add_argument("--independent-clocks", action="store_true",
                    help="receivers sample on their own oscillators: estimate "
                         "the stream offset/drift from the observables and "

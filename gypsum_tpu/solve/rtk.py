@@ -777,23 +777,22 @@ class KinematicSolution:
     ref_prn: int
 
 
-def solve_kinematic(
+def _kinematic_float(
     dd: DDObservations,
     sv_pos_fn,
     base_ecef: np.ndarray,
-    sigma_phase_half_cycles: float = 0.02,
-    sigma_code_m: float = 1.0,
-    ratio_threshold: float = 2.0,
-    min_bootstrap_success: float = 0.99,
-) -> KinematicSolution:
-    """Per-epoch baselines for a MOVING rover, single shared ambiguity set.
+    sigma_phase_half_cycles: float,
+    sigma_code_m: float,
+):
+    """Gauss-Newton float solve of the kinematic model: one rover position
+    per epoch (3T unknowns) + m-1 shared DD ambiguities.
 
-    The float model estimates one rover position per epoch (3T unknowns)
-    plus the m-1 shared ambiguities; with the integers fixed, each epoch's
-    phase rows alone pin its baseline to centimeters — the carrier-phase
-    trajectory of the rover. Static scenes should prefer ``solve_baseline``
-    (one position, T-fold averaging)."""
-    base_ecef = np.asarray(base_ecef, np.float64)
+    Returns ``(X [T,3], a [m-1], Q_a [m-1,m-1], per_epoch_geometry)`` where
+    ``per_epoch_geometry(X) -> (rho [T,m-1], H [T,m-1,3])`` evaluates the DD
+    geometric ranges and their position Jacobians at per-epoch positions.
+    Shared by ``solve_kinematic`` and the attitude solver (solve/attitude.py),
+    which re-scores multiple integer candidates against a known baseline
+    length and so needs the float pieces individually."""
     T, m1 = dd.phase_half_cycles.shape
     sv = np.stack(
         [[sv_pos_fn(p, t) for p in dd.prns + [dd.ref_prn]] for t in dd.epochs_s]
@@ -845,6 +844,56 @@ def solve_kinematic(
 
     cov = np.linalg.inv(A.T @ A)
     Q_a = cov[3 * T :, 3 * T :]
+    return X, a, Q_a, per_epoch_geometry
+
+
+def _fixed_epoch_positions(
+    dd: DDObservations,
+    per_epoch_geometry,
+    X0: np.ndarray,
+    a_int: np.ndarray,
+    sigma_phase_half_cycles: float,
+    sigma_code_m: float,
+) -> np.ndarray:
+    """Per-epoch rover positions with the ambiguities held at ``a_int``:
+    each epoch's phase rows (+ weak code rows) alone pin its position."""
+    w_p = 1.0 / sigma_phase_half_cycles
+    w_c = 1.0 / sigma_code_m
+    scale = 2.0 * GPS_L1_FREQUENCY_HZ / SPEED_OF_LIGHT
+    T = X0.shape[0]
+    Xf = X0.copy()
+    for _ in range(3):
+        rho, H = per_epoch_geometry(Xf)
+        r_phase = dd.phase_half_cycles - (-scale * rho + a_int)
+        r_code = dd.code_m - rho
+        for t in range(T):
+            At = np.concatenate([-scale * H[t] * w_p, H[t] * w_c])
+            bt = np.concatenate([r_phase[t] * w_p, r_code[t] * w_c])
+            du, *_ = np.linalg.lstsq(At, bt, rcond=None)
+            Xf[t] = Xf[t] + du
+    return Xf
+
+
+def solve_kinematic(
+    dd: DDObservations,
+    sv_pos_fn,
+    base_ecef: np.ndarray,
+    sigma_phase_half_cycles: float = 0.02,
+    sigma_code_m: float = 1.0,
+    ratio_threshold: float = 2.0,
+    min_bootstrap_success: float = 0.99,
+) -> KinematicSolution:
+    """Per-epoch baselines for a MOVING rover, single shared ambiguity set.
+
+    The float model estimates one rover position per epoch (3T unknowns)
+    plus the m-1 shared ambiguities; with the integers fixed, each epoch's
+    phase rows alone pin its baseline to centimeters — the carrier-phase
+    trajectory of the rover. Static scenes should prefer ``solve_baseline``
+    (one position, T-fold averaging)."""
+    base_ecef = np.asarray(base_ecef, np.float64)
+    X, a, Q_a, per_epoch_geometry = _kinematic_float(dd, sv_pos_fn, base_ecef,
+                                                     sigma_phase_half_cycles,
+                                                     sigma_code_m)
     baselines_float = X - base_ecef
 
     cands, costs = integer_least_squares(a, Q_a, n_cand=2)
@@ -858,17 +907,8 @@ def solve_kinematic(
     fixed = (ratio >= ratio_threshold
              and bootstrap_success_rate(Q_a) >= min_bootstrap_success)
 
-    # ---- fixed: per-epoch positions from phase (+ weak code) rows ----
-    Xf = X.copy()
-    for _ in range(3):
-        rho, H = per_epoch_geometry(Xf)
-        r_phase = dd.phase_half_cycles - (-scale * rho + a_int)
-        r_code = dd.code_m - rho
-        for t in range(T):
-            At = np.concatenate([-scale * H[t] * w_p, H[t] * w_c])
-            bt = np.concatenate([r_phase[t] * w_p, r_code[t] * w_c])
-            du, *_ = np.linalg.lstsq(At, bt, rcond=None)
-            Xf[t] = Xf[t] + du
+    Xf = _fixed_epoch_positions(dd, per_epoch_geometry, X, a_int,
+                                sigma_phase_half_cycles, sigma_code_m)
 
     return KinematicSolution(
         epochs_s=dd.epochs_s,
