@@ -228,10 +228,16 @@ def e2e_replay_details(async_upload: bool = False) -> dict:
             }
     finally:
         os.unlink(tmp.name)
+    # The async worker's warm run is the uint8 path (its only runs), while
+    # the sync worker's warm run is the f32 path — name the async key by its
+    # input dtype so cross-round BENCH_DETAILS diffs aren't apples-to-oranges
+    # (the bare e2e_async_replay_warm_wall_s of rounds <=2 timed f32).
+    warm_key = (f"{tag}_replay_warm_u8_wall_s" if async_upload
+                else f"{tag}_replay_warm_wall_s")
     details.update({
         f"{tag}_replay_signal_s": seconds,
         f"{tag}_replay_wall_s": e2e_u8_s,
-        f"{tag}_replay_warm_wall_s": warm_s,
+        warm_key: warm_s,
         f"{tag}_realtime_factor": seconds / e2e_u8_s,
         f"{tag}_tracked_prns": sorted({p for r in recv.block_reports for p in r.tracked_prns}),
     })

@@ -71,9 +71,12 @@ class AttitudeSolution:
     length_rms_m: float         # rms(|b_t| - known separation)
     fixed: bool
     fixed_by: str | None        # 'ratio' | 'length' | None
+    mount_alarm: bool           # phases fixed decisively but geometry refused
     ratio: float                # ILS second-best / best cost
     length_ratio: float         # runner-up / best length-rms (noise-floored)
     sigma_length_m: float       # formal per-epoch 1-sigma of |baseline|
+    sigma_heading_deg: np.ndarray  # [T] formal per-epoch 1-sigma of heading
+    sigma_pitch_deg: np.ndarray    # [T] formal per-epoch 1-sigma of pitch
     ambiguities: np.ndarray | None
     n_length_consistent: int    # ILS candidates passing the length gate
     prns: list
@@ -117,10 +120,24 @@ def solve_attitude(
     sub-noise rms cannot claim a decisive win. Each of these closes a wrong-
     fix mode observed in tools/attitude_study.py's Monte-Carlo (tolerance-
     only gating published ~3% wrong attitudes on short windows; the full
-    gate set publishes none while still rescuing the majority). An ILS-best
-    candidate that FAILS the length gate is rejected even with a good
-    ratio: that is the validation direction, catching e.g. a wrong
-    separation or a non-rigid mount.
+    gate set publishes none while still rescuing the majority).
+
+    Ratio-pass + length-fail is a MOUNT-MODEL ALARM, not an arbitration
+    case: when the phase data decisively pick an integer vector (ratio +
+    bootstrap pass) whose implied baseline length contradicts the claimed
+    separation, the two halves of the model disagree — the likely causes
+    are a wrong claimed separation or a non-rigid mount, and under either
+    the length information is exactly what cannot be trusted to arbitrate a
+    DIFFERENT candidate. The solve refuses outright (``fixed=False``,
+    ``mount_alarm=True``) rather than falling through to length
+    arbitration.
+
+    Direction uncertainty: per-epoch formal 1-sigma heading/pitch
+    (``sigma_heading_deg``/``sigma_pitch_deg``) are published alongside the
+    angles — the tangential analogue of ``sigma_length_m``. They scale as
+    phase-noise / separation: a 0.5 m arm at 1 mm phase noise is ~0.1 deg,
+    but weak epochs or short separations can reach degrees, so consumers
+    should read the sigma, not assume a fixed quality.
     """
     antenna1_ecef = np.asarray(antenna1_ecef, np.float64)
     X, a, Q_a, geometry = _kinematic_float(
@@ -155,12 +172,24 @@ def solve_attitude(
     scale = 2.0 * GPS_L1_FREQUENCY_HZ / SPEED_OF_LIGHT
     _, H = geometry(X)
     b_float = X - antenna1_ecef
-    sig = []
+    east_ax, north_ax, up_ax = enu_basis(antenna1_ecef)
+    sig, sig_heading, sig_pitch = [], [], []
     for t in range(len(dd.epochs_s)):
         At = np.concatenate([-scale * H[t] * w_p, H[t] * w_c])
         C = np.linalg.inv(At.T @ At)
-        u = b_float[t] / max(np.linalg.norm(b_float[t]), 1e-9)
+        bt = b_float[t]
+        u = bt / max(np.linalg.norm(bt), 1e-9)
         sig.append(float(np.sqrt(u @ C @ u)))
+        # Tangential analogues: propagate C through the heading/pitch maps.
+        # heading = atan2(e, n); pitch = atan2(up, hypot(e, n)).
+        e, n, up_c = bt @ east_ax, bt @ north_ax, bt @ up_ax
+        h2 = max(e * e + n * n, 1e-18)
+        g_head = (n * east_ax - e * north_ax) / h2
+        h = np.sqrt(h2)
+        r2 = max(h2 + up_c * up_c, 1e-18)
+        g_pitch = (h * up_ax - (up_c / h) * (e * east_ax + n * north_ax)) / r2
+        sig_heading.append(float(np.degrees(np.sqrt(g_head @ C @ g_head))))
+        sig_pitch.append(float(np.degrees(np.sqrt(g_pitch @ C @ g_pitch))))
     sigma_length = float(np.mean(sig))
 
     length_ratio = (by_rms[1][3] / max(by_rms[0][3], sigma_length, 1e-9)
@@ -169,9 +198,21 @@ def solve_attitude(
     best = per_cand[0]
     m1 = len(dd.prns)
     fixed_by: str | None = None
-    if ratio >= ratio_threshold and boot_ok and best[3] < length_tolerance_m:
+    mount_alarm = False
+    ratio_ok = ratio >= ratio_threshold and boot_ok
+    if ratio_ok and best[3] < length_tolerance_m:
         fixed_by = "ratio"
         chosen = best
+    elif ratio_ok:
+        # Phases decisively fixed an integer vector whose implied baseline
+        # length contradicts the claimed separation: the mount model itself
+        # is suspect (wrong separation / flexing arm), so the length cannot
+        # be trusted to arbitrate a DIFFERENT candidate. Refuse outright.
+        mount_alarm = True
+        bf = X - antenna1_ecef
+        chosen = (None, bf, np.linalg.norm(bf, axis=1),
+                  float(np.sqrt(np.mean(
+                      (np.linalg.norm(bf, axis=1) - separation_m) ** 2))))
     elif (
         # Length arbitration needs phase redundancy: with only 3 DDs each
         # epoch's fixed solve has 3 unknowns and 3 phase rows, so a wrong
@@ -206,9 +247,12 @@ def solve_attitude(
         length_rms_m=rms,
         fixed=fixed_by is not None,
         fixed_by=fixed_by,
+        mount_alarm=mount_alarm,
         ratio=ratio,
         length_ratio=float(length_ratio),
         sigma_length_m=sigma_length,
+        sigma_heading_deg=np.asarray(sig_heading),
+        sigma_pitch_deg=np.asarray(sig_pitch),
         ambiguities=None if z_fix is None else z_fix.astype(np.int64),
         n_length_consistent=len(consistent),
         prns=list(dd.prns),

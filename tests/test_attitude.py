@@ -95,10 +95,20 @@ def test_attitude_tracks_rotating_platform():
     sol = solve_attitude(dd, sv_fn, antenna1, separation_m=2.0,
                          sigma_phase_half_cycles=0.01)
     assert sol.fixed and sol.fixed_by == "ratio", (sol.fixed_by, sol.ratio)
+    assert not sol.mount_alarm
     assert sol.length_rms_m < 0.01
     # 1 mm of phase noise over a 2 m arm is ~0.03 deg of direction.
     assert np.max(np.abs(sol.heading_deg - truth_heading)) < 0.15
     assert np.max(np.abs(sol.pitch_deg - 5.0)) < 0.3
+    # The published formal direction sigmas must be honest: per-epoch
+    # heading errors should sit within ~4 sigma, and the sigmas themselves
+    # in the sub-0.1-deg class this geometry implies (not optimistic zeros).
+    assert sol.sigma_heading_deg.shape == sol.heading_deg.shape
+    assert np.all(sol.sigma_heading_deg > 1e-4)
+    assert np.all(np.abs(sol.heading_deg - truth_heading)
+                  < 4.0 * sol.sigma_heading_deg + 0.02)
+    assert np.all(np.abs(sol.pitch_deg - 5.0)
+                  < 4.0 * sol.sigma_pitch_deg + 0.02)
 
 
 def test_length_constraint_arbitrates_when_ratio_gate_fails():
@@ -136,6 +146,13 @@ def test_wrong_separation_is_rejected():
                          sigma_phase_half_cycles=0.01)
     assert not sol.fixed and sol.fixed_by is None
     assert sol.n_length_consistent == 0
+    # This is exactly the ratio-pass + length-fail interaction: the phase
+    # data fix decisively (strong 6-SV window), the geometry contradicts the
+    # claimed separation. The solve must raise the mount alarm and must NOT
+    # fall through to length arbitration and publish a different candidate.
+    assert sol.ratio >= 2.0, "scenario must exercise the ratio-pass path"
+    assert sol.mount_alarm
+    assert sol.ambiguities is None
 
 
 def test_attitude_end_to_end_two_receivers():
