@@ -159,6 +159,14 @@ def cmd_replay(args) -> int:
     config = DEFAULT_CONFIG
     if args.block_ms:
         config = config.replace(tracking=config.tracking.__class__(block_size_ms=args.block_ms))
+    if getattr(args, "hrc", False):
+        import dataclasses
+
+        config = config.replace(
+            tracking=dataclasses.replace(
+                config.tracking, code_phase_measurement="hrc"
+            )
+        )
     prns = [int(p) for p in args.prns] if args.prns else None
     if args.sbas:
         from gypsum_tpu.signal.prn import ALL_PRN_IDS, SBAS_PRN_IDS
@@ -251,6 +259,12 @@ def cmd_replay(args) -> int:
                   f"strength {hit.strength:.1f}")
         for prn in report.dropped_prns:
             print(f"[{report.block_start:8.1f}s] dropped PRN {prn} (lost lock)")
+        for prn in report.coasting_prns:
+            print(f"[{report.block_start:8.1f}s] PRN {prn} coasting open-loop "
+                  f"(signal lost; NCOs held by predicted geometry)")
+        for prn in report.coast_recovered_prns:
+            print(f"[{report.block_start:8.1f}s] PRN {prn} signal returned: "
+                  f"ranging resumed in place (vector coast)")
         for prn, ev in report.subframes:
             how = ev.decoded.handover
             print(f"[{report.block_start:8.1f}s] PRN {prn} subframe "
@@ -580,6 +594,11 @@ def cmd_rtk(args) -> int:
     )
 
     prns = [int(p) for p in args.prns] if args.prns else None
+    if args.attitude is not None and args.kinematic:
+        # Silent preemption confused users: --attitude IS a per-epoch
+        # (kinematic) solve of the antenna axis, so the flags are exclusive.
+        raise SystemExit("--attitude and --kinematic are exclusive modes "
+                         "(attitude already solves per-epoch); drop one")
 
     def print_attitude(dd, sv_fn, base_ecef) -> int:
         """--attitude: per-epoch heading/pitch of the base->rover antenna
@@ -598,6 +617,14 @@ def cmd_rtk(args) -> int:
               f"{args.attitude:.3f} m separation, "
               f"{sol.n_length_consistent} length-consistent candidate(s), "
               f"ref PRN {sol.ref_prn})")
+        print(f"attitude formal sigma (per-epoch mean): heading "
+              f"{np.mean(sol.sigma_heading_deg):.3f} deg, pitch "
+              f"{np.mean(sol.sigma_pitch_deg):.3f} deg, length "
+              f"{sol.sigma_length_m*1e3:.1f} mm")
+        if sol.mount_alarm:
+            print("attitude MOUNT ALARM: phases fixed decisively but the "
+                  "implied baseline length contradicts the claimed "
+                  "separation — check --attitude SEP_M and mount rigidity")
         return 0 if sol.fixed else 3
 
     if args.base_rinex or args.rover_rinex:
@@ -757,6 +784,11 @@ def main(argv=None) -> int:
     p.add_argument("--duration", type=float, default=None, help="seconds of signal to process")
     p.add_argument("--until-fix", action="store_true", help="stop at the first position fix")
     p.add_argument("--block-ms", type=int, default=None, help="tracking block size")
+    p.add_argument("--hrc", action="store_true",
+                   help="multipath-resistant pseudoranges: double-delta (HRC) "
+                        "code-phase measurement instead of triangle vertex "
+                        "interpolation. Needs >= 4 samples/chip (>= ~4.1 Msps "
+                        "GPS) to help; see TrackingConfig.code_phase_measurement")
     p.add_argument("--assist-nav", default=None, metavar="PATH",
                    help="assisted start: load broadcast ephemerides from a "
                         "RINEX 3 NAV file (e.g. a previous run's --rinex-nav "

@@ -151,6 +151,28 @@ class TrackingConfig:
     # correlation per ms (reference: gypsum/tracker.py:307-313) with a small
     # batched matmul over 2*K+1 lags.
     lag_window_half_width: int = 4
+    # Sub-sample code-phase MEASUREMENT estimator (feeds pseudoranges; the
+    # DLL loop is unaffected — it only centers the lag window):
+    #   "triangle" — vertex interpolation of the |corr| peak from lags
+    #       (-1, 0, +1). Lowest noise; multipath pulls the vertex (a 0.5-amp
+    #       ray biases it ~0.33 samples worst-case over the ray phase).
+    #   "hrc"      — high-resolution (double-delta) correlator zero-crossing
+    #       from lags (-2..+2): eps = -W (d1 - d2/2) / r0 with
+    #       d1 = |R(-1)|-|R(+1)|, d2 = |R(-2)|-|R(+2)|, W = samples/chip.
+    #       Multipath-resistant at >= 4 samples/chip (measured worst-case
+    #       bias vs "triangle" at 8 samples/chip, 0.5-amp ray: 0.12 vs 0.33
+    #       samples at 0.25-chip delay, 0.06 vs 0.33 at 0.5, 0.02 vs 0.25 at
+    #       1.0) at ~2x the thermal noise; at 2 samples/chip the +/-2 lags
+    #       sit at the correlation feet and the estimator DEGRADES — keep
+    #       "triangle" there. reference: no counterpart (gypsum tracks the
+    #       raw FFT argmax, gypsum/tracker.py:307-313).
+    code_phase_measurement: str = "triangle"
+    # Spreading-code length in chips per 1 ms code period (GPS/SBAS C/A:
+    # 1023; GLONASS L1OF: 511 — the band receiver overrides it the same way
+    # it overrides aiding_carrier_hz). Only used to convert lag samples to
+    # chips where an estimator's formula needs the correlation triangle's
+    # half-width (code_phase_measurement="hrc").
+    chips_per_code: int = 1023
     # Lock-state heuristics: EMA analogues of the reference's 250 ms sliding
     # windows (reference: gypsum/tracker.py:157-203, gypsum/config.py:25-27),
     # with thresholds in normalized-discriminator units.
@@ -174,6 +196,25 @@ class TrackingConfig:
     rescue_quality_threshold: float = 0.45
     rescue_period_s: float = 6.0
     rescue_max_correction_hz: float = 100.0
+    # Vector coast (deep-integration tier above rescue; host logic in
+    # runtime/receiver.py): when the watchdog declares a channel lost but
+    # the world model has its orbit and a recent fix, the channel is driven
+    # OPEN-LOOP — each block boundary its code phase / Doppler are set from
+    # the predicted geometry's delta since the last healthy block (constant
+    # position/clock errors cancel; residual TCXO drift costs ~0.02
+    # samples/s) — instead of dropped. Decode restarts on recovery, but the
+    # loops are already aligned when the signal returns, so ranging resumes
+    # within one block instead of a drop + 10 s-cadence reacquisition +
+    # resync. The SV is excluded from fixes while coasting.
+    # reference: no counterpart (gypsum drops and reacquires,
+    # gypsum/receiver.py:248-267).
+    coast_enabled: bool = True
+    # Give up and drop after this much open-loop time (prediction error
+    # grows with oscillator drift and fix staleness).
+    coast_max_s: float = 10.0
+    # Block-end quality EMA (reset each boundary, so it measures the last
+    # block alone) above which the signal is declared returned.
+    coast_recovery_quality: float = 0.45
     # lax.scan unroll factor for the per-ms loop. Measured on TPU v5e:
     # unrolling only hurts (each iteration is already one large fused kernel,
     # so unrolling multiplies program size without amortizing anything —

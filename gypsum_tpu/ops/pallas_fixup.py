@@ -69,6 +69,8 @@ def _fixup_kernel(
     k_half: int,
     group_ms: int,
     s_count: int,
+    use_hrc: bool,
+    w_chip: float,
 ):
     (
         kp_locked, ki_locked, kp_pullin, ki_pullin, lam_err, lam_q,
@@ -138,12 +140,23 @@ def _fixup_kernel(
         r0 = jnp.sqrt(best)
         rp = jnp.zeros_like(r0)
         rm = jnp.zeros_like(r0)
+        rp2 = jnp.zeros_like(r0)
+        rm2 = jnp.zeros_like(r0)
         for m in range(n_lags):
             at = best_idx == float(m)
             rp = jnp.where(at, mags[min(m + 1, n_lags - 1)], rp)
             rm = jnp.where(at, mags[max(m - 1, 0)], rm)
-        frac = (rp - rm) / (2.0 * (r0 - jnp.minimum(rp, rm)) + _EPS)
-        frac = jnp.clip(frac, -0.5, 0.5)
+            if use_hrc:
+                rp2 = jnp.where(at, mags[min(m + 2, n_lags - 1)], rp2)
+                rm2 = jnp.where(at, mags[max(m - 2, 0)], rm2)
+        if use_hrc:
+            # Double-delta zero crossing (multipath-resistant; see
+            # TrackingConfig.code_phase_measurement for the bias table).
+            frac = -w_chip * ((rm - rp) - 0.5 * (rm2 - rp2)) / (r0 + _EPS)
+            frac = jnp.clip(frac, -1.5, 1.5)
+        else:
+            frac = (rp - rm) / (2.0 * (r0 - jnp.minimum(rp, rm)) + _EPS)
+            frac = jnp.clip(frac, -0.5, 0.5)
         cp_meas = jnp.mod(
             cp_int.astype(jnp.float32) + (best_idx - float(k_half)) + frac,
             float(length),
@@ -294,6 +307,8 @@ def make_fixup_fn(
                 k_half=k_half,
                 group_ms=group,
                 s_count=s_count,
+                use_hrc=cfg.code_phase_measurement == "hrc",
+                w_chip=float(length) / float(cfg.chips_per_code),
             ),
             grid=(b // group,),
             in_specs=[

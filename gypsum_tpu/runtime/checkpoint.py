@@ -38,7 +38,10 @@ from pathlib import Path
 #   8 — TrackState (bank_state) gained ``carrier_offset`` (GLONASS FDMA
 #       sub-band offsets); a v7 bank_state would unpickle into the wrong
 #       NamedTuple shape, so the gate rejects it.
-CHECKPOINT_VERSION = 8
+#   9 — Vector coast: _ChannelPipeline gained ``last_good`` /
+#       ``coast_started`` / ``coast_anchor`` and _SatelliteRecord gained
+#       ``coasting`` (runtime/receiver.py, TrackingConfig.coast_*).
+CHECKPOINT_VERSION = 9
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:

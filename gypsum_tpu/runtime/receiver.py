@@ -69,6 +69,13 @@ class _ChannelPipeline:
     # tracking slot underneath is identical (1 ms code period either way).
     glonass: "object | None" = None  # nav.glonass.GlonassStringDecoder
     carrier_offset_hz: float = 0.0  # FDMA sub-band offset of this channel
+    # Vector-coast state (TrackingConfig.coast_*): last healthy block-end
+    # observables (t, code_phase_delay_s, doppler_hz) anchoring the coast
+    # prediction; when coasting, the entry time and the geometry anchor
+    # (t0, delay0_s, doppler0_hz, range0_m, range_rate0_m_s).
+    last_good: tuple | None = None
+    coast_started: float | None = None
+    coast_anchor: tuple | None = None
 
 
 @dataclass
@@ -92,6 +99,10 @@ class BlockReport:
     # (solve/world.py:seed_time_base_from_geometry) — ranging immediately
     # after (re)acquisition instead of waiting for a subframe.
     reseeded_prns: list[int] = field(default_factory=list)
+    # PRNs held open-loop this block by the vector-coast tier, and PRNs
+    # whose signal returned this block (coast exited, decode restarted).
+    coasting_prns: list[int] = field(default_factory=list)
+    coast_recovered_prns: list[int] = field(default_factory=list)
     subframes: list[tuple[int, EmitSubframeEvent]] = field(default_factory=list)
     sbas_blocks: list = field(default_factory=list)  # [(prn, nav.sbas.SbasBlock)]
     glonass_strings: list = field(default_factory=list)  # [(id, GlonassStringEvent)]
@@ -161,6 +172,9 @@ class Receiver:
                 tracking_cfg = dataclasses.replace(
                     tracking_cfg, aiding_carrier_hz=GLONASS_L1_BASE_HZ
                 )
+            if tracking_cfg.chips_per_code == 1023:
+                # L1OF short code: 511 chips per 1 ms period.
+                tracking_cfg = dataclasses.replace(tracking_cfg, chips_per_code=511)
         else:
             # The searched/tracked PRN family: the 32 GPS SVs, widened to
             # include any SBAS (or other registered C/A-family) PRNs the
@@ -483,6 +497,9 @@ class Receiver:
         if pipe.sbas is not None:
             self._process_sbas_channel(obs, block_start, block_ms, report, pipe)
             return
+        if pipe.coast_started is not None:
+            self._process_coasting_channel(obs, block_start, block_ms, report, pipe)
+            return
         lost = obs.lost
         subframe_edges: list[tuple[float, EmitSubframeEvent]] = []
 
@@ -538,8 +555,16 @@ class Receiver:
         ):
             report.reseeded_prns.append(obs.prn)
 
+        # Anchor for a future vector coast: the last block-end observables
+        # measured while the channel was clearly healthy.
+        if not lost and float(obs.quality[-1]) >= self.config.tracking.rescue_quality_threshold:
+            pipe.last_good = (block_start + block_ms * 1e-3, cp_delay, doppler)
+
         if lost:
-            self._drop_satellite(obs.prn, report)
+            if self._enter_coast(obs, pipe, block_start + block_ms * 1e-3):
+                report.coasting_prns.append(obs.prn)
+            else:
+                self._drop_satellite(obs.prn, report)
         elif self.bank.maybe_rescue(obs, block_start + block_ms * 1e-3):
             # Marginal-health rescue (reference: gypsum/tracker.py:380-387):
             # Doppler corrected in place; the decode pipeline keeps its bit/
@@ -550,6 +575,138 @@ class Receiver:
                 "rescued marginal PRN %d in place (quality %.2f, attempt %d)",
                 obs.prn, float(obs.quality[-1]), self.bank.rescue_counts[obs.slot],
             )
+
+    # --------------------------------------------------------- vector coast
+
+    def _enter_coast(self, obs: ChannelObservation, pipe: _ChannelPipeline,
+                     t_end: float) -> bool:
+        """Deep-integration tier above the rescue: a channel the watchdog
+        declared lost is driven open-loop from the navigation solution's
+        predicted geometry instead of dropped (TrackingConfig.coast_*).
+        Requires a healthy anchor block, the SV's orbit, and a recent fix;
+        decode state is rebuilt so bit/subframe sync restart cleanly on
+        recovery. Returns True when the channel entered coast."""
+        cfg = self.config.tracking
+        if not cfg.coast_enabled or pipe.last_good is None:
+            return False
+        # Coast only a SIGNAL loss: a decode failure on a healthy signal
+        # (quality still high) needs a decode restart, not open-loop NCOs —
+        # keep the reference's drop semantics there.
+        if float(obs.quality[-1]) >= cfg.rescue_quality_threshold:
+            return False
+        t0, cp0_s, fd0 = pipe.last_good
+        rr0 = self.world.predicted_range_and_rate(obs.prn, t0)
+        if rr0 is None:
+            return False
+        fix = self.world.position_fixes[-1]
+        if t_end - fix.receiver_timestamp > self.config.solver.geometry_reseed_max_fix_age_s:
+            return False
+        pipe.coast_started = t_end
+        pipe.coast_anchor = (t0, cp0_s, fd0, rr0[0], rr0[1])
+        # Fresh decode stacks: the queued noise symbols are garbage, and a
+        # clean restart resyncs in ~1-2 s of recovered signal.
+        pipe.integrator = BitIntegrator(self.config.nav)
+        pipe.decoder = SubframeDecoder(self.config.nav)
+        vals = self._apply_coast_state(obs.prn, pipe, t_end)
+        if vals is None:  # raced a fix invalidation; fall back to drop
+            pipe.coast_started = None
+            pipe.coast_anchor = None
+            return False
+        self.world.begin_coast(obs.prn, vals[0])
+        _logger.info(
+            "PRN %d signal lost (quality %.2f): coasting open-loop from "
+            "predicted geometry", obs.prn, float(obs.quality[-1]),
+        )
+        return True
+
+    def _apply_coast_state(self, prn: int, pipe: _ChannelPipeline,
+                           t: float) -> tuple[float, float] | None:
+        """Set the channel's code phase / Doppler to the coast prediction at
+        stream time ``t``; returns (delay_s, doppler_hz) or None when the
+        prediction is unavailable."""
+        t0, cp0_s, fd0, rho0, rate0 = pipe.coast_anchor
+        rr = self.world.predicted_range_and_rate(prn, t)
+        if rr is None:
+            return None
+        from gypsum_tpu.core.constants import (
+            GPS_L1_FREQUENCY_HZ,
+            SPEED_OF_LIGHT_M_PER_S,
+        )
+
+        f_car = self._channel_carrier_hz.get(prn, GPS_L1_FREQUENCY_HZ)
+        delay_s = (cp0_s + (rr[0] - rho0) / SPEED_OF_LIGHT_M_PER_S) % 1e-3
+        doppler = fd0 - (rr[1] - rate0) * f_car / SPEED_OF_LIGHT_M_PER_S
+        self.bank.coast_override(
+            pipe.slot, delay_s * self.sample_rate, doppler
+        )
+        return delay_s, doppler
+
+    def _process_coasting_channel(
+        self,
+        obs: ChannelObservation,
+        block_start: float,
+        block_ms: int,
+        report: BlockReport,
+        pipe: _ChannelPipeline,
+    ) -> None:
+        """One block of an open-loop channel: decide recovery / timeout /
+        keep coasting, and feed the world model PREDICTED observables so the
+        millisecond tick time base stays anchored (the SV is excluded from
+        fixes by the coasting flag the whole time)."""
+        from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
+
+        cfg = self.config.tracking
+        prn = obs.prn
+        t_end = block_start + block_ms * 1e-3
+
+        if float(obs.quality[-1]) >= cfg.coast_recovery_quality:
+            # Signal returned: the loops were held aligned, so this block's
+            # observables are already measurements — resume ranging now.
+            coast_s = t_end - pipe.coast_started
+            pipe.coast_started = None
+            pipe.coast_anchor = None
+            self.world.end_coast(prn)
+            cp_delay, doppler = self._block_end_observables(obs)
+            self.world.handle_channel_block(
+                prn, cp_delay, doppler, block_ms,
+                cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
+            )
+            self.world.handle_prn_observed(
+                prn, cp_delay, count=block_ms, doppler_hz=doppler
+            )
+            if self.world.seed_time_base_from_geometry(prn, t_end):
+                report.reseeded_prns.append(prn)
+            pipe.last_good = (t_end, cp_delay, doppler)
+            report.coast_recovered_prns.append(prn)
+            _logger.info(
+                "PRN %d signal returned after %.1f s coast: ranging resumed "
+                "in place (quality %.2f)", prn, coast_s, float(obs.quality[-1]),
+            )
+            return
+
+        if t_end - pipe.coast_started > cfg.coast_max_s:
+            _logger.info(
+                "PRN %d coast timed out after %.1f s without signal: dropping",
+                prn, t_end - pipe.coast_started,
+            )
+            self._drop_satellite(prn, report)
+            return
+
+        vals = self._apply_coast_state(prn, pipe, t_end)
+        if vals is None:
+            self._drop_satellite(prn, report)
+            return
+        delay_s, doppler = vals
+        # Predicted observables keep the tick time base anchored; C/N0 comes
+        # from the real (faded) prompts so metrics show the outage.
+        self.world.handle_channel_block(
+            prn, delay_s, doppler, block_ms,
+            cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
+        )
+        self.world.handle_prn_observed(
+            prn, delay_s, count=block_ms, doppler_hz=doppler
+        )
+        report.coasting_prns.append(prn)
 
     def _block_phase_advance(self, obs: ChannelObservation) -> float | None:
         """The channel's NCO carrier-phase advance over this block (cycles),

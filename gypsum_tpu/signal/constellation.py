@@ -69,6 +69,11 @@ class ConstellationSatellite:
     # EKF (solve/ekf.py) exists for.
     visible_from_s: float | None = None
     visible_until_s: float | None = None
+    # Obstruction windows (stream-time [start, end) seconds): the SV
+    # transmits OUTSIDE these intervals. Unlike visible_until_s the signal
+    # RETURNS — the vector-coast scenario (runtime/receiver.py:_enter_coast)
+    # where a blocked channel must resume ranging in place.
+    blocked_s: list = field(default_factory=list)
     # Fault injection for SBAS fast corrections: a satellite clock error
     # (range-equivalent meters) present in the SIGNAL but absent from the
     # broadcast clock model — the receiver's pseudorange comes out SHORT by
@@ -568,12 +573,19 @@ def synthesize_constellation(
           for delay_extra, amp_factor, phase_extra in rays:
             hi = min(lo + chunk, n_samples)
             r = np.arange(lo, hi, dtype=np.float64) / sample_rate  # stream s
-            if sat.visible_from_s is not None or sat.visible_until_s is not None:
+            blocked = getattr(sat, "blocked_s", ())
+            if (
+                sat.visible_from_s is not None
+                or sat.visible_until_s is not None
+                or blocked
+            ):
                 vis = np.ones(hi - lo)
                 if sat.visible_from_s is not None:
                     vis *= r >= sat.visible_from_s
                 if sat.visible_until_s is not None:
                     vis *= r < sat.visible_until_s
+                for b0, b1 in blocked:
+                    vis *= ~((r >= b0) & (r < b1))
                 if not vis.any():
                     continue
             else:

@@ -178,6 +178,10 @@ class _SatelliteRecord:
     # averaging depth (grows until the configured window).
     smoothed_delay_s: float | None = None
     smoothing_depth: int = 0
+    # Vector-coast flag (runtime/receiver.py): the channel is being driven
+    # open-loop from predicted geometry — its "observables" are predictions,
+    # so it must not feed the fix (excluded by _fix_ready_satellites).
+    coasting: bool = False
     # Single-entry memo for (position, clock) at a given SV time: the fix's
     # outer rounds (SolverConfig.outer_rounds) re-evaluate the SAME sv_tow —
     # only the atmospheric corrections change per round. Bumping
@@ -651,6 +655,67 @@ class WorldModel:
         )
         return True
 
+    # --------------------------------------------------------- vector coast
+
+    def predicted_range_and_rate(
+        self, prn: int, receiver_timestamp: float
+    ) -> tuple[float, float] | None:
+        """Geometric range (m) and range rate (m/s) to a known-orbit SV at
+        stream time ``receiver_timestamp``, from the last fix and clock
+        slide. The vector-coast tier (runtime/receiver.py) drives a blocked
+        channel's NCOs from DELTAS of these between block boundaries, so
+        constant position/clock-slide errors cancel; what remains is SV
+        motion curvature (exact here) and receiver oscillator drift
+        (~0.02 samples/s at a 1e-8 TCXO). None until orbit + fix + slide
+        exist."""
+        rec = self._sats.get(prn)
+        if rec is None or not rec.has_orbit:
+            return None
+        if self.receiver_clock_slide is None or not self.position_fixes:
+            return None
+        fix = self.position_fixes[-1]
+
+        def range_at(ts: float) -> float:
+            arrival = self.receiver_clock_slide + ts
+            sv_tow = arrival - 0.072
+            rng = 0.0
+            for _ in range(2):
+                pos = rec.sv_position(
+                    sv_tow, kepler_iterations=self.config.kepler_iterations
+                )
+                rng = float(np.linalg.norm(pos - fix.ecef))
+                sv_tow = arrival - rng / C
+            return rng
+
+        r_m = range_at(receiver_timestamp - 0.5)
+        r_p = range_at(receiver_timestamp + 0.5)
+        return (r_m + r_p) / 2.0, r_p - r_m
+
+    def begin_coast(self, prn: int, predicted_delay_s: float) -> None:
+        """Mark a channel open-loop (vector coast): excluded from fixes, its
+        carrier-smoothing track re-anchored on the prediction so the noise
+        burst that triggered the coast cannot linger in the Hatch filter."""
+        rec = self._record(prn)
+        rec.coasting = True
+        rec.smoothed_delay_s = ((predicted_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
+        rec.smoothing_depth = 1
+
+    def end_coast(self, prn: int) -> None:
+        """Signal returned: channel observables are measurements again. The
+        smoothing depth restarts so the first real measurement dominates the
+        coasted prediction; a time base whose ticks aged past the handover
+        limit is invalidated so geometry reseeding re-anchors it exactly."""
+        rec = self._record(prn)
+        rec.coasting = False
+        rec.smoothing_depth = min(rec.smoothing_depth, 1)
+        if (
+            rec.counting
+            and rec.prn_ticks_since_subframe
+            > self.config.max_prn_ticks_since_handover
+        ):
+            rec.counting = False
+            rec.tow_at_last_subframe = None
+
     def assist_ephemerides(self, ephemerides: dict[int, Ephemeris]) -> int:
         """Assisted-GNSS ephemeris injection (e.g. a RINEX NAV file via
         `replay --assist-nav`, obs/rinex.py:parse_nav). Channels gain orbits
@@ -827,6 +892,7 @@ class WorldModel:
         rec.smoothed_delay_s = None
         rec.smoothing_depth = 0
         rec.tdcp_cycles = None
+        rec.coasting = False
 
     # ------------------------------------------------------------- queries
 
@@ -894,6 +960,7 @@ class WorldModel:
         for prn, rec in self._sats.items():
             if (
                 rec.has_orbit
+                and not rec.coasting
                 and rec.counting
                 and rec.tow_at_last_subframe is not None
                 and rec.prn_ticks_since_subframe <= cfg.max_prn_ticks_since_handover

@@ -185,6 +185,18 @@ def _build_track_block_fn(
 
     zeta = cfg.pll_damping_factor
 
+    use_hrc = cfg.code_phase_measurement == "hrc"
+    if cfg.code_phase_measurement not in ("triangle", "hrc"):
+        raise ValueError(
+            f"unknown code_phase_measurement {cfg.code_phase_measurement!r}"
+        )
+    if use_hrc and k_half < 3:
+        raise ValueError(
+            "code_phase_measurement='hrc' needs lag_window_half_width >= 3 "
+            "(lags at peak +/- 2 with one sample of peak drift)"
+        )
+    w_chip = float(length) / float(cfg.chips_per_code)
+
     def gains(bw):
         # Second-order loop, update period = one chunk: proportional gain on
         # the (normalized, ~radian) error, integral gain in Hz per error unit.
@@ -340,11 +352,20 @@ def _build_track_block_fn(
         # so the vertex offset from the argmax is
         # (R+ - R-) / (2 (R0 - min(R+, R-))) in samples, with R = |corr|.
         mag = jnp.sqrt(power)
-        r0 = jnp.take_along_axis(mag, peak_idx[:, None], axis=-1)[:, 0]
-        rp = jnp.take_along_axis(mag, jnp.minimum(peak_idx + 1, n_lags - 1)[:, None], axis=-1)[:, 0]
-        rm = jnp.take_along_axis(mag, jnp.maximum(peak_idx - 1, 0)[:, None], axis=-1)[:, 0]
-        frac = (rp - rm) / (2.0 * (r0 - jnp.minimum(rp, rm)) + _EPS)
-        frac = jnp.clip(frac, -0.5, 0.5)
+        take = lambda off: jnp.take_along_axis(
+            mag, jnp.clip(peak_idx + off, 0, n_lags - 1)[:, None], axis=-1
+        )[:, 0]
+        r0 = take(0)
+        rp = take(1)
+        rm = take(-1)
+        if use_hrc:
+            # Double-delta zero crossing (multipath-resistant; see
+            # TrackingConfig.code_phase_measurement for the bias table).
+            frac = -w_chip * ((rm - rp) - 0.5 * (take(-2) - take(2))) / (r0 + _EPS)
+            frac = jnp.clip(frac, -1.5, 1.5)
+        else:
+            frac = (rp - rm) / (2.0 * (r0 - jnp.minimum(rp, rm)) + _EPS)
+            frac = jnp.clip(frac, -0.5, 0.5)
         code_phase_measured = jnp.mod(
             cp_int.astype(jnp.float32) + (peak_idx - k_half).astype(jnp.float32) + frac,
             float(length),
@@ -536,6 +557,13 @@ def _make_block_kernel_wrapper(cfg, length, fs, n_channels, input_offset=0.0):
     """Adapt the whole-block Pallas kernel (ops/pallas_track.py) to the
     TrackState/TrackBlockOutputs contract of the scan path."""
     from gypsum_tpu.ops import pallas_track as pt
+
+    if cfg.code_phase_measurement != "triangle":
+        raise ValueError(
+            "the legacy Pallas block tracker only implements the 'triangle' "
+            "code-phase measurement; use the matmul or scan tracker for "
+            f"{cfg.code_phase_measurement!r}"
+        )
 
     inner = pt.make_pallas_track_block_fn(cfg, length, fs, n_channels)
 
@@ -772,6 +800,24 @@ class TrackerBank:
         self._last_rescue_time[slot] = now
         self.rescue_counts[slot] += 1
         return True
+
+    def coast_override(self, slot: int, code_phase_samples: float, doppler_hz: float) -> None:
+        """Vector coast (deep-integration tier above rescue): drive a blocked
+        channel's code phase and Doppler open-loop from the navigation
+        solution's predicted geometry (runtime/receiver.py computes the
+        prediction; reference: no counterpart — gypsum can only drop and
+        reacquire, gypsum/receiver.py:248-267). Lock EMAs and the step
+        counter reset each application so the watchdog never re-fires on the
+        (noise-driven) discriminators while the signal is absent."""
+        self.sync_host_state()
+        s = self.state
+        s.code_phase[slot] = code_phase_samples % self.samples_per_prn
+        s.doppler[slot] = doppler_hz
+        s.ema_err[slot] = 0.0
+        s.ema_err_sq[slot] = 0.0
+        s.ema_quality[slot] = 0.0
+        s.step_count[slot] = 0
+        s.lost[slot] = False
 
     @property
     def active_slots(self) -> list[int]:

@@ -111,6 +111,19 @@ def make_matmul_track_block_fn(
     # exact and fast (CPU bf16 is emulated).
     mm_dtype = jnp.bfloat16 if cfg.matmul_tracker_bf16 else jnp.float32
 
+    use_hrc = cfg.code_phase_measurement == "hrc"
+    if cfg.code_phase_measurement not in ("triangle", "hrc"):
+        raise ValueError(
+            f"unknown code_phase_measurement {cfg.code_phase_measurement!r}"
+        )
+    if use_hrc and k_half < 3:
+        raise ValueError(
+            "code_phase_measurement='hrc' needs lag_window_half_width >= 3 "
+            "(lags at peak +/- 2 with one sample of peak drift)"
+        )
+    # Correlation triangle half-width in samples (= one chip).
+    w_chip = float(length) / float(cfg.chips_per_code)
+
     l_over_fs = (np.arange(length) / fs).astype(np.float32)  # [L]
 
     farm_idx = None
@@ -210,13 +223,22 @@ def make_matmul_track_block_fn(
         p0_i = jnp.take_along_axis(sel_i, peak_idx[:, None], axis=-1)[:, 0]
 
         mag = jnp.sqrt(power)
-        r0 = jnp.take_along_axis(mag, peak_idx[:, None], axis=-1)[:, 0]
-        rp = jnp.take_along_axis(
-            mag, jnp.minimum(peak_idx + 1, n_lags - 1)[:, None], axis=-1
+        take = lambda off: jnp.take_along_axis(
+            mag, jnp.clip(peak_idx + off, 0, n_lags - 1)[:, None], axis=-1
         )[:, 0]
-        rm = jnp.take_along_axis(mag, jnp.maximum(peak_idx - 1, 0)[:, None], axis=-1)[:, 0]
-        frac = (rp - rm) / (2.0 * (r0 - jnp.minimum(rp, rm)) + _EPS)
-        frac = jnp.clip(frac, -0.5, 0.5)
+        r0 = take(0)
+        rp = take(1)
+        rm = take(-1)
+        if use_hrc:
+            # Double-delta zero crossing (multipath-resistant; see
+            # TrackingConfig.code_phase_measurement for the bias table).
+            d1 = rm - rp  # |R(-1)| - |R(+1)|
+            d2 = take(-2) - take(2)
+            frac = -w_chip * (d1 - 0.5 * d2) / (r0 + _EPS)
+            frac = jnp.clip(frac, -1.5, 1.5)
+        else:
+            frac = (rp - rm) / (2.0 * (r0 - jnp.minimum(rp, rm)) + _EPS)
+            frac = jnp.clip(frac, -0.5, 0.5)
         code_phase_measured = jnp.mod(
             cp_int.astype(jnp.float32)
             + (peak_idx - k_half).astype(jnp.float32)
