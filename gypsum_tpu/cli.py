@@ -38,6 +38,13 @@ def _add_file_source_args(p: argparse.ArgumentParser) -> None:
                    help="excise narrowband interference (CW jammers, "
                         "harmonics) from each block with the STFT spectral "
                         "mask before processing (ops/interference.py)")
+    p.add_argument("--beamform", action="store_true",
+                   help="input is an [elements, samples] .npy antenna-array "
+                        "capture (synth --array-out): null jammers — "
+                        "including BROADBAND ones --notch cannot touch — "
+                        "with the blind power-inversion CRPA beamformer "
+                        "(ops/beamform.py), then process the single "
+                        "beamformed stream normally")
 
 
 PROCESSING_RATE = 2.046e6  # all signal processing runs at 2x the chip rate
@@ -114,6 +121,44 @@ def _open_source(args):
                 rate = float(json.loads(sidecar.read_text())["sample_rate"])
             else:
                 rate = PROCESSING_RATE
+        if iq.ndim == 2:
+            # [N_elements, T] antenna-array capture (synth --array-out).
+            if not getattr(args, "beamform", False):
+                raise SystemExit(
+                    f"{args.file} is an {iq.shape[0]}-element array capture; "
+                    "process it with --beamform (blind power-inversion CRPA, "
+                    "ops/beamform.py) or index one element out yourself"
+                )
+            from gypsum_tpu.ops.beamform import (
+                estimate_doa,
+                null_jammers,
+                spatial_covariance,
+            )
+
+            raw = iq
+            iq, w, supp = null_jammers(raw)
+            _logger.info(
+                "beamform: power-inversion weights over %d elements, "
+                "%.1f dB interference suppression (|w| = %s)",
+                len(w), supp, np.round(np.abs(w), 3).tolist(),
+            )
+            sidecar = pathlib.Path(args.file + ".json")
+            if supp > 3.0 and sidecar.exists():
+                meta = json.loads(sidecar.read_text())
+                if "elements_enu" in meta:
+                    # Locate what we just nulled (MUSIC over the unloaded
+                    # covariance): alerts with a BEARING.
+                    r = spatial_covariance(raw[:, :65536], diagonal_loading=0.0)
+                    for az, el, p_db in estimate_doa(
+                        r, np.asarray(meta["elements_enu"])
+                    ):
+                        _logger.warning(
+                            "interference bearing: azimuth %.0f deg, "
+                            "elevation %.0f deg (MUSIC peak %.0f dB)",
+                            az, el, p_db,
+                        )
+        elif getattr(args, "beamform", False):
+            raise SystemExit("--beamform needs a 2-D [elements, samples] .npy capture")
         source = ArraySampleSource(iq, rate)
     else:
         if getattr(args, "format", None):
@@ -536,6 +581,46 @@ def cmd_synth(args) -> int:
                    f" drift {args.rover_clock_drift:g})")
         print(f"wrote rover capture {args.rover_out} at ENU offset "
               f"({de}, {dn}, {du}) m{clk}")
+    if args.array_out:
+        # [N_elements, T] CRPA capture of the same scene, optionally with an
+        # arrayed (direction-bearing) jammer (signal/array.py).
+        from gypsum_tpu.signal.array import (
+            ArrayJammer,
+            square_array_enu,
+            synthesize_array,
+        )
+
+        if args.sbas:
+            raise SystemExit("--array-out models the GPS constellation only "
+                             "(GEO direction synthesis not wired); drop --sbas")
+        jam = None
+        if args.jam:
+            try:
+                az, el = (float(x) for x in args.jam_azel.split(","))
+            except ValueError:
+                raise SystemExit(f'--jam-azel expects "az,el" deg, got {args.jam_azel!r}')
+            jam = ArrayJammer(azimuth_deg=az, elevation_deg=el,
+                              amplitude=args.jam, kind=args.jam_kind)
+        elements = square_array_enu(
+            *( [args.array_spacing] if args.array_spacing else [] )
+        )
+        arr, _ = synthesize_array(
+            sats, rx, start_sow, args.duration, args.rate,
+            elements_enu=elements, noise_sigma=args.noise, jammer=jam,
+            tropo=not args.no_tropo,
+        )
+        if not args.array_out.endswith(".npy"):
+            raise SystemExit("--array-out must be a .npy path (2-D capture)")
+        np.save(args.array_out, arr)
+        with open(args.array_out + ".json", "w") as f:
+            json.dump({"sample_rate": args.rate, "dtype": "complex64",
+                       "elements": len(elements),
+                       "elements_enu": elements.tolist()}, f)
+        jam_note = (f", {args.jam_kind} jammer amp {args.jam} from "
+                    f"({args.jam_azel}) deg" if jam else "")
+        print(f"wrote {len(elements)}-element array capture {args.array_out}"
+              f"{jam_note}")
+
     if args.glonass_out:
         # The same scene's GLONASS L1OF band (a second front end at
         # 1602 MHz): FDMA channels from the demo look set, plus a residual
@@ -886,6 +971,23 @@ def main(argv=None) -> int:
                    help="GPS seconds-of-week of the scene start (default "
                    "21600; --glonass-out defaults to 21618 so a GLONASS "
                    "frame boundary lands at t=0)")
+    p.add_argument("--array-out", default=None, metavar="PATH",
+                   help="also write an [elements, samples] .npy antenna-array "
+                        "capture of the scene (signal/array.py) — the input "
+                        "for `acquire/replay --beamform` CRPA jammer nulling")
+    p.add_argument("--array-spacing", type=float, default=None, metavar="M",
+                   help="array element spacing in meters (default L1 "
+                        "half-wavelength, ~0.095 m; 4-element square)")
+    p.add_argument("--jam", type=float, default=None, metavar="AMPLITUDE",
+                   help="arrayed interferer amplitude entering --array-out "
+                        "(kind/direction below); unlike --cw this one has a "
+                        "DIRECTION, so the CRPA can null it")
+    p.add_argument("--jam-kind", default="noise", choices=("noise", "cw"),
+                   help="arrayed interferer kind: broadband noise (the kind "
+                        "--notch cannot excise) or a CW tone")
+    p.add_argument("--jam-azel", default="135,5", metavar="AZ,EL",
+                   help="arrayed interferer direction (deg az clockwise from "
+                        "north, deg elevation; default a terrestrial 135,5)")
     p.add_argument("--glonass-out", default=None, metavar="PATH",
                    help="also write the scene's GLONASS L1OF band (a second "
                    "front end at 1602 MHz) to this path")

@@ -66,13 +66,24 @@ class BitIntegrator:
     # ------------------------------------------------------------- scoring
 
     def _score_phases(self) -> np.ndarray:
-        sym = np.asarray(self._history[-self._history_len :], dtype=np.int32)
+        """Mean |sum of SPB symbols| / SPB at every candidate phase.
+
+        One cumulative sum gives every SPB-symbol window sum at once; phase
+        p's bit sums are the windows starting at p, p+SPB, ... — identical
+        values to the per-phase roll/reshape loop (including its wraparound
+        of the final bit) at ~1/60th the cost, which matters because the
+        periodic re-score is the integrator's safety net against a
+        confidently-wrong early phase pick and must stay cheap enough to
+        run every second forever."""
+        sym = np.asarray(self._history[-self._history_len :], dtype=np.int64)
         n_bits = len(sym) // SPB
-        scores = np.empty(SPB, dtype=np.float64)
-        for phase in range(SPB):
-            rolled = np.roll(sym, -phase)[: n_bits * SPB].reshape(n_bits, SPB)
-            scores[phase] = np.abs(rolled.sum(axis=1)).mean() / SPB
-        return scores
+        # np.roll wraps: phase p's last bit reads up to p + n_bits*SPB - 1
+        # >= len(sym), folding onto the window's first SPB-1 symbols.
+        ext = np.concatenate([sym, sym[: SPB - 1]])
+        c = np.concatenate([[0], np.cumsum(ext)])
+        window_sums = c[SPB:] - c[:-SPB]  # [len(ext)-SPB+1] = [len(sym)]
+        idx = np.arange(SPB)[:, None] + SPB * np.arange(n_bits)[None, :]
+        return np.abs(window_sums[idx]).mean(axis=1) / SPB
 
     def _redetermine_bit_phase(self) -> int | None:
         if len(self._history) < self._min_history:
@@ -100,6 +111,11 @@ class BitIntegrator:
         return best
 
     def _should_resync(self) -> bool:
+        # NOTE: do NOT gate the periodic trigger on recent-bit health — a
+        # WRONG phase over a low-transition bit stretch decodes "clean"
+        # bits with offset edges (ms-level tick-anchor slips downstream),
+        # and the periodic re-score with a longer history is exactly what
+        # corrects it. The re-score is cheap now (_score_phases cumsum).
         cfg = self.config
         if self.processed_count % self._resync_period == 0:
             return True

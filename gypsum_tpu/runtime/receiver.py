@@ -344,11 +344,26 @@ class Receiver:
                 blk = (head[..., 0] + 1j * head[..., 1]).astype(np.complex64)
             else:
                 blk = block[:n]
+            from gypsum_tpu.core.constants import GPS_L1_FREQUENCY_HZ
+
+            # The record's code phase is the END of the last COLLECTED
+            # block; in pipelined mode that is a full block behind this
+            # scan's samples, and code-Doppler drift (~4 samples/s at 3 kHz
+            # Doppler) would displace the true peak outside the scan's
+            # tracked-peak exclusion window — flagging the SV's own signal
+            # as a vestigial (false spoofing alarm on every clean pipelined
+            # replay). Project each delay forward over the staleness.
+            stale_s = (
+                block_start - self.bank._pending[0][2]
+                if self.bank._pending else 0.0
+            )
             tracked = {}
             for prn in self.pipelines:
                 rec = self.world._sats.get(prn)
                 if rec is not None and rec.doppler_hz is not None:
-                    cp = (rec.code_phase_delay_s * self.sample_rate) % self.samples_per_prn
+                    f_car = self._channel_carrier_hz.get(prn, GPS_L1_FREQUENCY_HZ)
+                    delay = rec.code_phase_delay_s - rec.doppler_hz / f_car * stale_s
+                    cp = (delay * self.sample_rate) % self.samples_per_prn
                     tracked[prn] = (cp, rec.doppler_hz)
             if tracked:
                 alerts = self.spoofing.vestigial_scan(

@@ -79,6 +79,11 @@ class ConstellationSatellite:
     # broadcast clock model — the receiver's pseudorange comes out SHORT by
     # this much until an SBAS GEO's MT2 PRC (= +this value) corrects it.
     unmodeled_clock_error_m: float = 0.0
+    # Constant extra carrier phase (rad) on this satellite's signal: the
+    # per-element wavefront phase of an antenna-array capture
+    # (signal/array.py) — d . u / lambda for element offset d and satellite
+    # direction u. Zero for single-antenna scenes.
+    extra_carrier_phase_rad: float = 0.0
 
 
 @dataclass
@@ -630,7 +635,11 @@ def synthesize_constellation(
             # every satellite (consistent with the fast sampler above); a
             # GLONASS satellite additionally rides its FDMA offset f_off.
             cycles = f_off * r - f_car * (tau_ph + receiver_clock_drift * r)
-            phase = 2.0 * np.pi * (cycles - np.round(cycles)) + phase_extra
+            phase = (
+                2.0 * np.pi * (cycles - np.round(cycles))
+                + phase_extra
+                + getattr(sat, "extra_carrier_phase_rad", 0.0)
+            )
             out[lo:hi] += (
                 sat.amplitude * amp_factor * vis * chips * data * np.exp(1j * phase)
             ).astype(np.complex64)

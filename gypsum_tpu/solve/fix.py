@@ -45,6 +45,13 @@ def solve_position(
         step, *_ = np.linalg.lstsq(jacobian, -residuals, rcond=None)
         pos += step[:3]
         bias += step[3]
+        # Converged (quadratic convergence makes further iterations exact
+        # no-ops at f64): sub-0.1 mm position AND clock step. A warm start
+        # from the previous fix lands here in 2-3 iterations instead of
+        # riding out all 20 — the fix is attempted every block, so this is
+        # real serial host time.
+        if np.abs(step[:3]).max() < 1e-4 and abs(step[3]) * C < 1e-4:
+            break
     return pos, bias
 
 
@@ -98,6 +105,8 @@ def solve_position_multi(
         step, *_ = np.linalg.lstsq(jacobian, -residuals, rcond=None)
         pos += step[:3]
         biases += step[3:]
+        if np.abs(step[:3]).max() < 1e-4 and np.abs(step[3:]).max() * C < 1e-4:
+            break  # converged (see solve_position)
     return pos, biases
 
 

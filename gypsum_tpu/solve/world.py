@@ -1015,6 +1015,14 @@ class WorldModel:
         cfg = self.config
         sat_pos = np.empty((len(prns), 3))
         transit = np.empty(len(prns))
+        # Atmospheric-correction geometry shared by every row this round
+        # (ecef_to_lla per SV per round was ~15% of the fix cost).
+        correct_atmo = np.linalg.norm(pos_est) > 6.0e6 and (
+            cfg.apply_tropo_correction
+            or (cfg.apply_iono_correction and self.iono_utc is not None)
+        )
+        if correct_atmo:
+            lat_u, lon_u, alt_u = ecef_to_lla(pos_est)
         for i, prn in enumerate(prns):
             rec = self._sats[prn]
             sv_tow = self.observed_sv_time_of_week(prn)
@@ -1058,13 +1066,9 @@ class WorldModel:
             # - Klobuchar ionosphere (solve/iono.py), once subframe 4
             #   page 18 has been decoded;
             # - Saastamoinen troposphere (solve/tropo.py), model-only.
-            if np.linalg.norm(pos_est) > 6.0e6 and (
-                cfg.apply_tropo_correction
-                or (cfg.apply_iono_correction and self.iono_utc is not None)
-            ):
+            if correct_atmo:
                 from gypsum_tpu.solve.geodesy import elevation_azimuth
 
-                lat_u, lon_u, alt_u = ecef_to_lla(pos_est)
                 el, az = elevation_azimuth(pos_est, sat_pos[i])
                 if cfg.apply_iono_correction and self.iono_utc is not None:
                     from gypsum_tpu.solve.iono import klobuchar_delay_s
@@ -1102,8 +1106,14 @@ class WorldModel:
         # Single-constellation epoch (all-GPS/SBAS or all-GLONASS): one
         # clock unknown; the integer-ms repair machinery applies unchanged
         # (both code periods are 1 ms).
-        pos = np.zeros(3)
+        # Warm-start from the previous fix: round 0 then runs with valid
+        # atmospheric-correction geometry and Newton converges in 2-3
+        # iterations (a cold start keeps the uncorrected round-0 behavior).
+        # The seed only affects iteration count — the full-rank geometry
+        # pulls any terrestrial seed to the same solution.
+        pos = self.position_fixes[-1].ecef.copy() if self.position_fixes else np.zeros(3)
         bias = 0.0
+        prev_pos = None
         for _ in range(cfg.outer_rounds):
             sat_pos, transit = self._measurement_set(receiver_timestamp, prns, pos)
             pos, bias = solve_position(
@@ -1127,6 +1137,20 @@ class WorldModel:
             # Each round folds the solved bias back into the clock slide
             # (reference: gypsum/world_model.py:631).
             self.receiver_clock_slide -= bias
+            # The outer rounds exist to re-derive the measurement set
+            # (atmospheric geometry, tick rebuild) under the updated
+            # position/slide; once a round moves the solution under a
+            # millimeter with no millisecond repair, the remaining rounds
+            # are exact no-ops — stop paying for them (the fix runs every
+            # block, so this is real serial host time).
+            if (
+                prev_pos is not None
+                and np.array_equal(repaired, transit)
+                and float(np.linalg.norm(pos - prev_pos)) < 1e-3
+                and abs(bias) * C < 1e-3
+            ):
+                break
+            prev_pos = pos.copy()
         lat, lon, alt = ecef_to_lla(pos)
         velocity, drift = self._solve_velocity(prns, pos, sat_pos)
         dop = dilution_of_precision(sat_pos, pos)
@@ -1175,8 +1199,9 @@ class WorldModel:
         )
         if len(prns) < 5:
             return None  # 5 unknowns
-        pos = np.zeros(3)
+        pos = self.position_fixes[-1].ecef.copy() if self.position_fixes else np.zeros(3)
         biases = np.zeros(2)
+        prev_pos = None
         for _ in range(cfg.outer_rounds):
             # _measurement_set already subtracts the STORED inter-system
             # bias from GLONASS rows, so each round solves residuals.
@@ -1192,6 +1217,13 @@ class WorldModel:
             # pseudoranges (its single clock state models GPS only).
             self.receiver_clock_slide -= biases[0]
             self.glonass_bias_s += float(biases[1] - biases[0])
+            if (
+                prev_pos is not None
+                and float(np.linalg.norm(pos - prev_pos)) < 1e-3
+                and float(np.abs(biases).max()) * C < 1e-3
+            ):
+                break  # converged (see _compute_position)
+            prev_pos = pos.copy()
         onehot_b = biases[system_of]
         ranges = np.linalg.norm(sat_pos - pos[None, :], axis=1)
         r = C * (transit - onehot_b) - ranges

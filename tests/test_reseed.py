@@ -96,9 +96,15 @@ def test_outage_recovery_without_redecoding():
     iq, _ = synthesize_constellation(
         sats, truth, DEMO_GPS_START_SOW, 36.0, fs, noise_sigma=0.25,
     )
+    # coast_enabled=False: the vector-coast tier (tests/test_coast.py) would
+    # hold this channel open-loop through the obstruction and never drop it
+    # at all — strictly better, but THIS test pins the fallback path that
+    # still matters when coast cannot engage (no recent fix / coast timeout):
+    # drop -> reacquire -> geometry-seeded time base.
     cfg = ReceiverConfig(
         tracking=TrackingConfig(watchdog_warmup_ms=1500,
-                                quality_drop_threshold=0.25),
+                                quality_drop_threshold=0.25,
+                                coast_enabled=False),
         acquisition=AcquisitionConfig(scan_period_s=2.0),
     )
     recv = Receiver(ArraySampleSource(iq, fs), cfg, eligible_prns=prns)
