@@ -506,14 +506,14 @@ class Receiver:
         self, obs: ChannelObservation, block_start: float, block_ms: int, report: BlockReport
     ) -> None:
         pipe = self.pipelines[obs.prn]
+        if pipe.coast_started is not None:  # any family coasts the same way
+            self._process_coasting_channel(obs, block_start, block_ms, report, pipe)
+            return
         if pipe.glonass is not None:
             self._process_glonass_channel(obs, block_start, block_ms, report, pipe)
             return
         if pipe.sbas is not None:
             self._process_sbas_channel(obs, block_start, block_ms, report, pipe)
-            return
-        if pipe.coast_started is not None:
-            self._process_coasting_channel(obs, block_start, block_ms, report, pipe)
             return
         lost = obs.lost
         subframe_edges: list[tuple[float, EmitSubframeEvent]] = []
@@ -610,19 +610,41 @@ class Receiver:
         if float(obs.quality[-1]) >= cfg.rescue_quality_threshold:
             return False
         t0, cp0_s, fd0 = pipe.last_good
-        rr0 = self.world.predicted_range_and_rate(obs.prn, t0)
-        if rr0 is None:
-            return False
+        if self.world.predicted_range_and_rate(obs.prn, t0) is None:
+            return False  # no orbit / fix / slide to coast on
         fix = self.world.position_fixes[-1]
         if t_end - fix.receiver_timestamp > self.config.solver.geometry_reseed_max_fix_age_s:
             return False
         pipe.coast_started = t_end
-        pipe.coast_anchor = (t0, cp0_s, fd0, rr0[0], rr0[1])
-        # Fresh decode stacks: the queued noise symbols are garbage, and a
-        # clean restart resyncs in ~1-2 s of recovered signal.
-        pipe.integrator = BitIntegrator(self.config.nav)
-        pipe.decoder = SubframeDecoder(self.config.nav)
-        vals = self._apply_coast_state(obs.prn, pipe, t_end)
+        # Anchor holds ONLY the measured channel state; the geometry at t0
+        # is re-evaluated under the CURRENT fix at every apply, so both ends
+        # of the range delta share one model and fix errors cancel. (The
+        # original design froze (rho0, rate0) at entry — computed from the
+        # fix polluted by this very channel's corrupt dying-signal
+        # pseudorange, whose garbage velocity estimate biased the anchored
+        # range rate by ~15 m/s = a +78 Hz Doppler override no PLL pulls
+        # in from.)
+        pipe.coast_anchor = (t0, cp0_s, fd0)
+        # Fresh decode stacks (family-appropriate): the queued noise symbols
+        # are garbage, and a clean restart resyncs within seconds of
+        # recovered signal.
+        if pipe.glonass is not None:
+            from gypsum_tpu.nav.glonass import GlonassStringDecoder
+
+            pipe.glonass = GlonassStringDecoder()
+        elif pipe.sbas is not None:
+            from gypsum_tpu.nav.sbas import SbasFrameDecoder
+
+            pipe.sbas = SbasFrameDecoder(obs.prn)
+        else:
+            pipe.integrator = BitIntegrator(self.config.nav)
+            pipe.decoder = SubframeDecoder(self.config.nav)
+        # In pipelined mode the in-flight block(s) run on the pre-edit
+        # carry: predict for the instant the NEXT dispatch will start
+        # (code-Doppler drift is samples-per-block — a one-block-stale
+        # override puts the peak outside the lag window).
+        t_apply = t_end + self.bank.pending_ms * 1e-3
+        vals = self._apply_coast_state(obs.prn, pipe, t_apply)
         if vals is None:  # raced a fix invalidation; fall back to drop
             pipe.coast_started = None
             pipe.coast_anchor = None
@@ -634,15 +656,17 @@ class Receiver:
         )
         return True
 
-    def _apply_coast_state(self, prn: int, pipe: _ChannelPipeline,
-                           t: float) -> tuple[float, float] | None:
-        """Set the channel's code phase / Doppler to the coast prediction at
-        stream time ``t``; returns (delay_s, doppler_hz) or None when the
-        prediction is unavailable."""
-        t0, cp0_s, fd0, rho0, rate0 = pipe.coast_anchor
+    def _coast_prediction(self, prn: int, pipe: _ChannelPipeline,
+                          t: float) -> tuple[float, float] | None:
+        """Predicted (sub-ms delay s, Doppler Hz) of a coasting channel at
+        stream time ``t``. Both epochs of the geometry delta are evaluated
+        under the CURRENT fix (see _enter_coast's anchor note)."""
+        t0, cp0_s, fd0 = pipe.coast_anchor
+        rr0 = self.world.predicted_range_and_rate(prn, t0)
         rr = self.world.predicted_range_and_rate(prn, t)
-        if rr is None:
+        if rr is None or rr0 is None:
             return None
+        rho0, rate0 = rr0
         from gypsum_tpu.core.constants import (
             GPS_L1_FREQUENCY_HZ,
             SPEED_OF_LIGHT_M_PER_S,
@@ -651,10 +675,18 @@ class Receiver:
         f_car = self._channel_carrier_hz.get(prn, GPS_L1_FREQUENCY_HZ)
         delay_s = (cp0_s + (rr[0] - rho0) / SPEED_OF_LIGHT_M_PER_S) % 1e-3
         doppler = fd0 - (rr[1] - rate0) * f_car / SPEED_OF_LIGHT_M_PER_S
-        self.bank.coast_override(
-            pipe.slot, delay_s * self.sample_rate, doppler
-        )
         return delay_s, doppler
+
+    def _apply_coast_state(self, prn: int, pipe: _ChannelPipeline,
+                           t: float) -> tuple[float, float] | None:
+        """Drive the channel's NCOs to the coast prediction at ``t`` = the
+        instant the NEXT dispatched block will start."""
+        vals = self._coast_prediction(prn, pipe, t)
+        if vals is not None:
+            self.bank.coast_override(
+                pipe.slot, vals[0] * self.sample_rate, vals[1]
+            )
+        return vals
 
     def _process_coasting_channel(
         self,
@@ -681,10 +713,12 @@ class Receiver:
             pipe.coast_started = None
             pipe.coast_anchor = None
             self.world.end_coast(prn)
-            cp_delay, doppler = self._block_end_observables(obs)
+            f_car = self._channel_carrier_hz.get(prn)
+            cp_delay, doppler = self._block_end_observables(obs, carrier_hz=f_car)
             self.world.handle_channel_block(
                 prn, cp_delay, doppler, block_ms,
                 cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
+                carrier_hz=f_car,
             )
             self.world.handle_prn_observed(
                 prn, cp_delay, count=block_ms, doppler_hz=doppler
@@ -707,13 +741,17 @@ class Receiver:
             self._drop_satellite(prn, report)
             return
 
-        vals = self._apply_coast_state(prn, pipe, t_end)
-        if vals is None:
+        if self._apply_coast_state(
+            prn, pipe, t_end + self.bank.pending_ms * 1e-3
+        ) is None:
             self._drop_satellite(prn, report)
             return
-        delay_s, doppler = vals
-        # Predicted observables keep the tick time base anchored; C/N0 comes
-        # from the real (faded) prompts so metrics show the outage.
+        # World-model observables are evaluated at the PROCESSED block's end
+        # (the override above targets the next dispatch instead, which in
+        # pipelined mode is later). Predicted observables keep the tick time
+        # base anchored; C/N0 comes from the real (faded) prompts so metrics
+        # show the outage.
+        delay_s, doppler = self._coast_prediction(prn, pipe, t_end)
         self.world.handle_channel_block(
             prn, delay_s, doppler, block_ms,
             cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
@@ -834,8 +872,13 @@ class Receiver:
             self.world.handle_prn_observed(
                 obs.prn, cp_delay, count=block_ms - consumed, doppler_hz=doppler
             )
+        if not obs.lost and float(obs.quality[-1]) >= self.config.tracking.rescue_quality_threshold:
+            pipe.last_good = (block_start + block_ms * 1e-3, cp_delay, doppler)
         if obs.lost:
-            self._drop_satellite(obs.prn, report)
+            if self._enter_coast(obs, pipe, block_start + block_ms * 1e-3):
+                report.coasting_prns.append(obs.prn)
+            else:
+                self._drop_satellite(obs.prn, report)
         elif self.bank.maybe_rescue(obs, block_start + block_ms * 1e-3):
             report.rescued_prns.append(obs.prn)
             _logger.info(
@@ -884,8 +927,13 @@ class Receiver:
             self.world.handle_prn_observed(
                 obs.prn, cp_delay, count=block_ms - consumed, doppler_hz=doppler
             )
+        if not obs.lost and float(obs.quality[-1]) >= self.config.tracking.rescue_quality_threshold:
+            pipe.last_good = (block_start + block_ms * 1e-3, cp_delay, doppler)
         if obs.lost:
-            self._drop_satellite(obs.prn, report)
+            if self._enter_coast(obs, pipe, block_start + block_ms * 1e-3):
+                report.coasting_prns.append(obs.prn)
+            else:
+                self._drop_satellite(obs.prn, report)
         elif self.bank.maybe_rescue(obs, block_start + block_ms * 1e-3):
             report.rescued_prns.append(obs.prn)
             _logger.info(

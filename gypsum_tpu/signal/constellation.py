@@ -101,6 +101,8 @@ class GlonassSatellite:
     amplitude: float = 0.2
     visible_from_s: float | None = None
     visible_until_s: float | None = None
+    # Obstruction windows [start, end) s — the signal RETURNS (vector coast).
+    blocked_s: list = field(default_factory=list)
 
     @property
     def prn(self) -> int:
@@ -146,6 +148,8 @@ class SbasGeoSatellite:
     mt9_every: int = 4
     visible_from_s: float | None = None
     visible_until_s: float | None = None
+    # Obstruction windows [start, end) s — the signal RETURNS (vector coast).
+    blocked_s: list = field(default_factory=list)
     # Fast corrections to broadcast: GPS PRN -> PRC meters (DO-229 MT1 mask
     # + MT2 every other second). Pair with ConstellationSatellite
     # .unmodeled_clock_error_m on the corrected SVs: PRC = +that value.

@@ -674,8 +674,15 @@ class WorldModel:
         if self.receiver_clock_slide is None or not self.position_fixes:
             return None
         fix = self.position_fixes[-1]
+        # A moving receiver changes the range too (30 m/s over a 5 s coast
+        # is ~1 sample of code phase): propagate the fix position along its
+        # own solved velocity when the fix carries one.
+        vel = getattr(fix, "velocity_ecef_mps", None)
 
         def range_at(ts: float) -> float:
+            rx = fix.ecef
+            if vel is not None:
+                rx = rx + np.asarray(vel) * (ts - fix.receiver_timestamp)
             arrival = self.receiver_clock_slide + ts
             sv_tow = arrival - 0.072
             rng = 0.0
@@ -683,7 +690,7 @@ class WorldModel:
                 pos = rec.sv_position(
                     sv_tow, kepler_iterations=self.config.kepler_iterations
                 )
-                rng = float(np.linalg.norm(pos - fix.ecef))
+                rng = float(np.linalg.norm(pos - rx))
                 sv_tow = arrival - rng / C
             return rng
 

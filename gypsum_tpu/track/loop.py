@@ -872,6 +872,13 @@ class TrackerBank:
     def pending_blocks(self) -> int:
         return len(self._pending)
 
+    @property
+    def pending_ms(self) -> int:
+        """Milliseconds of signal dispatched but not yet collected — the
+        staleness any host edit of the carry suffers before taking effect
+        (the in-flight blocks run on the pre-edit state)."""
+        return sum(b for _, b, _, _ in self._pending)
+
     def collect_block(self) -> tuple[float, int, list[ChannelObservation]]:
         """Fetch and unpack the OLDEST dispatched block. Returns
         (block_start_time, n_ms, observations) — observations reflect the

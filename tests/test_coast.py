@@ -97,6 +97,53 @@ def test_fixes_exclude_coasting_satellite(coast_run):
     assert float(np.linalg.norm(last.ecef - RX)) < 15.0
 
 
+def test_glonass_channel_coasts_and_recovers():
+    """The coast tier is constellation-agnostic: a GLONASS FDMA channel
+    obstructed for 5 s must coast (no drop, no reacquisition) and resume
+    ranging after the signal returns — the string decoder restarts and the
+    aged time base is geometry-reseeded."""
+    from gypsum_tpu.core.config import ReceiverConfig, TrackingConfig
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GLONASS_SAMPLE_RATE as GLO_FS,
+        demo_glonass_constellation,
+        demo_receiver_ecef,
+    )
+
+    start_sow = 21618.0  # GLONASS frame boundary at t=0
+    rx = demo_receiver_ecef()
+    sats = demo_glonass_constellation([-2, -1, 0, 1, 2])
+    blocked = (14.0, 19.0)
+    sats[-1].blocked_s = [blocked]
+    victim = sats[-1].prn
+    iq, _ = synthesize_constellation(
+        sats, rx, start_sow, 27.0, GLO_FS, noise_sigma=0.25,
+        glonass_time_offset_s=8e-7,
+    )
+    cfg = ReceiverConfig(
+        tracking=TrackingConfig(watchdog_warmup_ms=1500,
+                                quality_drop_threshold=0.25),
+    )
+    recv = Receiver(ArraySampleSource(iq, GLO_FS), cfg, band="glonass")
+    reports = recv.run()
+
+    assert not any(victim in r.dropped_prns for r in reports)
+    coasting = [r.block_start for r in reports if victim in r.coasting_prns]
+    assert coasting and blocked[0] <= min(coasting) <= blocked[1] + 1.0
+    recovered = [r.block_start for r in reports
+                 if victim in r.coast_recovered_prns]
+    assert recovered, "GLONASS coast never detected the signal's return"
+    acquired = [h.prn for r in reports for h in r.newly_acquired]
+    assert acquired.count(victim) == 1
+    # Back in a fix within a few seconds of recovery.
+    fixes = recv.world.position_fixes
+    back = [f.receiver_timestamp for f in fixes
+            if victim in f.satellites_used
+            and f.receiver_timestamp > min(recovered)]
+    assert back, "victim never returned to the fix"
+    assert min(back) <= min(recovered) + 4.0
+    assert float(np.linalg.norm(fixes[-1].ecef - rx)) < 15.0
+
+
 def test_coast_predictions_stay_aligned(coast_run):
     """The open-loop code phase must stay within ~a sample of where the
     closed-loop track resumes: compare the last coasted block's delay
