@@ -674,6 +674,31 @@ class TrackerBank:
             [reps, reps, reps[:, : 2 * k]], axis=1
         ).astype(np.float32)  # [N, 2L + 2K]
         self.state = fresh_state(n_channels)
+        # Pack the 11 per-ms output fields into ONE device buffer before the
+        # host fetch: on this environment's TPU tunnel device_get pays a
+        # large PER-ARRAY round-trip cost (measured 103 ms/block for the 11
+        # separate [B, S] fields vs ~bandwidth-bound for one [11, B, S]
+        # buffer) — the single biggest term in end-to-end replay wall time.
+        # CPU gains nothing (fetch is a memcpy), so only the TPU backend
+        # packs.
+        self._pack_outputs = jax.default_backend() == "tpu"
+        self._pack_fn = jax.jit(
+            lambda o: jnp.stack(
+                [
+                    o.prompt_i,
+                    o.prompt_q,
+                    o.code_phase,
+                    o.code_phase_measured,
+                    o.doppler,
+                    o.carrier_phase,
+                    o.pll_error,
+                    o.dll_error,
+                    o.locked.astype(jnp.float32),
+                    o.quality,
+                    o.lost.astype(jnp.float32),
+                ]
+            )
+        )
         self.slot_prn: list[int | None] = [None] * n_channels
         self._last_rescue_time = np.full(n_channels, -np.inf)
         self.rescue_counts = np.zeros(n_channels, dtype=int)
@@ -864,6 +889,8 @@ class TrackerBank:
             planes = samples_block
         state_cols, outs = self._fn(state_in, jnp.asarray(planes), replicas)
         self._device_state = state_cols
+        if self._pack_outputs:
+            outs = self._pack_fn(outs)  # one [11, B, S] buffer, one fetch
         self._pending.append(
             (outs, samples_block.shape[0], block_start_time, list(self.slot_prn))
         )
@@ -886,7 +913,16 @@ class TrackerBank:
         if not self._pending:
             raise RuntimeError("no dispatched block to collect")
         outs_dev, b, block_start_time, slot_prn = self._pending.pop(0)
-        outs = TrackBlockOutputs(*(np.asarray(a).T for a in jax.device_get(outs_dev)))
+        if self._pack_outputs:
+            raw = np.asarray(jax.device_get(outs_dev))  # [11, B, S]
+            t = [raw[i].T for i in range(11)]
+            outs = TrackBlockOutputs(
+                *t[:8], t[8] > 0.5, t[9], t[10] > 0.5
+            )
+        else:
+            outs = TrackBlockOutputs(
+                *(np.asarray(a).T for a in jax.device_get(outs_dev))
+            )
         return block_start_time, b, self._build_observations(outs, b, block_start_time, slot_prn)
 
     def process_block(self, samples_block: np.ndarray, block_start_time: float) -> list[ChannelObservation]:

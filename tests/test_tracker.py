@@ -168,3 +168,34 @@ def test_tracks_sbas_prn_with_2ms_symbols():
     agreement = np.mean(settled == expect)
     assert max(agreement, 1 - agreement) > 0.99, f"agreement={agreement}"
     assert bool(all_obs[-1].locked[-1])
+
+
+def test_packed_output_fetch_parity():
+    """The TPU backend packs the 11 per-ms output fields into one device
+    buffer before the host fetch (TrackerBank._pack_outputs — one transfer
+    instead of eleven on a high-latency link). Forcing the pack on CPU must
+    reproduce the unpacked observations exactly."""
+    import numpy as np
+
+    from gypsum_tpu.core.config import TrackingConfig
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+    from gypsum_tpu.track.loop import TrackerBank
+
+    fs, L, B = 2.046e6, 2046, 32
+    sat = SyntheticSatellite(prn=7, doppler_hz=900.0, delay_samples=321,
+                             amplitude=0.3)
+    iq = synthesize_iq([sat], B * L, fs, noise_sigma=0.25, seed=3).reshape(B, L)
+
+    def run(pack):
+        bank = TrackerBank(fs, L, TrackingConfig(block_size_ms=B), n_channels=2)
+        bank._pack_outputs = pack
+        bank.assign(prn=7, doppler_hz=900.0, code_phase_samples=321,
+                    carrier_phase_rad=0.1)
+        return bank.process_block(iq, block_start_time=0.0)[0]
+
+    a, b = run(False), run(True)
+    for name in ("pseudosymbol_signs", "prompts", "code_phases",
+                 "code_phases_measured", "dopplers", "carrier_phases",
+                 "pll_errors", "dll_errors", "locked", "quality"):
+        np.testing.assert_array_equal(getattr(a, name), getattr(b, name), err_msg=name)
+    assert a.lost == b.lost
