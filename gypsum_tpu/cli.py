@@ -297,6 +297,13 @@ def cmd_replay(args) -> int:
         if args.rinex_obs:
             receiver.add_block_listener(rinex_writer.on_block)
 
+    nmea_writer = None
+    if getattr(args, "nmea_out", None):
+        from gypsum_tpu.obs.nmea import NmeaWriter
+
+        nmea_writer = NmeaWriter(path=args.nmea_out)
+        receiver.add_block_listener(nmea_writer.on_block)
+
     def narrate(recv, report):
         for hit in report.newly_acquired:
             print(f"[{report.block_start:8.1f}s] acquired PRN {hit.prn}: "
@@ -379,6 +386,10 @@ def cmd_replay(args) -> int:
                     eph, base_week=config.solver.gps_epoch_base_week_number))
             print(f"wrote RINEX navigation: {args.rinex_nav} "
                   f"({len(eph)} ephemerides)")
+    if nmea_writer is not None:
+        nmea_writer.close()
+        print(f"wrote NMEA log: {args.nmea_out} "
+              f"({nmea_writer.n_fixes} fixes, {len(nmea_writer.lines)} sentences)")
     print(f"processed {source.seconds_consumed:.1f}s; "
           f"{receiver.subframe_count} subframes; "
           f"{len(receiver.world.position_fixes)} fixes")
@@ -902,6 +913,9 @@ def main(argv=None) -> int:
                    "alone, a GLONASS-only replay")
     p.add_argument("--glonass-rate", type=float, default=None,
                    help="GLONASS capture sample rate (else sidecar; 4.092e6 for .npy)")
+    p.add_argument("--nmea-out", default=None, metavar="PATH",
+                   help="stream NMEA 0183 sentences (GGA/GSA/RMC/VTG/GSV/ZDA"
+                        " per fix) to PATH, line-buffered (obs/nmea.py)")
     p.add_argument("--rinex-nav", default=None, metavar="PATH",
                    help="export decoded broadcast ephemerides as RINEX 3.04 NAV")
     p.set_defaults(fn=cmd_replay)

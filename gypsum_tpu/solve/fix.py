@@ -126,10 +126,19 @@ def dilution_of_precision(
         # Degenerate geometry (e.g. all satellites on one cone): the DOP is
         # unbounded; report infinities rather than failing the fix.
         inf = float("inf")
-        return {"gdop": inf, "pdop": inf, "tdop": inf}
+        return {"gdop": inf, "pdop": inf, "tdop": inf,
+                "hdop": inf, "vdop": inf}
     d = np.diag(q)
+    # Horizontal/vertical split: rotate the position block of the cofactor
+    # into the local ENU frame (NMEA's GGA/GSA report HDOP/VDOP, not PDOP).
+    from gypsum_tpu.solve.geodesy import enu_basis
+
+    r = enu_basis(receiver_ecef)  # rows = east, north, up
+    q_enu = r @ q[:3, :3] @ r.T
     return {
         "gdop": float(np.sqrt(d.sum())),
         "pdop": float(np.sqrt(d[:3].sum())),
         "tdop": float(np.sqrt(d[3])),
+        "hdop": float(np.sqrt(max(q_enu[0, 0] + q_enu[1, 1], 0.0))),
+        "vdop": float(np.sqrt(max(q_enu[2, 2], 0.0))),
     }

@@ -445,3 +445,59 @@ def test_submeter_accuracy_with_atmospheric_corrections():
     errs = [float(np.linalg.norm(f.ecef - rx)) for f in fixes]
     assert float(np.mean(errs)) < 1.5, errs
     assert errs[-1] < 1.5, errs[-1]
+
+
+def test_nmea_burst_matches_truth(scene, completed_receiver):
+    """NMEA output against the real receiver at zero added runtime: the last
+    fix's sentence burst (obs/nmea.py) parses back to the synthesized truth
+    — position in GGA, UTC time base in RMC (GPS week anchor + leap
+    seconds), and the tracked PRNs in view in GSV."""
+    import datetime as dt
+
+    from gypsum_tpu.obs.nmea import (
+        GPS_EPOCH,
+        checksum,
+        parse_gga,
+        parse_rmc,
+        sentences_for_fix,
+    )
+    from gypsum_tpu.solve.geodesy import ecef_to_lla
+    from tests.ephemeris_fixtures import TEST_EPHEMERIDES
+
+    rx, iq, truth = scene
+    world = completed_receiver.world
+    fix = world.position_fixes[-1]
+    burst = sentences_for_fix(world, fix)
+    kinds = [s[3:6] for s in burst]
+    assert kinds[:4] == ["GGA", "GSA", "RMC", "VTG"] and kinds[-1] == "ZDA"
+    for s in burst:
+        body, cs = s[1:].rsplit("*", 1)
+        assert checksum(body) == cs
+
+    lat_t, lon_t, alt_t = ecef_to_lla(rx)
+    g = parse_gga(burst[0])
+    assert abs(g.lat_deg - lat_t) < 2e-4          # ~20 m >> the fix error
+    assert abs(g.lon_deg - lon_t) < 3e-4
+    assert abs(g.alt_m - alt_t) < 30.0
+    assert g.quality == 1
+    assert g.n_satellites == len(fix.satellites_used) >= 4
+
+    # RMC datetime == GPS_T0 + stream time - 18 leap seconds, anchored at
+    # the week number the receiver DECODED off the air (subframe 1).
+    week = TEST_EPHEMERIDES[0].week_number + 2048
+    expect = GPS_EPOCH + dt.timedelta(
+        weeks=week, seconds=GPS_T0 + fix.receiver_timestamp - 18.0
+    )
+    r = parse_rmc(burst[2])
+    assert abs((r.when - expect).total_seconds()) < 0.05
+    assert r.status == "A"
+
+    gsv_lines = [s for s in burst if s[3:6] == "GSV"]
+    assert gsv_lines, "tracked satellites missing from the sky view"
+    in_view = {
+        int(f)
+        for line in gsv_lines
+        for f in line[1:].rsplit("*", 1)[0].split(",")[4::4]
+        if f
+    }
+    assert set(PRNS) <= in_view
