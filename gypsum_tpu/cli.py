@@ -312,8 +312,13 @@ def cmd_replay(args) -> int:
         for prn in report.dropped_prns:
             print(f"[{report.block_start:8.1f}s] dropped PRN {prn} (lost lock)")
         for prn in report.coasting_prns:
-            print(f"[{report.block_start:8.1f}s] PRN {prn} coasting open-loop "
-                  f"(signal lost; NCOs held by predicted geometry)")
+            if prn in report.deep_measured_prns:
+                print(f"[{report.block_start:8.1f}s] PRN {prn} deep-integration "
+                      f"ranging (signal below loop threshold; measured by "
+                      f"block-coherent correlation)")
+            else:
+                print(f"[{report.block_start:8.1f}s] PRN {prn} coasting open-loop "
+                      f"(signal lost; NCOs held by predicted geometry)")
         for prn in report.coast_recovered_prns:
             print(f"[{report.block_start:8.1f}s] PRN {prn} signal returned: "
                   f"ranging resumed in place (vector coast)")

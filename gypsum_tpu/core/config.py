@@ -215,6 +215,28 @@ class TrackingConfig:
     # Block-end quality EMA (reset each boundary, so it measures the last
     # block alone) above which the signal is declared returned.
     coast_recovery_quality: float = 0.45
+    # Deep-integration measurement on coasting channels (track/deepmeas.py):
+    # each block, re-correlate the raw IQ in a narrow (lag x Doppler) window
+    # around the coast prediction with grouped coherent x non-coherent
+    # integration (the acquire/deep.py structure, ~7-10 dB below the loops'
+    # threshold). A detection re-anchors the coast prediction (bounding
+    # open-loop drift) and keeps GENUINE pseudoranges flowing to the fix
+    # (solve/world.py admits deep-measured coasting SVs when fewer than four
+    # healthy channels remain) — positions continue through a deep fade that
+    # blinds every scalar loop. A successful measurement also refreshes the
+    # coast_max_s deadline: the signal is demonstrably present, just weak.
+    # reference: no counterpart (below the loops gypsum goes dark).
+    coast_deep_measurement: bool = True
+    coast_meas_coherent_ms: int = 10  # per-group coherent length (data-bit safe)
+    coast_meas_min_groups: int = 20  # skip blocks too short to integrate
+    coast_meas_doppler_bins: int = 5  # odd; grid centered on the prediction
+    coast_meas_doppler_step_hz: float = 25.0  # phase-slope refine covers +/-12.5
+    coast_meas_lag_halfwidth: int = 6  # code window (samples) around prediction
+    coast_meas_noise_lags: int = 8  # far lags (at +L/2) estimating the floor
+    # Detection gate: normalized peak >= 1 + k / sqrt(groups). Noise-only
+    # maxima over the small window sit near 1 + 1.5/sqrt(G); k = 5 leaves
+    # ~3x margin (false-measurement rate pinned by tests/test_deepcoast.py).
+    coast_meas_threshold_k: float = 5.0
     # lax.scan unroll factor for the per-ms loop. Measured on TPU v5e:
     # unrolling only hurts (each iteration is already one large fused kernel,
     # so unrolling multiplies program size without amortizing anything —
@@ -341,6 +363,13 @@ class SolverConfig:
     # A satellite's time base is stale for a fix after this many PRN ticks
     # without a handover word (reference: gypsum/world_model.py:582-587).
     max_prn_ticks_since_handover: int = 6000
+    # Deep-measured coasting satellites (TrackingConfig.coast_deep_measurement)
+    # get a longer tick-age allowance: the tick counter is an exact integer
+    # ms count and the deep measurement re-pins the sub-ms delay against the
+    # live signal every block, so the usual staleness risk (unmodeled clock
+    # drift walking the predicted TOW) is bounded by the measurement cadence,
+    # not the time since the last subframe.
+    deep_ranging_max_ticks: int = 60000
     # Carrier-smoothed pseudoranges (Hatch filter): the noisy sub-sample
     # code-phase measurement is blended with the carrier-Doppler-propagated
     # previous value over this many observations (0 disables). Code noise

@@ -41,7 +41,10 @@ from pathlib import Path
 #   9 — Vector coast: _ChannelPipeline gained ``last_good`` /
 #       ``coast_started`` / ``coast_anchor`` and _SatelliteRecord gained
 #       ``coasting`` (runtime/receiver.py, TrackingConfig.coast_*).
-CHECKPOINT_VERSION = 9
+#  10 — Deep-integration coast measurements: _ChannelPipeline gained
+#       ``coast_measured_at`` and _SatelliteRecord gained ``deep_ranging``
+#       (track/deepmeas.py, TrackingConfig.coast_deep_measurement).
+CHECKPOINT_VERSION = 10
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:

@@ -76,6 +76,9 @@ class _ChannelPipeline:
     last_good: tuple | None = None
     coast_started: float | None = None
     coast_anchor: tuple | None = None
+    # Last successful deep-integration measurement time (track/deepmeas.py):
+    # refreshes the coast_max_s deadline — the signal is present, just weak.
+    coast_measured_at: float | None = None
 
 
 @dataclass
@@ -103,6 +106,10 @@ class BlockReport:
     # whose signal returned this block (coast exited, decode restarted).
     coasting_prns: list[int] = field(default_factory=list)
     coast_recovered_prns: list[int] = field(default_factory=list)
+    # Coasting PRNs whose observables this block came from a deep-integration
+    # MEASUREMENT of the raw IQ (track/deepmeas.py) instead of the open-loop
+    # prediction — these keep feeding the fix through the fade.
+    deep_measured_prns: list[int] = field(default_factory=list)
     subframes: list[tuple[int, EmitSubframeEvent]] = field(default_factory=list)
     sbas_blocks: list = field(default_factory=list)  # [(prn, nav.sbas.SbasBlock)]
     glonass_strings: list = field(default_factory=list)  # [(id, GlonassStringEvent)]
@@ -234,6 +241,13 @@ class Receiver:
         self._upload_pool = None
         self._readahead = None  # (start, track_input, block, planes, offset, fut)
         self._readahead_eof = False
+        # Deep-integration measurement on coasting channels
+        # (track/deepmeas.py): raw IQ of in-flight blocks is retained (host
+        # side, keyed by integer ms of block start) while any channel
+        # coasts, so the collected block can be re-correlated around the
+        # coast prediction. The measurer is built lazily on first use.
+        self._coast_raw: dict[int, np.ndarray] = {}
+        self._coast_measurer = None
 
     # ------------------------------------------------------------ lifecycle
 
@@ -323,6 +337,22 @@ class Receiver:
         block_end = block_start + track_input.shape[0] * 1e-3
         report = BlockReport(block_start=block_start, block_end=block_end)
 
+        # Retain this block's raw IQ (host side) while any channel coasts:
+        # the deep-integration measurement (track/deepmeas.py) re-correlates
+        # the COLLECTED block, which in pipelined mode is dispatched one or
+        # more iterations earlier. A channel entering coast therefore gets
+        # its first measurement one block after entry (its entry block was
+        # dispatched before the coast decision); prediction covers that gap.
+        if self.config.tracking.coast_deep_measurement and any(
+            p.coast_started is not None for p in self.pipelines.values()
+        ):
+            if block is None:
+                b = planes.astype(np.float32) - offset
+                blk_c = (b[..., 0] + 1j * b[..., 1]).astype(np.complex64)
+            else:
+                blk_c = block
+            self._coast_raw[int(round(block_start * 1e3))] = blk_c
+
         # --- acquisition scan (reference: gypsum/receiver.py:148-174) over
         # the first 10 ms of this block; tracker state then starts at the
         # window it was measured on.
@@ -406,6 +436,10 @@ class Receiver:
             if pipe is None or pipe.slot != obs.slot:
                 continue  # dropped/reassigned after this block was dispatched
             self._process_channel(obs, t0, n_ms, report)
+        if self._coast_raw:  # this block's raw IQ has been consumed
+            t0_key = int(round(t0 * 1e3))
+            for k in [k for k in self._coast_raw if k <= t0_key]:
+                del self._coast_raw[k]
 
         # --- position fix attempt (reference: gypsum/receiver.py:137) at
         # the PROCESSED block's end (the world model's tick counters are
@@ -616,6 +650,7 @@ class Receiver:
         if t_end - fix.receiver_timestamp > self.config.solver.geometry_reseed_max_fix_age_s:
             return False
         pipe.coast_started = t_end
+        pipe.coast_measured_at = None
         # Anchor holds ONLY the measured channel state; the geometry at t0
         # is re-evaluated under the CURRENT fix at every apply, so both ends
         # of the range delta share one model and fix errors cancel. (The
@@ -712,6 +747,7 @@ class Receiver:
             coast_s = t_end - pipe.coast_started
             pipe.coast_started = None
             pipe.coast_anchor = None
+            pipe.coast_measured_at = None
             self.world.end_coast(prn)
             f_car = self._channel_carrier_hz.get(prn)
             cp_delay, doppler = self._block_end_observables(obs, carrier_hz=f_car)
@@ -733,13 +769,35 @@ class Receiver:
             )
             return
 
-        if t_end - pipe.coast_started > cfg.coast_max_s:
-            _logger.info(
-                "PRN %d coast timed out after %.1f s without signal: dropping",
-                prn, t_end - pipe.coast_started,
+        # Deep-integration measurement of this block's raw IQ around the
+        # prediction (track/deepmeas.py): a detection re-anchors the coast
+        # (bounding open-loop drift), refreshes the give-up deadline (the
+        # signal is present, just below the loops' threshold), and feeds the
+        # world model a GENUINE pseudorange instead of the prediction.
+        deep = None
+        if cfg.coast_deep_measurement:
+            deep = self._deep_coast_measurement(obs, pipe, block_start, block_ms)
+
+        if deep is None:
+            last_progress = max(
+                pipe.coast_started, pipe.coast_measured_at or pipe.coast_started
             )
-            self._drop_satellite(prn, report)
-            return
+            if t_end - last_progress > cfg.coast_max_s:
+                _logger.info(
+                    "PRN %d coast timed out after %.1f s without signal: dropping",
+                    prn, t_end - pipe.coast_started,
+                )
+                self._drop_satellite(prn, report)
+                return
+
+        if deep is not None:
+            delay_s, doppler = deep
+            pipe.coast_anchor = (t_end, delay_s, doppler)
+            pipe.coast_measured_at = t_end
+            self.world.set_deep_ranging(prn, True)
+            report.deep_measured_prns.append(prn)
+        else:
+            self.world.set_deep_ranging(prn, False)
 
         if self._apply_coast_state(
             prn, pipe, t_end + self.bank.pending_ms * 1e-3
@@ -748,10 +806,11 @@ class Receiver:
             return
         # World-model observables are evaluated at the PROCESSED block's end
         # (the override above targets the next dispatch instead, which in
-        # pipelined mode is later). Predicted observables keep the tick time
-        # base anchored; C/N0 comes from the real (faded) prompts so metrics
-        # show the outage.
-        delay_s, doppler = self._coast_prediction(prn, pipe, t_end)
+        # pipelined mode is later). Measured observables (deep) or predicted
+        # ones (keeping the tick time base anchored); C/N0 comes from the
+        # real (faded) prompts so metrics show the outage.
+        if deep is None:
+            delay_s, doppler = self._coast_prediction(prn, pipe, t_end)
         self.world.handle_channel_block(
             prn, delay_s, doppler, block_ms,
             cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
@@ -760,6 +819,50 @@ class Receiver:
             prn, delay_s, count=block_ms, doppler_hz=doppler
         )
         report.coasting_prns.append(prn)
+
+    def _deep_coast_measurement(
+        self,
+        obs: ChannelObservation,
+        pipe: _ChannelPipeline,
+        block_start: float,
+        block_ms: int,
+    ) -> tuple[float, float] | None:
+        """Measure a coasting channel's (sub-ms delay s, Doppler Hz) at the
+        block's end from the retained raw IQ (track/deepmeas.py). None when
+        no raw block was retained (first coasting block), the prediction is
+        unavailable, or nothing cleared the detection gate."""
+        raw = self._coast_raw.get(int(round(block_start * 1e3)))
+        if raw is None:
+            return None
+        t_end = block_start + block_ms * 1e-3
+        p0 = self._coast_prediction(obs.prn, pipe, block_start)
+        p1 = self._coast_prediction(obs.prn, pipe, t_end)
+        if p0 is None or p1 is None:
+            return None
+        d0, f0 = p0
+        d1, f1 = p1
+        fs = self.sample_rate
+        drift = (((d1 - d0) + 0.5e-3) % 1e-3 - 0.5e-3) * fs
+        if self._coast_measurer is None:
+            from gypsum_tpu.track.deepmeas import DeepCoastMeasurer
+
+            self._coast_measurer = DeepCoastMeasurer(
+                fs, self.samples_per_prn, self.bank.prns, self.bank.config
+            )
+        # FDMA channels sit at their sub-band offset in baseband: the
+        # wipeoff needs offset + Doppler; the channel Doppler comes back out.
+        off = pipe.carrier_offset_hz
+        res = self._coast_measurer.measure(
+            raw,
+            obs.prn,
+            (d0 * fs) % self.samples_per_prn,
+            drift,
+            off + 0.5 * (f0 + f1),
+        )
+        if res is None or not res.detected:
+            return None
+        delay_end = (d1 + res.cp_error_samples / fs) % 1e-3
+        return delay_end, res.doppler_hz - off
 
     def _block_phase_advance(self, obs: ChannelObservation) -> float | None:
         """The channel's NCO carrier-phase advance over this block (cycles),

@@ -74,6 +74,12 @@ class ConstellationSatellite:
     # RETURNS — the vector-coast scenario (runtime/receiver.py:_enter_coast)
     # where a blocked channel must resume ranging in place.
     blocked_s: list = field(default_factory=list)
+    # Deep-fade windows (stream-time [start, end, amplitude_scale)): the SV
+    # transmits at ``amplitude * scale`` inside each window — below the
+    # tracking loops' threshold but above the deep-integration floor, the
+    # coast-with-measurement scenario (track/deepmeas.py). Unlike blocked_s
+    # the signal is still PRESENT, just weak (foliage/indoor attenuation).
+    faded_s: list = field(default_factory=list)
     # Fault injection for SBAS fast corrections: a satellite clock error
     # (range-equivalent meters) present in the SIGNAL but absent from the
     # broadcast clock model — the receiver's pseudorange comes out SHORT by
@@ -583,10 +589,12 @@ def synthesize_constellation(
             hi = min(lo + chunk, n_samples)
             r = np.arange(lo, hi, dtype=np.float64) / sample_rate  # stream s
             blocked = getattr(sat, "blocked_s", ())
+            faded = getattr(sat, "faded_s", ())
             if (
                 sat.visible_from_s is not None
                 or sat.visible_until_s is not None
                 or blocked
+                or faded
             ):
                 vis = np.ones(hi - lo)
                 if sat.visible_from_s is not None:
@@ -595,6 +603,8 @@ def synthesize_constellation(
                     vis *= r < sat.visible_until_s
                 for b0, b1 in blocked:
                     vis *= ~((r >= b0) & (r < b1))
+                for f0, f1, scale in faded:
+                    vis = np.where((r >= f0) & (r < f1), vis * scale, vis)
                 if not vis.any():
                     continue
             else:

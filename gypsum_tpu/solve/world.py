@@ -182,6 +182,11 @@ class _SatelliteRecord:
     # open-loop from predicted geometry — its "observables" are predictions,
     # so it must not feed the fix (excluded by _fix_ready_satellites).
     coasting: bool = False
+    # Deep-integration ranging flag (track/deepmeas.py): this block's
+    # coasting observables came from a genuine narrow-window correlation
+    # MEASUREMENT, not the prediction — admissible to the fix when fewer
+    # than four healthy channels remain (_fix_ready_satellites).
+    deep_ranging: bool = False
     # Single-entry memo for (position, clock) at a given SV time: the fix's
     # outer rounds (SolverConfig.outer_rounds) re-evaluate the SAME sv_tow —
     # only the atmospheric corrections change per round. Bumping
@@ -707,6 +712,13 @@ class WorldModel:
         rec.smoothed_delay_s = ((predicted_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
         rec.smoothing_depth = 1
 
+    def set_deep_ranging(self, prn: int, active: bool) -> None:
+        """Mark whether THIS block's coasting observables for ``prn`` came
+        from a deep-integration measurement (track/deepmeas.py) rather than
+        the open-loop prediction. Called every coasting block by the
+        receiver; cleared on coast exit and on lost lock."""
+        self._record(prn).deep_ranging = active
+
     def end_coast(self, prn: int) -> None:
         """Signal returned: channel observables are measurements again. The
         smoothing depth restarts so the first real measurement dominates the
@@ -714,6 +726,7 @@ class WorldModel:
         limit is invalidated so geometry reseeding re-anchors it exactly."""
         rec = self._record(prn)
         rec.coasting = False
+        rec.deep_ranging = False
         rec.smoothing_depth = min(rec.smoothing_depth, 1)
         if (
             rec.counting
@@ -900,6 +913,7 @@ class WorldModel:
         rec.smoothing_depth = 0
         rec.tdcp_cycles = None
         rec.coasting = False
+        rec.deep_ranging = False
 
     # ------------------------------------------------------------- queries
 
@@ -964,16 +978,34 @@ class WorldModel:
     def _fix_ready_satellites(self) -> list[int]:
         cfg = self.config
         out = []
+        deep = []
         for prn, rec in self._sats.items():
-            if (
+            if not (
                 rec.has_orbit
-                and not rec.coasting
                 and rec.counting
                 and rec.tow_at_last_subframe is not None
+            ):
+                continue
+            if (
+                not rec.coasting
                 and rec.prn_ticks_since_subframe <= cfg.max_prn_ticks_since_handover
             ):
                 out.append(prn)
-        return out
+            elif (
+                rec.coasting
+                and rec.deep_ranging
+                and rec.prn_ticks_since_subframe <= cfg.deep_ranging_max_ticks
+            ):
+                deep.append(prn)
+        # Deep-integration pseudoranges (track/deepmeas.py) are genuine
+        # measurements but noisier than tracked ones (vertex interpolation of
+        # a non-coherent accumulation vs per-ms median projection): admit
+        # them only when the healthy set alone cannot solve — riding through
+        # a deep fade beats going dark, while a single faded SV never
+        # pollutes an otherwise healthy fix.
+        if len(out) >= 4:
+            return out
+        return out + deep
 
     def observed_sv_time_of_week(self, prn: int) -> float:
         """The SV's emitted time at the receiver's current stream position:
