@@ -237,6 +237,25 @@ class TrackingConfig:
     # maxima over the small window sit near 1 + 1.5/sqrt(G); k = 5 leaves
     # ~3x margin (false-measurement rate pinned by tests/test_deepcoast.py).
     coast_meas_threshold_k: float = 5.0
+    # Cross-correlation veto: the noise gate above is blind to C/A code
+    # CROSS-correlation sidelobes (worst case 65/1023 ~ -24 dB) of satellites
+    # that are still tracked strongly — a dead PRN's narrow window "detects"
+    # a live SV whose Doppler sits within the 10 ms coherent bandwidth of a
+    # 1 kHz code line (the C/A spectrum repeats every 1/1ms). A detection is
+    # vetoed when BOTH (a) its measured absolute Doppler is within tol of a
+    # live channel's Doppler modulo 1 kHz and (b) its absolute peak does not
+    # exceed xcorr_margin x that channel's worst-case sidelobe level, so a
+    # genuinely strong faded signal still passes. Feeding a sidelobe-born
+    # pseudorange to the fix is the one deadly failure mode of this tier
+    # (it tripped an EKF-coast regression in round 3's snapshot).
+    coast_meas_xcorr_tol_hz: float = 60.0  # 10 ms coherent main lobe ±50 Hz
+    coast_meas_xcorr_margin: float = 2.0
+    # A single-block detection only becomes a MEASUREMENT (re-anchor, fix
+    # admission, deadline refresh) after this many consecutive blocks agree
+    # in Doppler to coast_meas_confirm_tol_hz — intermittent sidelobe or
+    # noise artifacts do not repeat coherently block over block.
+    coast_meas_confirm_blocks: int = 2
+    coast_meas_confirm_tol_hz: float = 10.0
     # lax.scan unroll factor for the per-ms loop. Measured on TPU v5e:
     # unrolling only hurts (each iteration is already one large fused kernel,
     # so unrolling multiplies program size without amortizing anything —

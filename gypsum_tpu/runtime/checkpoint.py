@@ -44,7 +44,11 @@ from pathlib import Path
 #  10 — Deep-integration coast measurements: _ChannelPipeline gained
 #       ``coast_measured_at`` and _SatelliteRecord gained ``deep_ranging``
 #       (track/deepmeas.py, TrackingConfig.coast_deep_measurement).
-CHECKPOINT_VERSION = 10
+#  11 — Hardened deep-measurement gate: _ChannelPipeline gained
+#       ``deep_candidate_hz`` / ``deep_streak`` (multi-block confirmation)
+#       and ReceiverSolution gained ``raim`` (chi-square fault detection,
+#       solve/integrity.py:raim_residual_test).
+CHECKPOINT_VERSION = 11
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:

@@ -79,6 +79,14 @@ class _ChannelPipeline:
     # Last successful deep-integration measurement time (track/deepmeas.py):
     # refreshes the coast_max_s deadline — the signal is present, just weak.
     coast_measured_at: float | None = None
+    # Multi-block confirmation of deep detections
+    # (TrackingConfig.coast_meas_confirm_blocks): Doppler of the last
+    # detection and the length of the current consistent streak. A detection
+    # acts (re-anchor / fix admission / deadline refresh) only once the
+    # streak reaches the configured length — sidelobe and noise artifacts do
+    # not repeat coherently block over block.
+    deep_candidate_hz: float | None = None
+    deep_streak: int = 0
 
 
 @dataclass
@@ -248,6 +256,9 @@ class Receiver:
         # coast prediction. The measurer is built lazily on first use.
         self._coast_raw: dict[int, np.ndarray] = {}
         self._coast_measurer = None
+        # Healthy channels' (absolute Doppler Hz, per-ms prompt magnitude)
+        # from the last collected block — the cross-correlation veto input.
+        self._live_sig: dict[int, tuple[float, float]] = {}
 
     # ------------------------------------------------------------ lifecycle
 
@@ -431,6 +442,30 @@ class Receiver:
         t0, n_ms, observations = self.bank.collect_block()
         report.observations = observations
         report.tracked_prns = [o.prn for o in observations]
+        # Snapshot the still-healthy channels' (absolute Doppler, per-ms
+        # prompt magnitude) for the deep-measurement cross-correlation veto
+        # (track/deepmeas.py:xcorr_suspect): a strong live SV's C/A
+        # sidelobes (-24 dB) can clear the noise gate in a dead PRN's
+        # window whenever its Doppler aliases onto a 1 kHz code line.
+        if any(p.coast_started is not None for p in self.pipelines.values()):
+            live: dict[int, tuple[float, float]] = {}
+            for obs in observations:
+                pipe = self.pipelines.get(obs.prn)
+                if (
+                    pipe is None
+                    or pipe.slot != obs.slot
+                    or pipe.coast_started is not None
+                    or bool(obs.lost)
+                    or float(obs.quality[-1])
+                    < self.config.tracking.coast_recovery_quality
+                ):
+                    continue
+                mag = float(np.median(np.abs(np.asarray(obs.prompts))))
+                live[obs.prn] = (
+                    pipe.carrier_offset_hz + float(np.asarray(obs.dopplers)[-1]),
+                    mag,
+                )
+            self._live_sig = live
         for obs in observations:
             pipe = self.pipelines.get(obs.prn)
             if pipe is None or pipe.slot != obs.slot:
@@ -651,6 +686,8 @@ class Receiver:
             return False
         pipe.coast_started = t_end
         pipe.coast_measured_at = None
+        pipe.deep_candidate_hz = None
+        pipe.deep_streak = 0
         # Anchor holds ONLY the measured channel state; the geometry at t0
         # is re-evaluated under the CURRENT fix at every apply, so both ends
         # of the range delta share one model and fix errors cancel. (The
@@ -748,6 +785,8 @@ class Receiver:
             pipe.coast_started = None
             pipe.coast_anchor = None
             pipe.coast_measured_at = None
+            pipe.deep_candidate_hz = None
+            pipe.deep_streak = 0
             self.world.end_coast(prn)
             f_car = self._channel_carrier_hz.get(prn)
             cp_delay, doppler = self._block_end_observables(obs, carrier_hz=f_car)
@@ -777,6 +816,25 @@ class Receiver:
         deep = None
         if cfg.coast_deep_measurement:
             deep = self._deep_coast_measurement(obs, pipe, block_start, block_ms)
+
+        # Multi-block confirmation: a single-block detection is only a
+        # CANDIDATE; it acts (re-anchor, fix admission, deadline refresh)
+        # once coast_meas_confirm_blocks consecutive blocks agree in Doppler.
+        # Sidelobe/noise artifacts that slip past the gates do not repeat
+        # coherently, while a real weak signal re-detects every block.
+        if deep is not None:
+            consistent = (
+                pipe.deep_candidate_hz is not None
+                and abs(deep[1] - pipe.deep_candidate_hz)
+                <= cfg.coast_meas_confirm_tol_hz
+            )
+            pipe.deep_streak = pipe.deep_streak + 1 if consistent else 1
+            pipe.deep_candidate_hz = deep[1]
+            if pipe.deep_streak < int(cfg.coast_meas_confirm_blocks):
+                deep = None
+        else:
+            pipe.deep_candidate_hz = None
+            pipe.deep_streak = 0
 
         if deep is None:
             last_progress = max(
@@ -849,20 +907,43 @@ class Receiver:
             self._coast_measurer = DeepCoastMeasurer(
                 fs, self.samples_per_prn, self.bank.prns, self.bank.config
             )
-        # FDMA channels sit at their sub-band offset in baseband: the
-        # wipeoff needs offset + Doppler; the channel Doppler comes back out.
+        # FDMA channels sit at their sub-band offset in baseband: the static
+        # offset is wiped separately in float64 inside the measurer (float32
+        # chunk phases at MHz offsets would cost ~45° of per-ms jitter on
+        # exactly the weak-signal path that needs coherence); only the
+        # kHz-scale Doppler grid reaches the device wipeoff.
         off = pipe.carrier_offset_hz
         res = self._coast_measurer.measure(
             raw,
             obs.prn,
             (d0 * fs) % self.samples_per_prn,
             drift,
-            off + 0.5 * (f0 + f1),
+            0.5 * (f0 + f1),
+            static_offset_hz=off,
         )
         if res is None or not res.detected:
             return None
+        from gypsum_tpu.track.deepmeas import xcorr_suspect
+
+        cfg = self.config.tracking
+        live = [v for p, v in self._live_sig.items() if p != obs.prn]
+        if live and xcorr_suspect(
+            off + res.doppler_hz,
+            res.peak_abs,
+            res.groups,
+            int(cfg.coast_meas_coherent_ms),
+            live,
+            float(cfg.coast_meas_xcorr_tol_hz),
+            float(cfg.coast_meas_xcorr_margin),
+        ):
+            _logger.info(
+                "PRN %d deep detection (strength %.2f, %.1f Hz) vetoed: "
+                "Doppler-consistent with a live channel's cross-correlation "
+                "sidelobes", obs.prn, res.strength, res.doppler_hz,
+            )
+            return None
         delay_end = (d1 + res.cp_error_samples / fs) % 1e-3
-        return delay_end, res.doppler_hz - off
+        return delay_end, res.doppler_hz
 
     def _block_phase_advance(self, obs: ChannelObservation) -> float | None:
         """The channel's NCO carrier-phase advance over this block (cycles),

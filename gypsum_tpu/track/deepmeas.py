@@ -50,6 +50,11 @@ from gypsum_tpu.ops.correlate import doppler_wipeoff, rolled_lag_window
 from gypsum_tpu.signal.prn import replica_table
 
 
+#: Worst-case C/A cross-correlation magnitude relative to the autocorrelation
+#: peak (Gold-code bound 65/1023 ~ -23.9 dB at aligned relative Doppler).
+CA_XCORR_PEAK = 65.0 / 1023.0
+
+
 @dataclass
 class DeepCoastMeasurement:
     """One block's deep-integration measurement of a coasting channel."""
@@ -57,8 +62,43 @@ class DeepCoastMeasurement:
     detected: bool
     strength: float  # normalized peak (vs the far-lag noise floor)
     cp_error_samples: float  # measured - predicted code phase (samples)
-    doppler_hz: float  # measured absolute carrier Doppler
+    doppler_hz: float  # measured carrier Doppler (static offset excluded)
     groups: int  # non-coherent groups integrated
+    peak_abs: float = 0.0  # non-coherent peak, absolute units (sum of G |coh|)
+    floor_abs: float = 0.0  # far-lag noise floor in the same units
+
+
+def xcorr_suspect(
+    measured_abs_hz: float,
+    peak_abs: float,
+    n_groups: int,
+    coherent_ms: int,
+    live_channels: list[tuple[float, float]],  # [(abs Doppler Hz, per-ms prompt mag)]
+    tol_hz: float,
+    margin: float,
+) -> bool:
+    """True when a detection is explainable as C/A CROSS-correlation from a
+    still-tracked strong channel rather than the coasting PRN's own signal.
+
+    The C/A spectrum is a 1 kHz line comb (1 ms code period), so a strong
+    live SV leaks into another PRN's correlator whenever the Doppler
+    difference is near a multiple of 1 kHz — at up to ``CA_XCORR_PEAK`` of
+    the live SV's own prompt level, which at deep-integration sensitivities
+    is far above the noise gate. The veto fires when the measured absolute
+    Doppler folds to within ``tol_hz`` of a live channel's AND the absolute
+    peak is not more than ``margin`` x that channel's worst-case sidelobe
+    (a genuinely strong faded signal exceeds the bound and passes).
+
+    ``live_channels`` carries per-ms prompt magnitudes (~amplitude x L), the
+    same units as one coherent millisecond of ``peak_abs``; a fully aligned
+    sidelobe integrates to mag x coherent_ms x n_groups x CA_XCORR_PEAK.
+    """
+    for f_live, mag in live_channels:
+        folded = (measured_abs_hz - f_live + 500.0) % 1000.0 - 500.0
+        bound = float(mag) * coherent_ms * n_groups * CA_XCORR_PEAK
+        if abs(folded) <= tol_hz and peak_abs <= margin * bound:
+            return True
+    return False
 
 
 class DeepCoastMeasurer:
@@ -135,9 +175,18 @@ class DeepCoastMeasurer:
         pred_cp0_samples: float,  # predicted prompt code phase at block start
         drift_samples: float,  # predicted code-phase drift over the block
         pred_doppler_hz: float,  # predicted carrier Doppler (block center)
+        static_offset_hz: float = 0.0,  # FDMA sub-band offset, wiped in f64
     ) -> DeepCoastMeasurement | None:
         """One block's measurement; None when the block is too short to form
-        at least ``coast_meas_min_groups`` coherent groups."""
+        at least ``coast_meas_min_groups`` coherent groups.
+
+        ``static_offset_hz`` (GLONASS FDMA sub-band offsets, up to ~±4 MHz)
+        is removed HERE on host in float64 before the device program: the
+        device wipeoff accumulates phase per chunk in float32, whose ~0.25
+        cycle quantization at 4e6 cycles would put ~45° of per-ms phase
+        jitter on exactly the weak-signal path that needs coherence. Only
+        the kHz-scale Doppler grid reaches the float32 device wipeoff, and
+        the returned ``doppler_hz`` excludes the offset."""
         cfg = self.config
         length = self.samples_per_prn
         nc = int(cfg.coast_meas_coherent_ms)
@@ -145,6 +194,13 @@ class DeepCoastMeasurer:
         if samples.ndim == 1:
             n_ms = samples.shape[0] // length
             samples = samples[: n_ms * length].reshape(n_ms, length)
+        if static_offset_hz != 0.0:
+            n_total = samples.shape[0] * samples.shape[1]
+            t = np.arange(n_total, dtype=np.float64) / self.sample_rate
+            rot = np.exp(-2j * np.pi * float(static_offset_hz) * t)
+            samples = (samples.reshape(-1) * rot).reshape(samples.shape).astype(
+                np.complex64
+            )
         n_ms = samples.shape[0]
         n_groups = n_ms // nc
         if n_groups < int(cfg.coast_meas_min_groups):
@@ -186,11 +242,19 @@ class DeepCoastMeasurer:
         c_star, k_star = np.unravel_index(np.argmax(norm), norm.shape)
         strength = float(norm[c_star, k_star])
 
+        peak_abs = float(sig[c_star, k_star])
+        floor_abs = float(floor[c_star])
         threshold = 1.0 + float(cfg.coast_meas_threshold_k) / np.sqrt(n_groups)
         # An edge argmax cannot be vertex-interpolated and usually means the
-        # true peak sits outside the window — treat as no detection.
+        # true peak sits outside the window — treat as no detection. The
+        # Doppler axis gets the same rule: the squared phase-slope residual
+        # is only unambiguous to ±1/(4 t_group) (±25 Hz at 10 ms groups), so
+        # an edge-bin Doppler would alias and re-anchor the coast to a wrong
+        # frequency (advisor finding, round 3).
         detected = bool(
-            strength >= threshold and 0 < k_star < k2 - 1
+            strength >= threshold
+            and 0 < k_star < k2 - 1
+            and (c_bins == 1 or 0 < c_star < c_bins - 1)
         )
         if not detected:
             return DeepCoastMeasurement(
@@ -199,6 +263,8 @@ class DeepCoastMeasurer:
                 cp_error_samples=0.0,
                 doppler_hz=float(pred_doppler_hz),
                 groups=n_groups,
+                peak_abs=peak_abs,
+                floor_abs=floor_abs,
             )
 
         # Sub-sample vertex (same triangle interpolation as the tracker's
@@ -227,4 +293,6 @@ class DeepCoastMeasurer:
             cp_error_samples=float(cp_error),
             doppler_hz=doppler,
             groups=n_groups,
+            peak_abs=peak_abs,
+            floor_abs=floor_abs,
         )

@@ -82,10 +82,83 @@ def test_short_block_returns_none():
     assert m.measure(iq, 25, 0.0, 0.0, 0.0) is None
 
 
+# ---------------------------------------------------- cross-correlation gate
+
+
+def test_xcorr_veto_flags_sidelobe_detections():
+    """The one deadly failure mode of this tier: a DEAD PRN's narrow window
+    'detects' a strong live satellite through C/A cross-correlation
+    sidelobes (worst case 65/1023 ~ -24 dB) whenever the live SV's Doppler
+    aliases onto a 1 kHz code line. The noise gate cannot see this (the
+    artifact is real signal energy), so the receiver vetoes detections that
+    are Doppler-consistent with a live channel and not clearly stronger
+    than its sidelobe bound (track/deepmeas.py:xcorr_suspect)."""
+    from gypsum_tpu.track.deepmeas import CA_XCORR_PEAK, xcorr_suspect
+
+    live = [(1000.0 - 12.0, 450.0)]  # live SV at 988 Hz, per-ms prompt 450
+    bound = 450.0 * 10 * 100 * CA_XCORR_PEAK
+    # A detection at the live SV's Doppler folded by one code line, at the
+    # sidelobe level: vetoed.
+    assert xcorr_suspect(-12.0, bound, 100, 10, live, 60.0, 2.0)
+    # Same Doppler but far stronger than any sidelobe could be: passes.
+    assert not xcorr_suspect(-12.0, 3.0 * bound, 100, 10, live, 60.0, 2.0)
+    # Doppler far from every code line of the live SV: passes at any level.
+    assert not xcorr_suspect(400.0, bound, 100, 10, live, 60.0, 2.0)
+    # No live channels (everyone faded): nothing to veto against.
+    assert not xcorr_suspect(-12.0, bound, 100, 10, [], 60.0, 2.0)
+
+
+def test_measurer_detects_crosscorr_artifact_that_the_veto_must_catch():
+    """Documents the hazard end-to-end at the measurer level: with a strong
+    live satellite on the air and the target PRN ABSENT, a window centered
+    near the live SV's Doppler (mod 1 kHz) clears the noise-only gate — the
+    raw detection is genuinely there, which is exactly why the receiver
+    layers the cross-correlation veto on top."""
+    sats = demo_constellation([25], amplitude=0.22)
+    iq, truth = synthesize_constellation(
+        sats, RX, DEMO_GPS_START_SOW, 1.2, FS, noise_sigma=0.35, seed=11
+    )
+    m = DeepCoastMeasurer(FS, L, ALL_PRN_IDS, TrackingConfig())
+    f_live = truth.doppler_hz[25]
+    from gypsum_tpu.track.deepmeas import CA_XCORR_PEAK, xcorr_suspect
+
+    hit = None
+    # Scan dead PRNs x code lines for an artifact that clears the noise
+    # gate (alignment depends on the PRN pair's cross-spectrum).
+    for prn in (1, 7, 13, 21, 29):
+        for line in (-2000.0, -1000.0, 0.0, 1000.0, 2000.0):
+            f_pred = f_live + line
+            drift = -f_pred * FS / GPS_L1_FREQUENCY_HZ
+            for cp in (150.0, 700.0, 1300.0, 1900.0):
+                res = m.measure(iq[: 1000 * L], prn, cp, drift, f_pred)
+                assert res is not None
+                if res.detected:
+                    hit = (prn, res)
+                    break
+            if hit:
+                break
+        if hit:
+            break
+    assert hit is not None, "expected at least one sidelobe false detection"
+    prn, res = hit
+    live = [(f_live, 0.22 * L)]
+    assert xcorr_suspect(
+        res.doppler_hz, res.peak_abs, res.groups, 10, live, 60.0, 2.0
+    ), (prn, res)
+
+
 # ------------------------------------------------------------------- e2e
 
-FADE = (18.0, 30.0)
-FADE_SCALE = 0.13  # ~ -17.7 dB: below every scalar loop, above the deep floor
+# The fade must start AFTER the first position fix exists (~20-22 s: the
+# ephemeris subframes 1-3 land at the frame phase the demo start time sets,
+# same timing as test_ekf's 22 s outage) — vector coast requires a recent
+# fix to predict geometry from; fading out earlier just drops every channel.
+FADE = (23.0, 33.0)
+# ~ -30.5 dB: the 1 kHz loops' quality EMA collapses to ~0 (measured: at
+# 0.13 the PLL still tracks comfortably and no channel ever coasts; quality
+# only crosses the 0.25 drop threshold below ~0.05) while the deep
+# measurer's normalized strength is ~2.5 against its 1.5 gate.
+FADE_SCALE = 0.03
 
 
 @pytest.fixture(scope="module")
@@ -94,7 +167,7 @@ def fade_capture():
     for s in sats:
         s.faded_s = [(FADE[0], FADE[1], FADE_SCALE)]
     iq, _ = synthesize_constellation(
-        sats, RX, DEMO_GPS_START_SOW, 36.0, FS,
+        sats, RX, DEMO_GPS_START_SOW, 38.0, FS,
         noise_sigma=0.35, receiver_clock_drift=2e-8,
     )
     return iq
@@ -110,7 +183,6 @@ def _run(iq, deep: bool):
             # refreshes it (the signal is demonstrably present).
             coast_max_s=6.0,
             coast_deep_measurement=deep,
-            coast_meas_doppler_bins=3,
         ),
     )
     recv = Receiver(ArraySampleSource(iq, FS), cfg)
@@ -141,12 +213,12 @@ def test_deep_fade_keeps_measuring_and_fixing(deep_run):
     # pseudoranges (the blind receiver goes dark here — see the A/B test).
     in_fade = [
         f for f in deep_run.world.position_fixes
-        if FADE[0] + 4.0 <= f.receiver_timestamp <= FADE[1] and f.kind == "lsq"
+        if FADE[0] + 5.0 <= f.receiver_timestamp <= FADE[1] and f.kind == "lsq"
     ]
-    assert len(in_fade) >= 6, [f.receiver_timestamp for f in in_fade]
+    assert len(in_fade) >= 4, [f.receiver_timestamp for f in in_fade]
     errs = [float(np.linalg.norm(f.ecef - RX)) for f in in_fade]
-    assert max(errs) < 40.0, errs
-    assert float(np.median(errs)) < 20.0, errs
+    assert max(errs) < 50.0, errs
+    assert float(np.median(errs)) < 25.0, errs
 
 
 def test_deep_fade_recovery(deep_run):
@@ -165,13 +237,38 @@ def test_deep_fade_recovery(deep_run):
     assert max(errs) < 5.0, errs
 
 
+def test_published_protection_bounds_true_error(deep_run):
+    """Round-3 verdict item 8's acceptance: every *published* lsq fix —
+    including the degraded in-fade ones on deep-measured pseudoranges —
+    carries a protection level that bounds its true error. The RAIM
+    chi-square test (solve/integrity.py:raim_residual_test) inflates the
+    sigmas feeding HPL/VPL whenever the post-fit residuals disagree with
+    the formal weights, so optimistic formal sigmas can't survive a fade."""
+    from gypsum_tpu.solve.geodesy import enu_basis
+
+    enu = enu_basis(RX)
+    checked = 0
+    for f in deep_run.world.position_fixes:
+        if f.kind != "lsq" or f.protection is None:
+            continue
+        err = enu @ (np.asarray(f.ecef) - RX)
+        horiz = float(np.hypot(err[0], err[1]))
+        vert = float(abs(err[2]))
+        assert horiz <= f.protection["hpl_m"], (
+            f.receiver_timestamp, horiz, f.protection)
+        assert vert <= f.protection["vpl_m"], (
+            f.receiver_timestamp, vert, f.protection)
+        checked += 1
+    assert checked >= 10, "expected protection levels on most lsq fixes"
+
+
 def test_blind_coast_goes_dark_in_the_same_fade(blind_run, deep_run):
     """A/B control: the identical capture without the measurement tier.
     Open-loop coasting excludes every satellite from the fix and the
     coast_max_s deadline drops the channels mid-fade."""
     fixes = [
         f for f in blind_run.world.position_fixes
-        if FADE[0] + 4.0 <= f.receiver_timestamp <= FADE[1] and f.kind == "lsq"
+        if FADE[0] + 5.0 <= f.receiver_timestamp <= FADE[1] and f.kind == "lsq"
     ]
     assert not fixes, [f.receiver_timestamp for f in fixes]
     dropped = [
