@@ -87,3 +87,52 @@ def protection_levels(
         "sigma_major_m": float(d_major),
         "sigma_up_m": float(np.sqrt(d_u2)),
     }
+
+
+# chi-square 0.999 quantiles for dof 1..30 (RAIM fault-detection threshold;
+# hardcoded to keep the solver scipy-free).
+_CHI2_999 = (
+    10.828, 13.816, 16.266, 18.467, 20.515, 22.458, 24.322, 26.124,
+    27.877, 29.588, 31.264, 32.909, 34.528, 36.123, 37.697, 39.252,
+    40.790, 42.312, 43.820, 45.315, 46.797, 48.268, 49.728, 51.179,
+    52.620, 54.052, 55.476, 56.892, 58.301, 59.703,
+)
+
+
+def raim_residual_test(
+    sat_positions: np.ndarray,
+    receiver_ecef: np.ndarray,
+    residuals_m: np.ndarray,
+    sigmas_m: np.ndarray,
+    n_clocks: int = 1,
+) -> dict[str, float | bool] | None:
+    """Post-fit chi-square fault-detection test (RAIM detection half).
+
+    A weighted least-squares fix with ``n`` measurements and ``3 + n_clocks``
+    unknowns leaves ``dof = n - 3 - n_clocks`` redundant degrees; under the
+    no-fault hypothesis the weighted SSE ~ chi2(dof). ``ok=False`` means the
+    measurement set is inconsistent with its formal sigmas — the fix is
+    published with sigmas INFLATED by ``scale`` (sqrt(SSE/dof), the standard
+    unit-weight re-estimate) so downstream protection levels bound the
+    actual error instead of echoing optimistic formal numbers (round-3
+    verdict: deep-fade fixes wandered km with small formal sigmas).
+
+    Returns None when no redundancy exists (dof < 1: the test is undefined —
+    NOT a pass)."""
+    res = np.asarray(residuals_m, dtype=np.float64)
+    sig = np.asarray(sigmas_m, dtype=np.float64)
+    n = res.shape[0]
+    dof = n - 3 - int(n_clocks)
+    if dof < 1 or not np.all(np.isfinite(sig)) or np.any(sig <= 0):
+        return None
+    sse = float(np.sum((res / sig) ** 2))
+    threshold = _CHI2_999[min(dof, len(_CHI2_999)) - 1]
+    scale = float(np.sqrt(max(sse / dof, 1.0)))
+    return {
+        "ok": bool(sse <= threshold),
+        "sse": sse,
+        "dof": float(dof),
+        "threshold": threshold,
+        "sigma_scale": scale,
+        "residual_rms_m": float(np.sqrt(np.mean(res**2))),
+    }

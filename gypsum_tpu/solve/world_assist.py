@@ -1,0 +1,191 @@
+"""WorldModel mixin: assisted-GNSS starts (ephemeris/time injection).
+
+Split from solve/world.py (round-4 verdict item 7). Assistance data turns a
+cold start into a warm one: injected ephemerides (RINEX NAV via
+`replay --assist-nav`), coarse network time, the coarse-time snapshot fix
+that publishes positions BEFORE any subframe decodes, and the assisted
+bootstrap that seeds every channel time base from geometry.
+
+No reference analogue (gypsum always cold-decodes ephemerides).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from gypsum_tpu.solve.ephemeris import Ephemeris
+from gypsum_tpu.solve.geodesy import ecef_to_lla
+from gypsum_tpu.solve.world_records import ReceiverSolution, _plausible_altitude
+
+_logger = logging.getLogger(__name__)
+
+
+class AssistMixin:
+    """Assisted-GNSS entry points for WorldModel."""
+
+    def assist_ephemerides(self, ephemerides: dict[int, Ephemeris]) -> int:
+        """Assisted-GNSS ephemeris injection (e.g. a RINEX NAV file via
+        `replay --assist-nav`, obs/rinex.py:parse_nav). Channels gain orbits
+        without decoding subframes 1-3 (~18-30 s at 50 bps): acquisition
+        masking (predicted_sky) works immediately, and together with
+        ``assisted_bootstrap`` the first fix needs only the first handover
+        word. Broadcast-decoded ephemerides still replace assisted ones
+        (try_complete overwrites on a full subframe set). Returns the number
+        of satellites that gained an orbit."""
+        n = 0
+        for prn, eph in ephemerides.items():
+            if not 1 <= prn <= 32:
+                continue
+            rec = self._record(prn)
+            if rec.ephemeris is None:
+                rec.ephemeris = eph
+                rec.orbit_version += 1
+                n += 1
+        if n:
+            _logger.info("assist: %d satellite ephemerides injected", n)
+        return n
+
+    def assist_time(self, coarse_sow_of_stream_start: float) -> None:
+        """Coarse time assistance: GPS seconds-of-week of stream t=0, good
+        to ~a minute (the snapshot solver's documented basin). Pairs with
+        ``assist_ephemerides`` for subframe-free coarse-time fixes."""
+        self.assist_time_origin_sow = float(coarse_sow_of_stream_start)
+
+    def _coarse_time_snapshot(self, receiver_timestamp: float) -> ReceiverSolution | None:
+        """No decoded time base at all (no HOW yet), but assist time +
+        orbits + >= 5 tracked channels: the 5-state coarse-time snapshot
+        solve (position, clock bias, time correction; solve/snapshot.py)
+        publishes a fix from the very first tracking blocks — the classic
+        A-GPS cold start. Each success refines the time origin, so later
+        epochs start deeper inside the basin. Superseded the moment the
+        first handover word sets the exact clock slide."""
+        from gypsum_tpu.solve.snapshot import (
+            SnapshotMeasurement,
+            doppler_position_seed,
+            orbit_fn_from_records,
+            snapshot_fix,
+        )
+
+        cfg = self.config
+        usable = [
+            (p, rec)
+            for p, rec in self._sats.items()
+            if rec.has_orbit
+            and rec.smoothed_delay_s is not None
+            and rec.doppler_hz is not None
+        ]
+        if len(usable) < 5:  # the time state needs the 5th satellite
+            return None
+        orbit_fn = orbit_fn_from_records({p: rec for p, rec in usable})
+        t_obs = self.assist_time_origin_sow + receiver_timestamp
+
+        if self.position_fixes:
+            seed = self.position_fixes[-1].ecef
+        else:
+            seed = doppler_position_seed(
+                [(p, float(rec.doppler_hz)) for p, rec in usable],
+                orbit_fn, t_obs,
+            )
+            if seed is None:
+                return None
+        meas = [
+            SnapshotMeasurement(prn=p, code_phase_fraction_s=rec.smoothed_delay_s % 1e-3)
+            for p, rec in usable
+        ]
+        sol = snapshot_fix(meas, orbit_fn, t_obs, seed, solve_time=True)
+        if (
+            sol is None
+            or sol.residual_rms_m > cfg.assisted_bootstrap_max_residual_m
+            or not _plausible_altitude(sol.ecef)
+        ):
+            return None
+        self.assist_time_origin_sow += sol.time_correction_s
+        lat, lon, alt = ecef_to_lla(sol.ecef)
+        solution = ReceiverSolution(
+            clock_bias_s=sol.clock_bias_s,
+            ecef=sol.ecef,
+            lat_deg=lat,
+            lon_deg=lon,
+            alt_m=alt,
+            satellites_used=sol.prns,
+            receiver_timestamp=receiver_timestamp,
+            kind="snapshot",
+        )
+        self.position_fixes.append(solution)
+        return solution
+
+    def _assisted_bootstrap(self, receiver_timestamp: float) -> bool:
+        """Fewer than 4 decoded time bases, but >= 4 tracked channels with
+        known orbits and a clock slide (first HOW): resolve the integer
+        milliseconds of every channel's sub-ms code phase at once with the
+        snapshot solver (time known => 4 unknowns), then geometry-seed the
+        time bases from the resulting fix. Position prior: the last fix if
+        any, else a Doppler-only position solve (~1 km per Hz of tracker
+        noise — far inside the snapshot's ~150 km basin)."""
+        from gypsum_tpu.solve.snapshot import (
+            SnapshotMeasurement,
+            doppler_position_seed,
+            orbit_fn_from_records,
+            snapshot_fix,
+        )
+
+        cfg = self.config
+        usable = [
+            (p, rec)
+            for p, rec in self._sats.items()
+            if rec.has_orbit
+            and rec.smoothed_delay_s is not None
+            and rec.doppler_hz is not None
+        ]
+        if len(usable) < 4:
+            return False
+        orbit_fn = orbit_fn_from_records({p: rec for p, rec in usable})
+        t_obs = self.receiver_clock_slide + receiver_timestamp
+
+        if self.position_fixes:
+            seed = self.position_fixes[-1].ecef
+        else:
+            seed = doppler_position_seed(
+                [(p, float(rec.doppler_hz)) for p, rec in usable],
+                orbit_fn, t_obs,
+            )
+            if seed is None:
+                return False
+
+        meas = [
+            SnapshotMeasurement(prn=p, code_phase_fraction_s=rec.smoothed_delay_s % 1e-3)
+            for p, rec in usable
+        ]
+        sol = snapshot_fix(meas, orbit_fn, t_obs, seed, solve_time=False)
+        if (
+            sol is None
+            or sol.residual_rms_m > cfg.assisted_bootstrap_max_residual_m
+            or not _plausible_altitude(sol.ecef)
+        ):
+            return False
+
+        lat, lon, alt = ecef_to_lla(sol.ecef)
+        self.position_fixes.append(ReceiverSolution(
+            clock_bias_s=sol.clock_bias_s,
+            ecef=sol.ecef,
+            lat_deg=lat,
+            lon_deg=lon,
+            alt_m=alt,
+            satellites_used=sol.prns,
+            receiver_timestamp=receiver_timestamp,
+            kind="snapshot",
+        ))
+        seeded = [
+            p for p, rec in usable
+            if not rec.counting
+            and self.seed_time_base_from_geometry(p, receiver_timestamp)
+        ]
+        _logger.info(
+            "assisted bootstrap: snapshot fix from %d channels (residual "
+            "RMS %.1f m), time bases seeded for PRNs %s",
+            len(usable), sol.residual_rms_m, seeded,
+        )
+        return True
+

@@ -1,0 +1,300 @@
+"""WorldModel mixin: SBAS GEO + GLONASS ingestion and the dual solve.
+
+Split from solve/world.py (round-4 verdict item 7). The non-GPS halves of
+the world model: MT9/MT12 SBAS GEO navigation blocks, KX-verified GLONASS
+strings (ephemeris assembly + time base), and the 5-unknown mixed
+GPS/GLONASS position solve with its per-constellation clock biases.
+
+No reference analogue (gypsum is GPS L1 C/A only).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from gypsum_tpu.core.constants import (
+    GPS_L1_FREQUENCY_HZ,
+    SPEED_OF_LIGHT_M_PER_S as C,
+)
+from gypsum_tpu.core.events import Event
+from gypsum_tpu.solve.fix import dilution_of_precision
+from gypsum_tpu.solve.geodesy import ecef_to_lla
+from gypsum_tpu.solve.world_records import (
+    DeterminedSatelliteOrbitEvent,
+    ReceiverSolution,
+)
+
+_logger = logging.getLogger(__name__)
+
+
+class MultiConstellationMixin:
+    """SBAS/GLONASS ingestion + dual-constellation solve for WorldModel."""
+
+    def handle_sbas_block(
+        self, prn: int, block, initial_ticks: int = 0
+    ) -> list[Event]:
+        """A CRC-verified SBAS block (nav/sbas.py SbasBlock) plays the role a
+        decoded subframe plays for GPS: it resets the channel's PRN-tick time
+        base at a known SV-time edge and (for MT9) supplies the GEO's orbit.
+
+        SBAS blocks carry no time-of-week — their timing contract is that
+        every 250-bit block's leading edge is emitted at an integer SNT
+        second (DO-229 §A.4.4.1; SNT tracks GPS time within tens of ns). The
+        integer is resolved from the GPS-derived receiver clock slide: the
+        slide maps receiver to GPS time within one GPS SV's transit (~70 ms)
+        plus the GEO/GPS transit difference (30-80 ms), far inside the
+        +/-0.5 s rounding margin. Requires a GPS time base first (returns []
+        and stays uncounted until one exists).
+
+        ``initial_ticks``: PRN ticks the receiver already consumed between
+        the block's trailing edge and the point this reset is applied (an
+        SBAS block is verified up to ~30 ms after its trailing edge, which
+        may fall in the previous tracking block — unlike GPS subframes,
+        which always complete in-block)."""
+        rec = self._record(prn)
+        events: list[Event] = []
+        if block.message_type == 1:
+            from gypsum_tpu.nav.sbas import parse_mt1_data
+
+            mask = parse_mt1_data(block.data_bits)
+            if self.sbas_corrections.mask is None:
+                _logger.info(
+                    "SBAS PRN %d MT1: correction mask for %d satellites "
+                    "(IODP %d)", prn, len(mask.slots), mask.iodp,
+                )
+            self.sbas_corrections.handle_mask(mask)
+        elif 2 <= block.message_type <= 5:
+            from gypsum_tpu.nav.sbas import parse_fast_corrections_data
+
+            had = bool(self.sbas_corrections._by_slot)
+            self.sbas_corrections.handle_fast(
+                parse_fast_corrections_data(block.data_bits, block.message_type),
+                rx_time=block.leading_edge_timestamp,
+            )
+            if not had and self.sbas_corrections._by_slot:
+                _logger.info(
+                    "SBAS PRN %d MT%d: fast corrections online for slots %s",
+                    prn, block.message_type,
+                    sorted(self.sbas_corrections._by_slot),
+                )
+        if block.message_type == 9:
+            from gypsum_tpu.nav.sbas import parse_mt9_data
+
+            was = rec.geo
+            rec.geo = parse_mt9_data(block.data_bits, prn)
+            rec.orbit_version += 1
+            if was is None:
+                _logger.info(
+                    "determined GEO orbit of SBAS PRN %d (MT9, t0=%.0f)",
+                    prn, rec.geo.t0_sec_of_day,
+                )
+                events.append(
+                    DeterminedSatelliteOrbitEvent(prn=prn, ephemeris=None)
+                )
+        if self.receiver_clock_slide is None:
+            return events
+        trailing_edge_rx = block.leading_edge_timestamp + 1.0
+        # Nominal GEO transit 0.127 s minus the GPS transit (~0.072 s)
+        # already folded into the slide: center the rounding window.
+        guess = trailing_edge_rx + self.receiver_clock_slide - 0.055
+        rec.tow_at_last_subframe = float(round(guess))
+        rec.prn_ticks_since_subframe = int(initial_ticks)
+        rec.counting = True
+        seed = (
+            rec.smoothed_delay_s
+            if rec.smoothed_delay_s is not None
+            else rec.code_phase_delay_s
+        )
+        rec.smoothed_delay_s = ((seed + 0.5e-3) % 1e-3) - 0.5e-3
+        rec.smoothing_depth = max(rec.smoothing_depth, 1)
+        return events
+
+    def handle_glonass_string(
+        self, prn: int, event, frequency_number: int, initial_ticks: int = 0
+    ) -> list[Event]:
+        """A KX-verified GLONASS navigation string (nav/glonass.py
+        GlonassStringEvent) plays the GPS subframe's role for channel
+        ``prn`` (201-214): its trailing edge sits on the 2 s GLONASS-time
+        grid, anchoring the PRN-tick time base, and strings 1-4 of one frame
+        assemble the broadcast state-vector ephemeris.
+
+        Timing: string 1 carries tk (the frame start within the GLONASS
+        day), so its trailing edge is at tk + 2 exactly; later strings are
+        anchored by ROUNDING the receiver-measured elapsed time since that
+        edge onto the 2 s grid (receiver clocks are parts-in-1e7 — the
+        grid snap is unambiguous for hours). The GPS-frame sv time uses the
+        deterministic UTC+3h/leap mapping; in a dual-constellation receiver
+        the sub-us residual offset is solved as the per-constellation clock
+        bias, and for a GLONASS-only receiver the GPS frame is simply a
+        consistent internal timeline (the absolute week is unknowable
+        without GPS, and cancels)."""
+        from gypsum_tpu.solve.glonass import (
+            glonass_ephemeris_from_strings,
+            gps_sow_from_glonass_day_time,
+        )
+
+        rec = self._record(prn)
+        rec.leap_seconds = self.config.leap_seconds
+        s = event.string
+        edge_rx = event.trailing_edge_receiver_timestamp
+        events: list[Event] = []
+
+        if s.m == 1:
+            rec.glo_tk = s.tk_seconds
+            rec.glo_tk_edge_rx = edge_rx
+            rec.glo_pending = {1: (s, edge_rx)}
+        elif 2 <= s.m <= 4:
+            rec.glo_pending[s.m] = (s, edge_rx)
+            # Assemble once 1-4 are present and from one frame (<= 8 s span).
+            if all(m in rec.glo_pending for m in (1, 2, 3, 4)):
+                edges = [rec.glo_pending[m][1] for m in (1, 2, 3, 4)]
+                if max(edges) - min(edges) < 8.5:
+                    was = rec.glonass
+                    rec.glonass = glonass_ephemeris_from_strings(
+                        *(rec.glo_pending[m][0] for m in (1, 2, 3, 4)),
+                        frequency_number=frequency_number,
+                    )
+                    rec.orbit_version += 1
+                    if was is None:
+                        _logger.info(
+                            "determined orbit of GLONASS k=%+d (slot %d, tb %.0f)",
+                            frequency_number, rec.glonass.slot, rec.glonass.tb_day_s,
+                        )
+                        events.append(
+                            DeterminedSatelliteOrbitEvent(prn=prn, ephemeris=None)
+                        )
+                rec.glo_pending = {
+                    m: v for m, v in rec.glo_pending.items() if m == 1
+                }
+
+        if rec.glo_tk is None:
+            return events  # cannot anchor time until a string 1 arrives
+
+        # Edge instant on the 2 s GLONASS grid, then into the GPS frame.
+        elapsed = edge_rx - rec.glo_tk_edge_rx
+        edge_glo_day = rec.glo_tk + 2.0 + 2.0 * round(elapsed / 2.0)
+        approx = (
+            self.receiver_clock_slide + edge_rx
+            if self.receiver_clock_slide is not None
+            else edge_glo_day  # GLONASS-only: pick a consistent frame
+        )
+        tow = gps_sow_from_glonass_day_time(
+            edge_glo_day, approx, self.config.leap_seconds
+        )
+        rec.tow_at_last_subframe = tow
+        rec.prn_ticks_since_subframe = int(initial_ticks)
+        rec.counting = True
+        seed = (
+            rec.smoothed_delay_s
+            if rec.smoothed_delay_s is not None
+            else rec.code_phase_delay_s
+        )
+        rec.smoothed_delay_s = ((seed + 0.5e-3) % 1e-3) - 0.5e-3
+        rec.smoothing_depth = max(rec.smoothing_depth, 1)
+        # Never let a GLONASS edge re-base a GPS-derived clock slide (the
+        # two differ by the unsolved inter-system offset); set it only when
+        # no slide exists at all (GLONASS-only operation).
+        if self.receiver_clock_slide is None:
+            self.receiver_clock_slide = tow - edge_rx
+        return events
+
+    def _compute_position_dual(
+        self, receiver_timestamp: float, prns: list[int]
+    ) -> ReceiverSolution | None:
+        """Mixed GPS(+SBAS) / GLONASS epoch: 5-unknown solve with one clock
+        bias per constellation (solve/fix.py:solve_position_multi). The
+        integer-millisecond repair machinery is single-bias and does not run
+        here; a grossly inconsistent mixed set is reported, not repaired
+        (the single-constellation epochs around it carry the repair)."""
+        from gypsum_tpu.solve.fix import solve_position_multi
+
+        cfg = self.config
+        system_of = np.array(
+            [1 if self._sats[p].glonass is not None else 0 for p in prns]
+        )
+        if len(prns) < 5:
+            return None  # 5 unknowns
+        pos = self.position_fixes[-1].ecef.copy() if self.position_fixes else np.zeros(3)
+        biases = np.zeros(2)
+        prev_pos = None
+        for _ in range(cfg.outer_rounds):
+            # _measurement_set already subtracts the STORED inter-system
+            # bias from GLONASS rows, so each round solves residuals.
+            sat_pos, transit = self._measurement_set(receiver_timestamp, prns, pos)
+            pos, biases = solve_position_multi(
+                sat_pos, transit, system_of,
+                initial_position=pos, initial_biases=None,
+                iterations=cfg.newton_iterations,
+            )
+            # Fold the GPS bias into the (GPS-anchored) clock slide and the
+            # GLONASS-vs-GPS part into the persistent inter-system estimate
+            # — the EKF and later epochs then consume corrected
+            # pseudoranges (its single clock state models GPS only).
+            self.receiver_clock_slide -= biases[0]
+            self.glonass_bias_s += float(biases[1] - biases[0])
+            if (
+                prev_pos is not None
+                and float(np.linalg.norm(pos - prev_pos)) < 1e-3
+                and float(np.abs(biases).max()) * C < 1e-3
+            ):
+                break  # converged (see _compute_position)
+            prev_pos = pos.copy()
+        onehot_b = biases[system_of]
+        ranges = np.linalg.norm(sat_pos - pos[None, :], axis=1)
+        r = C * (transit - onehot_b) - ranges
+        r -= r.mean()
+        rms = float(np.sqrt(np.mean(r * r)))
+        if rms > 1000.0:
+            _logger.warning(
+                "dual-constellation pseudorange set inconsistent (residual "
+                "RMS %.0f m); publishing anyway (ms-repair is per-system)",
+                rms,
+            )
+        lat, lon, alt = ecef_to_lla(pos)
+        velocity, drift = self._solve_velocity(prns, pos, sat_pos)
+        dop = dilution_of_precision(sat_pos, pos)
+        from gypsum_tpu.solve.integrity import protection_levels, raim_residual_test
+
+        sigmas = np.array([self._sigma_for(p, now=receiver_timestamp) for p in prns])
+        # Same RAIM gating as the single-constellation solve, with two clock
+        # unknowns (r above is already the per-row post-fit residual).
+        raim = raim_residual_test(
+            sat_pos, pos, C * (transit - onehot_b) - ranges, sigmas, n_clocks=2
+        )
+        if raim is not None and not raim["ok"]:
+            sigmas = sigmas * raim["sigma_scale"]
+        protection = protection_levels(sat_pos, pos, sigmas)
+        solution = ReceiverSolution(
+            clock_bias_s=float(biases[0]),
+            ecef=pos,
+            lat_deg=lat,
+            lon_deg=lon,
+            alt_m=alt,
+            satellites_used=tuple(prns),
+            receiver_timestamp=receiver_timestamp,
+            velocity_ecef_mps=velocity,
+            clock_drift_s_per_s=drift,
+            dop=dop,
+            protection=protection,
+            raim=raim,
+            inter_system_bias_s=self.glonass_bias_s,
+        )
+        self.position_fixes.append(solution)
+        if self.config.ekf_enabled:
+            self._ekf_shadow(receiver_timestamp, prns, solution)
+        return solution
+
+    def _wavelengths_for(self, prns: list[int]) -> np.ndarray:
+        lams = np.empty(len(prns))
+        for i, p in enumerate(prns):
+            rec = self._sats[p]
+            f = (
+                rec.glonass.carrier_frequency_hz
+                if rec.glonass is not None
+                else GPS_L1_FREQUENCY_HZ
+            )
+            lams[i] = C / f
+        return lams
+

@@ -109,3 +109,38 @@ def test_fix_carries_protection_levels():
     sig = np.full(len(sat), wm.config.pseudorange_sigma_m)
     pl = protection_levels(sat, RX, sig)
     assert pl["hpl_m"] < 60.0  # conservative default sigma, good geometry
+
+
+# ------------------------------------------------- RAIM chi-square detection
+
+
+def test_raim_consistent_residuals_pass():
+    from gypsum_tpu.solve.integrity import raim_residual_test
+
+    sat = np.array([_sat_at(60, 0), _sat_at(40, 90), _sat_at(35, 200),
+                    _sat_at(55, 300), _sat_at(20, 150)])
+    res = np.array([1.0, -2.0, 0.5, 1.5, -1.0])  # ~sigma-level residuals
+    out = raim_residual_test(sat, RX, res, np.full(5, 2.5))
+    assert out is not None and out["ok"], out
+    assert out["dof"] == 1.0
+
+
+def test_raim_inconsistent_residuals_fail_and_scale():
+    from gypsum_tpu.solve.integrity import raim_residual_test
+
+    sat = np.array([_sat_at(60, 0), _sat_at(40, 90), _sat_at(35, 200),
+                    _sat_at(55, 300), _sat_at(20, 150), _sat_at(70, 250)])
+    res = np.array([300.0, -500.0, 200.0, 150.0, -400.0, 100.0])  # km-fade junk
+    out = raim_residual_test(sat, RX, res, np.full(6, 2.5))
+    assert out is not None and not out["ok"], out
+    # The sigma re-scale must be large enough that scaled protection levels
+    # bound ~hundreds-of-meters errors (sqrt(SSE/dof) ~ RMS/sigma).
+    assert out["sigma_scale"] > 50.0, out
+
+
+def test_raim_needs_redundancy():
+    from gypsum_tpu.solve.integrity import raim_residual_test
+
+    sat = np.array([_sat_at(60, 0), _sat_at(40, 90), _sat_at(35, 200),
+                    _sat_at(55, 300)])
+    assert raim_residual_test(sat, RX, np.zeros(4), np.full(4, 2.5)) is None
