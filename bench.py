@@ -244,9 +244,11 @@ def e2e_replay_details(async_upload: bool = False) -> dict:
     return details
 
 
-def farm_throughput_details() -> dict:
-    """Secondary metric: aggregate Msamples/s tracking 8 independent streams
-    x 8 channels in one dispatch (track/loop.py:make_farm_track_block_fn)."""
+def _farm_config_msps(n_streams: int, ch_per_stream: int, timed_blocks: int = 2,
+                      sustain_s: float | None = None) -> dict:
+    """Measure one farm geometry (track/loop.py:make_farm_track_block_fn):
+    aggregate Msamples/s tracking ``n_streams`` independent IQ streams x
+    ``ch_per_stream`` channels each, all in one dispatch."""
     import jax
     import jax.numpy as jnp
 
@@ -256,7 +258,6 @@ def farm_throughput_details() -> dict:
     from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
     from gypsum_tpu.track.loop import fresh_state, make_farm_track_block_fn
 
-    n_streams, ch_per_stream = 8, 8
     s_total = n_streams * ch_per_stream
     cfg = TrackingConfig(block_size_ms=BLOCK_MS)
     reps = replica_table(L)
@@ -269,29 +270,109 @@ def farm_throughput_details() -> dict:
         BLOCK_MS * L, FS, noise_sigma=0.4, seed=3,
     ).reshape(BLOCK_MS, L)
     planes = to_planes(iq)
-    samples = jnp.asarray(
-        np.broadcast_to(planes[:, None, :, :], (BLOCK_MS, n_streams, L, 2)).copy()
-    )
+    # Upload ONE stream (16 MB) and tile on device: broadcasting on host and
+    # uploading [B, streams, L, 2] would push up to ~1 GB through this
+    # environment's ~35 MB/s tunnel per geometry.
+    base = jnp.asarray(planes)  # [B, L, 2]
+    samples = jax.jit(
+        lambda x: jnp.broadcast_to(x[:, None, :, :], (BLOCK_MS, n_streams, L, 2))
+        + jnp.zeros((), jnp.float32)
+    )(base)
     state = fresh_state(s_total)
     state = state._replace(doppler=(state.doppler + 800.0).astype(np.float32))
     fn = make_farm_track_block_fn(cfg, L, FS, s_total, stream_of_channel)
 
+    t0 = time.perf_counter()
     s_out, _ = fn(state, samples, replicas)
     _ = jax.device_get(s_out)
+    warmup_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         s2 = state
-        for _ in range(2):
+        for _ in range(timed_blocks):
             s2, _outs = fn(s2, samples, replicas)
         _ = jax.device_get(s2)
-        best = min(best, (time.perf_counter() - t0) / 2)
-    agg = n_streams * BLOCK_MS * L / best / 1e6
+        best = min(best, (time.perf_counter() - t0) / timed_blocks)
+    out = {
+        "streams": n_streams,
+        "channels_per_stream": ch_per_stream,
+        "block_latency_ms": best * 1e3,
+        "aggregate_msamples_per_sec": n_streams * BLOCK_MS * L / best / 1e6,
+        "warmup_s": warmup_s,
+    }
+    if sustain_s is not None:
+        # BASELINE config 5: a sustained >= sustain_s wall-clock window, not
+        # a handful of blocks — catches throttling/queueing a burst hides.
+        blocks = 0
+        s2 = state
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < sustain_s:
+            s2, _outs = fn(s2, samples, replicas)
+            blocks += 1
+            if blocks % 8 == 0:
+                # Bound the in-flight queue: on this backend only a fetch
+                # observes completion (block_until_ready returns at dispatch),
+                # so sync through a tiny leaf every few blocks.
+                _ = jax.device_get(s2.doppler)
+        _ = jax.device_get(s2)
+        elapsed = time.perf_counter() - t0
+        out["sustained_window_s"] = elapsed
+        out["sustained_blocks"] = blocks
+        out["sustained_aggregate_msamples_per_sec"] = (
+            blocks * n_streams * BLOCK_MS * L / elapsed / 1e6
+        )
+    return out
+
+
+def farm_throughput_details() -> dict:
+    """Farm saturation sweep (VERDICT round-3 item 5): grow streams x
+    channels until aggregate throughput stops scaling, then hold the best
+    geometry for a sustained >= 60 s window. Also reports achieved HBM
+    bandwidth and FLOP/s against chip peaks (roofline accounting in
+    docs/DESIGN_NOTES.md)."""
+    sweep = [(8, 8), (16, 16), (32, 32), (64, 32)]
+    curve = []
+    for n_streams, cps in sweep:
+        r = _farm_config_msps(n_streams, cps)
+        _log(f"farm {n_streams}x{cps}: {r['aggregate_msamples_per_sec']:.0f} "
+             f"Msps ({r['block_latency_ms']:.1f} ms/block)")
+        prev_best = max(
+            (c["aggregate_msamples_per_sec"] for c in curve), default=0.0
+        )
+        curve.append(r)
+        if curve and prev_best and (
+            r["aggregate_msamples_per_sec"] <= 1.10 * prev_best
+        ):
+            _log("farm sweep: <10% gain, saturated")
+            break
+    best = max(curve, key=lambda c: c["aggregate_msamples_per_sec"])
+    sustained = _farm_config_msps(
+        best["streams"], best["channels_per_stream"], sustain_s=60.0
+    )
+    # Roofline accounting at the sustained point: bytes = the samples the
+    # farm streams from HBM each block (f32 I/Q planes) — the dominant
+    # traffic; FLOPs = the per-ms lag-window correlations + wipeoff + loop
+    # math, ~(2*(2k+1)+8 real ops) x 2 planes per sample per channel.
+    msps = sustained.get(
+        "sustained_aggregate_msamples_per_sec",
+        sustained["aggregate_msamples_per_sec"],
+    )
+    k = 6  # TrackingConfig.lag_window_half_width default
+    flops_per_sample_channel = 2 * (2 * (2 * k + 1) + 8)
+    achieved_gbps = msps * 1e6 * 8 / 1e9  # 8 B/sample (2 f32 planes)
+    achieved_tflops = (
+        msps * 1e6 * sustained["channels_per_stream"] * flops_per_sample_channel / 1e12
+    )
     return {
-        "farm_streams": n_streams,
-        "farm_channels_per_stream": ch_per_stream,
-        "farm_block_latency_ms": best * 1e3,
-        "farm_aggregate_msamples_per_sec": agg,
+        "farm_sweep": curve,
+        "farm_streams": best["streams"],
+        "farm_channels_per_stream": best["channels_per_stream"],
+        "farm_block_latency_ms": best["block_latency_ms"],
+        "farm_aggregate_msamples_per_sec": best["aggregate_msamples_per_sec"],
+        "farm_sustained": sustained,
+        "farm_achieved_hbm_gbps": achieved_gbps,
+        "farm_achieved_tflops": achieved_tflops,
     }
 
 
@@ -311,19 +392,22 @@ def acquisition_wallclock_s() -> dict:
     x = jnp.asarray(to_planes(iq))
 
     t0 = time.perf_counter()
-    # Same call the receiver makes (matmul circulant correlator on TPU).
-    out = jax.device_get(eng._acquire_jit(x, eng._circulant))  # fetch forces completion
+    # Same call the receiver makes (matmul circulant correlator on TPU);
+    # _dispatch prefers the in-repo AOT executable (core/aot.py), which is
+    # what keeps this under 1 s on a recycled machine with an empty cache.
+    out = jax.device_get(eng._dispatch(x))  # fetch forces completion
     cold = time.perf_counter() - t0
 
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        out = jax.device_get(eng._acquire_jit(x, eng._circulant))
+        out = jax.device_get(eng._dispatch(x))
     warm = (time.perf_counter() - t0) / n
     return {
         "acquisition_cold_s": cold,
         "acquisition_warm_s": warm,
         "acquisition_correlator": eng._correlator,
+        "acquisition_aot_used": any(v is not None for v in eng._aot_cache.values()),
     }
 
 
@@ -448,8 +532,9 @@ def _dist_worker(pid: int, n_procs: int, port: str) -> None:
         }), flush=True)
 
 
-def _hosts_main(n_hosts: int) -> None:
-    """Spawn the N-process simulated-multi-host tracking bench (CPU)."""
+def _hosts_result(n_hosts: int, timeout_s: float = 600) -> dict | None:
+    """Spawn the N-process simulated-multi-host tracking bench (CPU) and
+    return its result blob (None on failure)."""
     import socket
     import subprocess
 
@@ -464,11 +549,21 @@ def _hosts_main(n_hosts: int) -> None:
         for pid in range(n_hosts)
     ]
     result = None
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        for line in (out or "").splitlines():
-            if line.startswith("BENCH_RESULT "):
-                result = json.loads(line[len("BENCH_RESULT "):])
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout_s)
+            for line in (out or "").splitlines():
+                if line.startswith("BENCH_RESULT "):
+                    result = json.loads(line[len("BENCH_RESULT "):])
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        return None
+    return result
+
+
+def _hosts_main(n_hosts: int) -> None:
+    result = _hosts_result(n_hosts)
     if result is None:
         raise SystemExit("multi-host bench produced no result")
     print(json.dumps({
@@ -478,6 +573,29 @@ def _hosts_main(n_hosts: int) -> None:
         "vs_baseline": None,
         "details": result["details"],
     }))
+
+
+def _dist_scaling_details() -> dict:
+    """BASELINE's 'measured at 1 chip, 1 host, and N>=2 hosts': run the
+    jax.distributed tracking bench at 1, 2, and 4 simulated hosts (CPU,
+    labeled as such — real multi-host hardware does not exist in this
+    environment; the same code path measures DCN the day it does) and
+    report aggregate + scaling efficiency (VERDICT round-3 item 4)."""
+    out: dict = {"dist_simulated": "cpu (4 virtual devices per host)"}
+    base = None
+    for n in (1, 2, 4):
+        r = _hosts_result(n)
+        if r is None:
+            out[f"dist_{n}host_error"] = "worker failed or timed out"
+            continue
+        agg = float(r["value"])
+        out[f"dist_{n}host_msamples_per_sec"] = agg
+        out[f"dist_{n}host_block_latency_ms"] = r["details"]["dist_block_latency_ms"]
+        if n == 1:
+            base = agg
+        elif base:
+            out[f"dist_{n}host_scaling_efficiency"] = agg / (n * base)
+    return out
 
 
 def _e2e_worker(platform: str, async_upload: bool = False) -> None:
@@ -525,9 +643,12 @@ def main() -> None:
     # First-ever run pays tunnel warmup + full compile (the persistent
     # cache makes retries and later runs much cheaper, so the retry often
     # succeeds even when the first attempt times out mid-compile).
-    result = _run_worker("default", timeout_s=1200)
+    # 1800 s budget: the farm saturation sweep (4 geometries, each a fresh
+    # Mosaic compile on this remote-compile tunnel) plus the 60 s sustained
+    # window sit on top of the old ~12 min worst case.
+    result = _run_worker("default", timeout_s=1800)
     if result is None:
-        result = _run_worker("default", timeout_s=1200)
+        result = _run_worker("default", timeout_s=1500)
     device_platform = "default"
     if result is None:
         _log("falling back to CPU backend")
@@ -551,8 +672,14 @@ def main() -> None:
     # End-to-end pipelined replay in its own worker (informational; must
     # not be able to take the headline down with it). Reuse the platform
     # the headline succeeded on — no point waiting out TPU timeouts the
-    # main worker already proved dead.
-    e2e = _run_worker(device_platform, timeout_s=600, mode="--e2e-worker")
+    # main worker already proved dead. One retry: the main worker has
+    # populated the persistent compile cache by now, but a cold FIRST e2e
+    # attempt can still lose its budget to Mosaic compiles of the
+    # receiver-only programs (that exact failure emptied r03's sync e2e
+    # keys); the retry resumes from the cache and finishes fast.
+    e2e = _run_worker(device_platform, timeout_s=900, mode="--e2e-worker")
+    if e2e is None:
+        e2e = _run_worker(device_platform, timeout_s=900, mode="--e2e-worker")
     if e2e is not None:
         details.update(e2e["details"])
     else:
@@ -564,6 +691,12 @@ def main() -> None:
         details.update(e2e_async["details"])
     else:
         details["e2e_async_error"] = "async e2e worker failed or timed out"
+    # Multi-host scaling (CPU-simulated jax.distributed; BASELINE demands a
+    # published N>=2-host number every round, not just an opt-in test).
+    try:
+        details.update(_dist_scaling_details())
+    except Exception as exc:
+        details["dist_error"] = repr(exc)
     details["baseline_numpy_msps"] = baseline
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

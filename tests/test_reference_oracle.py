@@ -37,3 +37,7 @@ def test_nav_decode_bit_exact_vs_reference(tmp_path):
     assert cmp_run.returncode == 0, (cmp_run.stdout + cmp_run.stderr)[-3000:]
     assert ("ALL MATCHED FIELDS BIT-EXACT" in cmp_run.stdout
             or "OUR DECODE IS BIT-EXACT TO TRUTH" in cmp_run.stdout), cmp_run.stdout[-3000:]
+    # rc==0 already implies the fix criterion passed when the reference
+    # reached a fix; assert the comparison actually ran (BASELINE contract
+    # is decode AND fix).
+    assert "FIX COMPARISON" in cmp_run.stdout, cmp_run.stdout[-3000:]

@@ -1,0 +1,37 @@
+"""Build the in-repo AOT-serialized TPU executables (gypsum_tpu/core/aot.py).
+
+Run ON the target TPU generation (the artifact is keyed to backend, device
+kind, and jax version; a mismatch at runtime silently falls back to jit):
+
+    python tools/build_aot.py
+
+Currently exports the cold-start-critical program: the full-constellation
+acquisition sweep at the standard 10 ms geometry (BASELINE's <1 s
+cold-acquisition target; the sweep compile was 2.3 s of the 2.33 s cold
+figure in BENCH_r03).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        raise SystemExit(
+            f"build_aot must run on the TPU backend (got {jax.default_backend()})"
+        )
+    from gypsum_tpu.acquire.engine import AcquisitionEngine
+    from gypsum_tpu.core.aot import runtime_meta
+
+    fs, length = 2.046e6, 2046
+    eng = AcquisitionEngine(fs, length)
+    path = eng.export_aot()
+    print(f"saved {path} for {runtime_meta()}")
+
+
+if __name__ == "__main__":
+    main()

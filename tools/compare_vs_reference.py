@@ -120,6 +120,22 @@ def run_reference(capture: Path, seconds: float, prns: list[int]):
 
     receiver._handle_subframe_emitted_event = spy
 
+    # Spy on the reference's position solve too (world_model.py:567-633):
+    # the BASELINE contract is decode AND fix, so record every non-None
+    # solution it publishes for the fix-vs-fix-vs-truth comparison.
+    fixes = []
+    wm = receiver.world_model
+    orig_fix = wm.attempt_position_fix
+
+    def fix_spy(receiver_timestamp, trackers):
+        sol = orig_fix(receiver_timestamp, trackers)
+        if sol is not None:
+            p = sol.receiver_pos
+            fixes.append((float(receiver_timestamp), (p.x, p.y, p.z)))
+        return sol
+
+    wm.attempt_position_fix = fix_spy
+
     from gypsum.antenna_sample_provider import NoMoreSamplesError
 
     steps = int(seconds * 1000)
@@ -131,9 +147,10 @@ def run_reference(capture: Path, seconds: float, prns: list[int]):
             break
         if i % 5000 == 4999:
             print(f"  reference: {i / 1000 + 0.001:.0f}s of signal "
-                  f"({time.perf_counter() - t0:.0f}s wall, {len(decoded)} subframes)",
+                  f"({time.perf_counter() - t0:.0f}s wall, {len(decoded)} subframes, "
+                  f"{len(fixes)} fixes)",
                   flush=True)
-    return decoded
+    return decoded, fixes
 
 
 def run_ours(capture: Path, seconds: float, prns: list[int]):
@@ -150,7 +167,12 @@ def run_ours(capture: Path, seconds: float, prns: list[int]):
     for report in reports:
         for prn, ev in report.subframes:
             out.append((prn, ev))
-    return out
+    fixes = [
+        (f.receiver_timestamp, tuple(f.ecef))
+        for f in receiver.world.position_fixes
+        if f.kind == "lsq"
+    ]
+    return out, fixes
 
 
 def key_of(prn, sf_id, tow):
@@ -170,12 +192,52 @@ def main():
     capture = scaled
 
     print(f"running THIS framework over {capture} ({seconds:.0f}s, scale {scale:g})...", flush=True)
-    ours = run_ours(capture, seconds, prns)
-    print(f"  -> {len(ours)} subframes", flush=True)
+    ours, our_fixes = run_ours(capture, seconds, prns)
+    print(f"  -> {len(ours)} subframes, {len(our_fixes)} lsq fixes", flush=True)
 
     print("running the REFERENCE receiver (pure numpy; this takes a while)...", flush=True)
-    ref = run_reference(capture, seconds, prns)
-    print(f"  -> {len(ref)} subframes", flush=True)
+    ref, ref_fixes = run_reference(capture, seconds, prns)
+    print(f"  -> {len(ref)} subframes, {len(ref_fixes)} fixes", flush=True)
+
+    # ---- fix-vs-fix-vs-truth (BASELINE: decode AND "fix within its
+    # bounds"; reference solve: gypsum/world_model.py:567-633). The capture
+    # was synthesized at the known receiver position (gypsum_tpu synth
+    # defaults), so both solvers are judged against the same truth.
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+
+    truth_rx = np.asarray(lla_to_ecef(51.5, -0.1, 80.0))
+
+    def errs(fixes):
+        return np.array(
+            [np.linalg.norm(np.asarray(p) - truth_rx) for _, p in fixes]
+        )
+
+    print("\nFIX COMPARISON (vs synthesis truth):")
+    if not ref_fixes:
+        print("  reference produced NO position fix within the capture; "
+              "fix-level criterion not evaluable on this run")
+        fix_ok = bool(our_fixes)
+        if our_fixes:
+            e = errs(our_fixes)
+            print(f"  ours: {len(our_fixes)} fixes, median {np.median(e):.1f} m, "
+                  f"last {e[-1]:.1f} m")
+    else:
+        re_, oe = errs(ref_fixes), errs(our_fixes) if our_fixes else np.array([])
+        print(f"  reference: {len(ref_fixes)} fixes, median error "
+              f"{np.median(re_):.1f} m, last {re_[-1]:.1f} m "
+              f"(first fix at t={ref_fixes[0][0]:.1f}s)")
+        if our_fixes:
+            print(f"  ours:      {len(our_fixes)} fixes, median error "
+                  f"{np.median(oe):.1f} m, last {oe[-1]:.1f} m "
+                  f"(first fix at t={our_fixes[0][0]:.1f}s)")
+        # "Within its bounds": our typical error must not exceed the
+        # reference's own scatter on the same samples (floor 15 m so a
+        # hyper-accurate reference run can't fail us on noise).
+        fix_ok = bool(our_fixes) and float(np.median(oe)) <= max(
+            15.0, float(np.median(re_))
+        )
+        print(f"  -> OUR FIX {'WITHIN' if fix_ok else 'OUTSIDE'} the "
+              f"reference's bounds")
 
     ours_by_key = {}
     for prn, ev in ours:
@@ -216,6 +278,8 @@ def main():
         sys.exit(1)
     if not mismatches:
         print(f"ALL {fields_compared} MATCHED FIELDS BIT-EXACT")
+        if not fix_ok:
+            sys.exit(1)
         return
 
     # Disagreements get adjudicated against the synthesis ground truth: the
@@ -260,6 +324,8 @@ def main():
         sys.exit(1)
     print("ALL DISAGREEMENTS WERE REFERENCE DECODE ERRORS; OUR DECODE IS "
           "BIT-EXACT TO TRUTH")
+    if not fix_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
