@@ -331,6 +331,20 @@ def farm_throughput_details() -> dict:
     geometry for a sustained >= 60 s window. Also reports achieved HBM
     bandwidth and FLOP/s against chip peaks (roofline accounting in
     docs/DESIGN_NOTES.md)."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        # CPU fallback: the sweep's larger geometries take minutes per
+        # compile+run on a shared host and the saturation question is a
+        # TPU question — keep the single small config for provenance.
+        r = _farm_config_msps(8, 8)
+        return {
+            "farm_streams": 8,
+            "farm_channels_per_stream": 8,
+            "farm_block_latency_ms": r["block_latency_ms"],
+            "farm_aggregate_msamples_per_sec": r["aggregate_msamples_per_sec"],
+            "farm_note": "cpu fallback: saturation sweep skipped",
+        }
     sweep = [(8, 8), (16, 16), (32, 32), (64, 32)]
     curve = []
     for n_streams, cps in sweep:
