@@ -76,6 +76,31 @@ def test_no_false_measurement_on_noise():
     assert hits == 0
 
 
+def test_static_offset_wiped_in_float64():
+    """GLONASS FDMA path: a channel at a ~MHz sub-band offset must measure
+    as precisely as a baseband one — the offset is wiped on host in float64
+    (float32 chunk phases at 4e6 cycles would jitter ~45° per ms; advisor
+    finding, round 3)."""
+    sats = demo_constellation([25], amplitude=0.03)
+    iq, truth = synthesize_constellation(
+        sats, RX, DEMO_GPS_START_SOW, 1.2, FS, noise_sigma=0.35, seed=3
+    )
+    off = 3_937_500.0  # GLONASS k=7 sub-band offset
+    n = 1000 * L
+    t = np.arange(n, dtype=np.float64) / FS
+    shifted = (iq[:n] * np.exp(2j * np.pi * off * t)).astype(np.complex64)
+    m = DeepCoastMeasurer(FS, L, ALL_PRN_IDS, TrackingConfig())
+    f_true = truth.doppler_hz[25]
+    cp_true = truth.code_phase_samples[25]
+    drift = -f_true * FS / GPS_L1_FREQUENCY_HZ * 1.0
+    res = m.measure(
+        shifted, 25, cp_true % L, drift, f_true, static_offset_hz=off
+    )
+    assert res is not None and res.detected, res
+    assert abs(res.cp_error_samples) < 0.15, res
+    assert abs(res.doppler_hz - f_true) < 2.0, (res.doppler_hz, f_true)
+
+
 def test_short_block_returns_none():
     m = DeepCoastMeasurer(FS, L, ALL_PRN_IDS, TrackingConfig())
     iq = np.zeros(50 * L, np.complex64)  # 50 ms < min_groups * coherent_ms
