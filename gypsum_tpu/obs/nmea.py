@@ -122,8 +122,13 @@ def _hms(when: _dt.datetime) -> str:
 
 def _quality(fix: "ReceiverSolution") -> int:
     """GGA fix-quality indicator: 2 = differential (any SBAS-corrected
-    pseudorange in the solve), 6 = estimated (EKF coast), 1 = autonomous."""
+    pseudorange in the solve), 6 = estimated (EKF coast, or an lsq fix whose
+    RAIM chi-square test failed — solve/integrity.py:raim_residual_test:
+    the residuals disagree with the formal weights, so downstream consumers
+    should treat it as degraded), 1 = autonomous."""
     if fix.kind == "ekf":
+        return 6
+    if fix.raim is not None and not fix.raim.get("ok", True):
         return 6
     if fix.sbas_corrected:
         return 2
@@ -132,6 +137,8 @@ def _quality(fix: "ReceiverSolution") -> int:
 
 def _mode_letter(fix: "ReceiverSolution") -> str:
     if fix.kind == "ekf":
+        return "E"
+    if fix.raim is not None and not fix.raim.get("ok", True):
         return "E"
     if fix.sbas_corrected:
         return "D"

@@ -9,6 +9,7 @@ tests/test_end_to_end.py at zero added runtime.
 
 from __future__ import annotations
 
+import dataclasses
 import datetime as dt
 
 import numpy as np
@@ -219,3 +220,15 @@ def test_sentences_for_fix_order(monkeypatch):
     burst = sentences_for_fix(world, _fix())
     kinds = [s[3:6] for s in burst]
     assert kinds == ["GGA", "GSA", "RMC", "VTG", "GSV", "ZDA"]
+
+
+def test_raim_failed_fix_demoted_to_estimated():
+    """An lsq fix whose RAIM chi-square test failed must not present as an
+    autonomous (quality 1) fix: GGA reports 6 / GSA-RMC mode 'E', matching
+    the residual-scaled protection levels it carries."""
+    from gypsum_tpu.obs.nmea import _mode_letter, _quality
+
+    good = _fix()
+    bad = dataclasses.replace(good, raim={"ok": False, "sigma_scale": 40.0})
+    assert _quality(good) == 1 and _mode_letter(good) == "A"
+    assert _quality(bad) == 6 and _mode_letter(bad) == "E"
