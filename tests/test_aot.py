@@ -1,0 +1,77 @@
+"""In-repo AOT executable store (core/aot.py).
+
+The real consumers are TPU-only (the acquisition engine only loads
+artifacts on the tpu backend), but the store itself is platform-agnostic:
+round-trip, compatibility gating, and corrupt-artifact fallback are pinned
+here on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gypsum_tpu.core import aot
+
+
+def _compiled():
+    f = jax.jit(lambda x, y: (x @ y, x.sum()))
+    x = jnp.ones((8, 8), jnp.float32)
+    return f.lower(x, x).compile(), x
+
+
+def test_save_load_roundtrip(tmp_path):
+    """Round-trip in a SINGLE-device subprocess: the suite's forced
+    8-device virtual mesh changes the device assignment between compile and
+    reload (execute_sharded expects 8 shards), which never happens on the
+    real single-chip TPU target."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(f"""
+        import jax, jax.numpy as jnp, numpy as np
+        from gypsum_tpu.core import aot
+        from pathlib import Path
+        aot.AOT_DIR = Path({str(tmp_path)!r})
+        f = jax.jit(lambda x, y: (x @ y, x.sum()))
+        x = jnp.ones((8, 8), jnp.float32)
+        compiled = f.lower(x, x).compile()
+        aot.save_compiled("unit", compiled)
+        loaded = aot.load_compiled("unit")
+        assert loaded is not None
+        out, s = loaded(x, x)
+        np.testing.assert_allclose(np.asarray(out), 8.0 * np.ones((8, 8)))
+        assert float(s) == 64.0
+        print("ROUNDTRIP_OK")
+    """)
+    repo = str(aot.AOT_DIR.parent.parent)
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+           "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=420, cwd=repo,
+    )
+    assert r.returncode == 0 and "ROUNDTRIP_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_missing_artifact_returns_none(tmp_path, monkeypatch):
+    monkeypatch.setattr(aot, "AOT_DIR", tmp_path)
+    assert aot.load_compiled("nope") is None
+
+
+def test_incompatible_meta_rejected(tmp_path, monkeypatch):
+    monkeypatch.setattr(aot, "AOT_DIR", tmp_path)
+    compiled, _ = _compiled()
+    aot.save_compiled("unit", compiled)
+    real = aot.runtime_meta()
+    monkeypatch.setattr(
+        aot, "runtime_meta", lambda: {**real, "device_kind": "TPU v9000"}
+    )
+    assert aot.load_compiled("unit") is None
+
+
+def test_corrupt_artifact_falls_back(tmp_path, monkeypatch):
+    monkeypatch.setattr(aot, "AOT_DIR", tmp_path)
+    (tmp_path / "bad.jaxexec").write_bytes(b"not a pickle")
+    assert aot.load_compiled("bad") is None
