@@ -218,6 +218,16 @@ def cmd_replay(args) -> int:
 
         prns = sorted(set(prns or ALL_PRN_IDS) | set(SBAS_PRN_IDS))
     dual = None
+    l2_file = getattr(args, "glonass_l2_file", None)
+    if l2_file and not glonass_file:
+        raise SystemExit("--glonass-l2-file requires --glonass-file (the L2 "
+                         "band only contributes the iono difference against "
+                         "tracked L1 channels)")
+    l2_source = (
+        _open_glonass_source(l2_file, getattr(args, "glonass_rate", None))
+        if l2_file
+        else None
+    )
     if glonass_file and source is not None:
         from gypsum_tpu.runtime.receiver import DualBandReceiver
 
@@ -226,9 +236,30 @@ def cmd_replay(args) -> int:
             _open_glonass_source(glonass_file, getattr(args, "glonass_rate", None)),
             config,
             eligible_prns=prns,
+            glonass_l2_source=l2_source,
         )
         receiver = dual.gps  # listeners/narration ride the fix-owning band
-        _logger.info("dual-band replay: GPS %s + GLONASS %s", args.file, glonass_file)
+        _logger.info(
+            "dual-band replay: GPS %s + GLONASS %s%s", args.file, glonass_file,
+            f" + L2 {l2_file}" if l2_file else "",
+        )
+    elif glonass_file and l2_source is not None:
+        from gypsum_tpu.runtime.receiver import DualBandReceiver
+
+        # GLONASS-only dual-frequency: L1OF owns the fix, L2OF contributes
+        # the measured-iono difference (no Klobuchar broadcast to fall
+        # back on — the measurement IS the iono correction here).
+        dual = DualBandReceiver(
+            None,
+            _open_glonass_source(glonass_file, getattr(args, "glonass_rate", None)),
+            config,
+            glonass_l2_source=l2_source,
+        )
+        receiver = dual.glonass
+        source = receiver.source
+        _logger.info(
+            "GLONASS dual-frequency replay: L1 %s + L2 %s", glonass_file, l2_file
+        )
     elif glonass_file:
         receiver = Receiver(
             _open_glonass_source(glonass_file, getattr(args, "glonass_rate", None)),
@@ -362,7 +393,8 @@ def cmd_replay(args) -> int:
 
     receiver.add_block_listener(narrate)
     if dual is not None:
-        dual.glonass.add_block_listener(narrate)
+        if dual.glonass is not receiver:
+            dual.glonass.add_block_listener(narrate)
         if args.checkpoint:
             raise SystemExit("--checkpoint does not support dual-band replays yet")
     try:
@@ -552,10 +584,27 @@ def cmd_synth(args) -> int:
         from gypsum_tpu.signal.scenarios import demo_sbas_geo
 
         sats.append(demo_sbas_geo(args.sbas))
+    iono_params = None
+    if getattr(args, "iono", False):
+        import dataclasses
+
+        from gypsum_tpu.signal.scenarios import demo_iono_page18
+        from gypsum_tpu.solve.iono import IonoUtcParams
+
+        page = demo_iono_page18()
+        iono_params = IonoUtcParams.from_page(page)
+        # GPS satellites broadcast the page so a GPS receiver can decode
+        # the model correction; GLONASS has no Klobuchar broadcast — its
+        # correction must be MEASURED (synth --glonass-l2-out + replay
+        # --glonass-l2-file) or inherited from a GPS band.
+        sats = [
+            s if not hasattr(s, "sf4") else dataclasses.replace(s, sf4=page)
+            for s in sats
+        ]
     iq, truth = synthesize_constellation(
         sats, rx, start_sow, args.duration,
         args.rate, noise_sigma=args.noise, receiver_velocity_ecef=velocity,
-        tropo=not args.no_tropo, impairments=impairments,
+        tropo=not args.no_tropo, impairments=impairments, iono=iono_params,
     )
 
     def _write(path, samples):
@@ -649,11 +698,12 @@ def cmd_synth(args) -> int:
             if args.glonass_ks
             else [-2, -1, 0, 1, 2]
         )
+        glo_sats = demo_glonass_constellation(ks)
         glo_iq, glo_truth = synthesize_constellation(
-            demo_glonass_constellation(ks), rx, start_sow, args.duration,
+            glo_sats, rx, start_sow, args.duration,
             args.glonass_rate, noise_sigma=args.noise,
             receiver_velocity_ecef=velocity, tropo=not args.no_tropo,
-            glonass_time_offset_s=args.glonass_time_offset,
+            glonass_time_offset_s=args.glonass_time_offset, iono=iono_params,
         )
         if args.glonass_out.endswith(".npy"):
             np.save(args.glonass_out, glo_iq)
@@ -667,6 +717,25 @@ def cmd_synth(args) -> int:
         print(f"wrote GLONASS band {args.glonass_out}: {args.duration}s @ "
               f"{args.glonass_rate:.0f} Hz, channels k={ks}, inter-system "
               f"offset {args.glonass_time_offset * 1e9:.0f} ns")
+        if getattr(args, "glonass_l2_out", None):
+            # The SAME scene's L2OF band (1246 MHz front end): identical
+            # geometry/clocks, iono group delay scaled by (f_l1/f_l2)^2 —
+            # the coherent capture pair the dual-frequency measured-iono
+            # path (replay --glonass-l2-file) differences.
+            l2_iq, _ = synthesize_constellation(
+                glo_sats, rx, start_sow, args.duration,
+                args.glonass_rate, noise_sigma=args.noise,
+                receiver_velocity_ecef=velocity, tropo=not args.no_tropo,
+                glonass_time_offset_s=args.glonass_time_offset,
+                iono=iono_params, glonass_band="l2",
+            )
+            np.save(args.glonass_l2_out, l2_iq)
+            with open(args.glonass_l2_out + ".json", "w") as f:
+                json.dump(
+                    {"sample_rate": args.glonass_rate, "dtype": "complex64"}, f
+                )
+            print(f"wrote GLONASS L2 band {args.glonass_l2_out}: "
+                  f"{args.duration}s @ {args.glonass_rate:.0f} Hz")
     print(f"wrote {args.out}: {args.duration}s @ {args.rate:.0f} Hz, "
           f"PRNs {[s for s in truth.doppler_hz]}")
     for prn in truth.doppler_hz:
@@ -918,6 +987,12 @@ def main(argv=None) -> int:
                    "alone, a GLONASS-only replay")
     p.add_argument("--glonass-rate", type=float, default=None,
                    help="GLONASS capture sample rate (else sidecar; 4.092e6 for .npy)")
+    p.add_argument("--glonass-l2-file", default=None, metavar="PATH",
+                   help="GLONASS L2OF band capture (third front end at "
+                   "1246 MHz, same 511-chip code): tracked but never "
+                   "decoded — the per-SV L2-L1 code-delay difference is the "
+                   "MEASURED ionospheric correction (requires "
+                   "--glonass-file)")
     p.add_argument("--nmea-out", default=None, metavar="PATH",
                    help="stream NMEA 0183 sentences (GGA/GSA/RMC/VTG/GSV/ZDA"
                         " per fix) to PATH, line-buffered (obs/nmea.py)")
@@ -1014,6 +1089,14 @@ def main(argv=None) -> int:
                    help="GLONASS FDMA frequency numbers to put on air "
                    "(default -2 -1 0 1 2)")
     p.add_argument("--glonass-rate", type=float, default=4.092e6)
+    p.add_argument("--glonass-l2-out", default=None, metavar="PATH",
+                   help="also write the GLONASS scene's L2OF band (1246 MHz "
+                   "front end, .npy) — the dual-frequency capture pair for "
+                   "replay --glonass-l2-file (requires --glonass-out)")
+    p.add_argument("--iono", action="store_true",
+                   help="inject a daytime Klobuchar ionosphere into every "
+                   "band (GPS satellites broadcast the page-18 parameters; "
+                   "GLONASS bands carry the (f_l1/f)^2-scaled group delay)")
     p.add_argument("--glonass-time-offset", type=float, default=8e-7,
                    help="residual GPS->GLONASS time offset (s) the dual-band "
                    "receiver must solve (default 800 ns)")

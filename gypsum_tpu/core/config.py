@@ -404,6 +404,18 @@ class SolverConfig:
     # once subframe 4 page 18 has been decoded. The reference never decodes
     # the page, so False reproduces its (uncorrected) behavior.
     apply_iono_correction: bool = True
+    # Dual-frequency measured iono (GLONASS L1OF+L2OF): when a satellite's
+    # L2 channel is tracked (band="glonass_l2"), the wrapped L2-L1 code
+    # delay difference measures the dispersive delay DIRECTLY —
+    # I_L1 = (d_L2 - d_L1) * f2^2/(f1^2 - f2^2) — replacing the Klobuchar
+    # model for that satellite (a GLONASS-only receiver has no Klobuchar
+    # broadcast at all, so this is its ONLY iono correction). The
+    # measurement needs no position estimate, so unlike the model it also
+    # corrects the very first fix rounds.
+    dual_frequency_iono: bool = True
+    # An L2 channel outage invalidates the measured correction after this
+    # many seconds without an update (falls back to the model, if any).
+    l2_iono_max_age_s: float = 5.0
     # Apply SBAS fast corrections (MT1 mask + MT2-5 PRCs decoded from a
     # tracked GEO, solve/sbas_corrections.py) to GPS pseudoranges, and fold
     # the UDREI variance into the integrity weighting. The reference has no

@@ -61,6 +61,11 @@ GLONASS_CHIP_RATE_HZ: float = 0.511e6  # 511 kchip/s (ICD §3.3.2.2)
 GLONASS_L1_BASE_HZ: float = 1602.0e6
 GLONASS_L1_CHANNEL_SPACING_HZ: float = 562.5e3
 GLONASS_FREQUENCY_NUMBERS: tuple[int, ...] = tuple(range(-7, 7))
+# L2 sub-band center: f_k = 1246 MHz + k * 437.5 kHz (ICD §3.3.1.1). The SAME
+# 511-chip SP code rides both bands, so an L2OF channel needs no new code
+# family — only its own front end. f_L2 / f_L1 = 7/9 exactly for every k.
+GLONASS_L2_BASE_HZ: float = 1246.0e6
+GLONASS_L2_CHANNEL_SPACING_HZ: float = 437.5e3
 # Navigation message: 50 bps data XOR'd with a 100 Hz meander sequence ->
 # 100 symbols/s line code; 85-bit strings every 2 s, the last 0.3 s of each
 # string being a fixed 30-symbol time mark (ICD §4.3).

@@ -48,7 +48,11 @@ from pathlib import Path
 #       ``deep_candidate_hz`` / ``deep_streak`` (multi-block confirmation)
 #       and ReceiverSolution gained ``raim`` (chi-square fault detection,
 #       solve/integrity.py:raim_residual_test).
-CHECKPOINT_VERSION = 11
+#  12 — GLONASS L2OF dual-frequency: _SatelliteRecord gained the ``l2_*``
+#       measured-iono fields (solve/world_multiconstellation.py
+#       handle_glonass_l2_block) and SolverConfig the dual_frequency_iono
+#       knobs.
+CHECKPOINT_VERSION = 12
 
 
 def save_checkpoint(receiver, path: str | Path) -> None:

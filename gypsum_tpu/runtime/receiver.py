@@ -137,16 +137,20 @@ class Receiver:
         world: WorldModel | None = None,
         attempt_fixes: bool = True,
     ) -> None:
-        """``band``: "gps" (L1 C/A + SBAS family, the default) or "glonass"
+        """``band``: "gps" (L1 C/A + SBAS family, the default), "glonass"
         (the L1OF FDMA band at 1602 MHz — its own source, acquisition
-        centers, tracker carrier offsets, and string-decode pipeline).
+        centers, tracker carrier offsets, and string-decode pipeline), or
+        "glonass_l2" (the L2OF band at 1246 MHz: the SAME 511-chip code, so
+        the channels track but never decode — they contribute the per-SV L2
+        code delay the world model differences against L1 for the MEASURED
+        ionospheric correction, solve/world_multiconstellation.py).
 
         ``world``: share a WorldModel across receivers (DualBandReceiver
         runs one Receiver per band into one world model and one fix);
         ``attempt_fixes=False`` makes this receiver contribute observations
         without racing the owner's fix attempts."""
-        if band not in ("gps", "glonass"):
-            raise ValueError(f"unknown band {band!r} (gps | glonass)")
+        if band not in ("gps", "glonass", "glonass_l2"):
+            raise ValueError(f"unknown band {band!r} (gps | glonass | glonass_l2)")
         self.config = config or ReceiverConfig()
         self.band = band
         self.source = source
@@ -157,35 +161,42 @@ class Receiver:
 
         tracking_cfg = self.config.tracking
         acq_offsets = None
-        if band == "glonass":
+        if band in ("glonass", "glonass_l2"):
             import dataclasses
 
             from gypsum_tpu.core.constants import (
                 GLONASS_L1_BASE_HZ,
                 GLONASS_L1_CHANNEL_SPACING_HZ,
+                GLONASS_L2_BASE_HZ,
+                GLONASS_L2_CHANNEL_SPACING_HZ,
             )
             from gypsum_tpu.signal.prn import (
                 GLONASS_PRN_IDS,
                 glonass_frequency_number,
             )
 
+            base_hz, spacing_hz = (
+                (GLONASS_L2_BASE_HZ, GLONASS_L2_CHANNEL_SPACING_HZ)
+                if band == "glonass_l2"
+                else (GLONASS_L1_BASE_HZ, GLONASS_L1_CHANNEL_SPACING_HZ)
+            )
             requested = set(eligible_prns or GLONASS_PRN_IDS)
             bad = requested - set(GLONASS_PRN_IDS)
             if bad:
                 raise ValueError(f"not GLONASS channel ids (201..214): {sorted(bad)}")
             self.prn_family = GLONASS_PRN_IDS
             acq_offsets = tuple(
-                float(glonass_frequency_number(p) * GLONASS_L1_CHANNEL_SPACING_HZ)
+                float(glonass_frequency_number(p) * spacing_hz)
                 for p in self.prn_family
             )
             self._channel_offset_hz = dict(zip(self.prn_family, acq_offsets))
             self._channel_carrier_hz = {
-                p: GLONASS_L1_BASE_HZ + off
+                p: base_hz + off
                 for p, off in self._channel_offset_hz.items()
             }
             if tracking_cfg.aiding_carrier_hz is None:
                 tracking_cfg = dataclasses.replace(
-                    tracking_cfg, aiding_carrier_hz=GLONASS_L1_BASE_HZ
+                    tracking_cfg, aiding_carrier_hz=base_hz
                 )
             if tracking_cfg.chips_per_code == 1023:
                 # L1OF short code: 511 chips per 1 ms period.
@@ -539,7 +550,15 @@ class Receiver:
                 carrier_phase_rad=hit.carrier_phase_rad,
                 carrier_offset_hz=offset,
             )
-            if self.band == "glonass":
+            if self.band == "glonass_l2":
+                # Measurement-only channel: tracks the shared SP code at the
+                # L2 sub-band, never decodes — its block-end code delay is
+                # the L2 half of the measured iono difference.
+                self.pipelines[hit.prn] = _ChannelPipeline(
+                    prn=hit.prn, slot=slot, integrator=None, decoder=None,
+                    acquired_at=block_start, carrier_offset_hz=offset,
+                )
+            elif self.band == "glonass":
                 from gypsum_tpu.nav.glonass import GlonassStringDecoder
 
                 self.pipelines[hit.prn] = _ChannelPipeline(
@@ -577,6 +596,9 @@ class Receiver:
         pipe = self.pipelines[obs.prn]
         if pipe.coast_started is not None:  # any family coasts the same way
             self._process_coasting_channel(obs, block_start, block_ms, report, pipe)
+            return
+        if self.band == "glonass_l2":
+            self._process_l2_channel(obs, block_start, block_ms, report, pipe)
             return
         if pipe.glonass is not None:
             self._process_glonass_channel(obs, block_start, block_ms, report, pipe)
@@ -1003,6 +1025,52 @@ class Receiver:
         cp_block_end = (cm[-1] + float(np.median(w))) % spp
         return cp_block_end / self.sample_rate, float(obs.dopplers[-1])
 
+    def _process_l2_channel(
+        self,
+        obs: ChannelObservation,
+        block_start: float,
+        block_ms: int,
+        report: BlockReport,
+        pipe: _ChannelPipeline,
+    ) -> None:
+        """GLONASS L2OF channel: tracking only — the block-end code delay
+        feeds the world model's per-SV L1/L2 difference (the dispersive
+        ionosphere measured directly, no Klobuchar model or broadcast
+        needed; solve/world_multiconstellation.py:handle_glonass_l2_block).
+        No decode stack: the L2OF nav message duplicates L1OF's. Lost
+        channels simply drop and reacquire — the iono correction has a
+        model fallback, so an L2 outage never needs the coast tier."""
+        from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
+        from gypsum_tpu.signal.prn import glonass_frequency_number
+
+        f_car = self._channel_carrier_hz.get(obs.prn)
+        cp_delay, doppler = self._block_end_observables(obs, carrier_hz=f_car)
+        self.world.handle_glonass_l2_block(
+            obs.prn, cp_delay, doppler, block_ms,
+            receiver_timestamp=block_start + block_ms * 1e-3,
+            carrier_hz=f_car,
+            cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
+        )
+        if obs.lost:
+            # L2-only drop: release the channel but leave the shared L1
+            # record's time base/smoothing untouched (only the L2 half of
+            # the iono difference is invalidated).
+            self.pipelines.pop(obs.prn)
+            self.bank.release(pipe.slot)
+            self.world.handle_lost_l2_lock(obs.prn)
+            self.eligible_prns.add(obs.prn)
+            report.dropped_prns.append(obs.prn)
+            _logger.info(
+                "dropped GLONASS L2 channel k=%+d (lost lock); returned to "
+                "acquisition pool", glonass_frequency_number(obs.prn),
+            )
+        elif self.bank.maybe_rescue(obs, block_start + block_ms * 1e-3):
+            report.rescued_prns.append(obs.prn)
+            _logger.info(
+                "rescued marginal GLONASS L2 channel k=%+d in place (quality %.2f)",
+                glonass_frequency_number(obs.prn), float(obs.quality[-1]),
+            )
+
     def _process_glonass_channel(
         self,
         obs: ChannelObservation,
@@ -1150,46 +1218,68 @@ class DualBandReceiver:
 
     def __init__(
         self,
-        gps_source: SampleSource,
+        gps_source: SampleSource | None,
         glonass_source: SampleSource,
         config: ReceiverConfig | None = None,
         glonass_config: ReceiverConfig | None = None,
         eligible_prns: list[int] | None = None,
+        glonass_l2_source: SampleSource | None = None,
+        glonass_l2_config: ReceiverConfig | None = None,
     ) -> None:
+        """``gps_source`` may be None for a GLONASS-only receiver pairing
+        L1OF with an L2OF band (``glonass_l2_source``): the GLONASS band
+        then owns the fix attempt. With three sources this is a tri-band
+        receiver (GPS L1 + GLONASS L1OF + GLONASS L2OF) — the L2 band is
+        measurement-only, feeding the dual-frequency iono difference."""
         self.config = config or ReceiverConfig()
         self.world = WorldModel(self.config.solver)
-        # The GLONASS band contributes observations; the GPS receiver owns
-        # the fix attempt (after BOTH bands' ticks advanced — see run()).
+        # Contributing bands step first each block; the fix owner (GPS when
+        # present, else GLONASS L1) steps LAST so its fix attempt sees every
+        # band's ticks for the epoch — see step_block().
+        self.glonass_l2 = (
+            Receiver(
+                glonass_l2_source, glonass_l2_config or glonass_config or config,
+                band="glonass_l2", world=self.world, attempt_fixes=False,
+            )
+            if glonass_l2_source is not None
+            else None
+        )
         self.glonass = Receiver(
             glonass_source, glonass_config or config, band="glonass",
-            world=self.world, attempt_fixes=False,
+            world=self.world, attempt_fixes=gps_source is None,
         )
-        self.gps = Receiver(
-            gps_source, config, eligible_prns=eligible_prns, world=self.world,
+        self.gps = (
+            Receiver(
+                gps_source, config, eligible_prns=eligible_prns, world=self.world,
+            )
+            if gps_source is not None
+            else None
         )
-        if (
-            self.gps.config.tracking.block_size_ms
-            != self.glonass.config.tracking.block_size_ms
-        ):
-            raise ValueError("both bands must use the same block_size_ms")
+        self._owner = self.gps if self.gps is not None else self.glonass
+        self._bands = [
+            r for r in (self.glonass_l2, self.glonass, self.gps) if r is not None
+        ]
+        if len({r.config.tracking.block_size_ms for r in self._bands}) != 1:
+            raise ValueError("all bands must use the same block_size_ms")
 
     def step_block(self) -> BlockReport:
-        """One block of both bands; the returned report is the GPS band's
-        (carrying the fix) with the GLONASS band's strings merged in."""
-        glo_report = self.glonass.step_block()
-        report = self.gps.step_block()
-        report.glonass_strings.extend(glo_report.glonass_strings)
-        report.tracked_prns.extend(glo_report.tracked_prns)
+        """One block of every band; the returned report is the fix owner's
+        with the contributing bands' strings/tracked sets merged in."""
+        reports = [band.step_block() for band in self._bands]
+        report = reports[-1]  # the owner steps last
+        for other in reports[:-1]:
+            report.glonass_strings.extend(other.glonass_strings)
+            report.tracked_prns.extend(other.tracked_prns)
         return report
 
     def run(
         self, max_seconds: float | None = None, until_fix: bool = False
     ) -> list[BlockReport]:
-        start = self.gps.stream_position_s
+        start = self._owner.stream_position_s
         while True:
             if (
                 max_seconds is not None
-                and self.gps.stream_position_s - start >= max_seconds
+                and self._owner.stream_position_s - start >= max_seconds
             ):
                 break
             try:
@@ -1198,8 +1288,7 @@ class DualBandReceiver:
                 break
             if until_fix and report.fix is not None:
                 break
-        while self.glonass.bank.pending_blocks:
-            self.glonass._drain_one()
-        while self.gps.bank.pending_blocks:
-            self.gps._drain_one()
-        return self.gps.block_reports
+        for band in self._bands:
+            while band.bank.pending_blocks:
+                band._drain_one()
+        return self._owner.block_reports

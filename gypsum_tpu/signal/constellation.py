@@ -377,6 +377,12 @@ def synthesize_constellation(
     # per-constellation clock unknown; it is never handed over.
     glonass_time_offset_s: float = 0.0,
     leap_seconds: int = 18,
+    # GLONASS sub-band to synthesize: "l1" (1602 MHz + k*562.5 kHz) or "l2"
+    # (1246 MHz + k*437.5 kHz). The SAME scene list synthesized at both
+    # bands yields a coherent dual-frequency capture pair — the iono group
+    # delay scales by (f_l1_gps/f)^2 per band, which is exactly what the
+    # receiver's measured dual-frequency correction removes.
+    glonass_band: str = "l1",
     iono=None,  # solve.iono.IonoUtcParams: inject Klobuchar-consistent delay
     # Saastamoinen tropospheric delay: ON by default — real signals always
     # carry it, and the solver's default correction removes it (set False
@@ -418,8 +424,8 @@ def synthesize_constellation(
     chunk = int(round(chunk_seconds * sample_rate))
     rng = np.random.default_rng(seed)
 
-    glonass_band = any(isinstance(s, GlonassSatellite) for s in satellites)
-    if glonass_band and not all(isinstance(s, GlonassSatellite) for s in satellites):
+    is_glonass_scene = any(isinstance(s, GlonassSatellite) for s in satellites)
+    if is_glonass_scene and not all(isinstance(s, GlonassSatellite) for s in satellites):
         raise ValueError(
             "GLONASS (1602 MHz) and GPS/SBAS (1575.42 MHz) cannot share one "
             "baseband capture; synthesize the bands separately"
@@ -449,8 +455,20 @@ def synthesize_constellation(
             eph_g = sat.ephemeris
             chip_rate = GLONASS_CHIP_RATE_HZ
             chip_count = GLONASS_CHIP_COUNT
-            f_car = eph_g.carrier_frequency_hz
-            f_off = f_car - GLONASS_L1_BASE_HZ
+            if glonass_band == "l2":
+                from gypsum_tpu.core.constants import (
+                    GLONASS_L2_BASE_HZ,
+                    GLONASS_L2_CHANNEL_SPACING_HZ,
+                )
+
+                k_num = eph_g.frequency_number
+                f_car = GLONASS_L2_BASE_HZ + k_num * GLONASS_L2_CHANNEL_SPACING_HZ
+                f_off = f_car - GLONASS_L2_BASE_HZ
+            elif glonass_band == "l1":
+                f_car = eph_g.carrier_frequency_hz
+                f_off = f_car - GLONASS_L1_BASE_HZ
+            else:
+                raise ValueError(f"glonass_band must be 'l1' or 'l2', got {glonass_band!r}")
             # Klobuchar is referenced to GPS L1; group delay scales as f^-2.
             iono_scale = (GPS_L1_FREQUENCY_HZ / f_car) ** 2
             # GLONASS day-time of the scene origin (assumes the capture does

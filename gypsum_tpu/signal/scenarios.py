@@ -108,6 +108,27 @@ def demo_sbas_geo(prn: int = 120, amplitude: float = 0.22):
     return SbasGeoSatellite(prn=prn, geo=geo, amplitude=amplitude, mt9_every=4)
 
 
+def demo_iono_page18():
+    """A representative daytime Klobuchar broadcast (subframe 4 page 18),
+    quantized to transmitted precision so the synthesizer's injected delay
+    and a receiver's decoded correction agree exactly. Zenith delay at the
+    demo location/epoch is ~25 ns (~7.5 m of L1 pseudorange)."""
+    from gypsum_tpu.nav.subframes import (
+        PAGE18_SV_ID,
+        Subframe4Page18,
+        roundtrip_fields,
+    )
+
+    return roundtrip_fields(Subframe4Page18(
+        data_id=1,
+        page_id=PAGE18_SV_ID,
+        alpha0=8.0e-8, alpha1=3.0e-8, alpha2=-6.0e-8, alpha3=0.0,
+        beta0=131072.0, beta1=98304.0, beta2=-65536.0, beta3=0.0,
+        a1_utc=2.0e-15, a0_utc=3.0e-9, t_ot=147456.0, wn_t=250 % 256,
+        delta_t_ls=18, wn_lsf=250 % 256, dn=7, delta_t_lsf=18,
+    ))
+
+
 # ------------------------------------------------------------------ GLONASS
 
 # Demo GLONASS band: front end centered at 1602 MHz, sampled at 4.092 Msps

@@ -115,6 +115,17 @@ class MeasurementMixin:
             sat_pos[i] = rec.sv_position(
                 sv_tow, kepler_iterations=cfg.kepler_iterations
             )
+            # Dual-frequency MEASURED iono (GLONASS L1OF+L2OF, solve/
+            # world_multiconstellation.py): needs no position geometry, so
+            # it applies from the very first solve round — and supersedes
+            # the Klobuchar model for this satellite below.
+            iono_meas_s = (
+                self.measured_iono_l1_s(prn, delay, receiver_timestamp)
+                if rec.glonass is not None
+                else None
+            )
+            if iono_meas_s is not None:
+                transit[i] -= iono_meas_s
             # Atmospheric corrections: both make the code arrive LATE,
             # so subtract from the transit. They need a position
             # estimate for the geometry — rounds after the first have
@@ -127,7 +138,11 @@ class MeasurementMixin:
                 from gypsum_tpu.solve.geodesy import elevation_azimuth
 
                 el, az = elevation_azimuth(pos_est, sat_pos[i])
-                if cfg.apply_iono_correction and self.iono_utc is not None:
+                if (
+                    cfg.apply_iono_correction
+                    and self.iono_utc is not None
+                    and iono_meas_s is None
+                ):
                     from gypsum_tpu.solve.iono import klobuchar_delay_s
 
                     # Klobuchar is referenced to GPS L1; the dispersive

@@ -200,6 +200,80 @@ class MultiConstellationMixin:
             self.receiver_clock_slide = tow - edge_rx
         return events
 
+    def handle_glonass_l2_block(
+        self,
+        prn: int,
+        code_phase_delay_s: float,
+        doppler_hz: float | None,
+        block_ms: int,
+        receiver_timestamp: float,
+        carrier_hz: float | None = None,
+        cn0_dbhz: float | None = None,
+    ) -> None:
+        """Once-per-block L2OF channel observables (band="glonass_l2"
+        receiver): maintain the Hatch-filtered L2 code delay on the L2
+        carrier. The measured iono correction is formed lazily in
+        ``_measurement_set`` from the wrapped L2-L1 difference — the true
+        inter-band divergence is tens of meters (sub-us), far inside the
+        1 ms wrap, so neither band needs a shared millisecond anchor."""
+        from gypsum_tpu.core.constants import GLONASS_L2_BASE_HZ
+
+        rec = self._record(prn)
+        f2 = carrier_hz or GLONASS_L2_BASE_HZ
+        rec.l2_carrier_hz = f2
+        rec.l2_updated_at = receiver_timestamp
+        if cn0_dbhz is not None:
+            rec.l2_cn0_dbhz = cn0_dbhz
+        n_max = max(1, self.config.carrier_smoothing_window)
+        if doppler_hz is None or rec.l2_delay_s is None:
+            rec.l2_delay_s = code_phase_delay_s
+            rec.l2_smoothing_depth = 1
+            return
+        dt = block_ms * 1e-3
+        predicted = rec.l2_delay_s - (doppler_hz / f2) * dt
+        innovation = ((code_phase_delay_s - predicted + 0.5e-3) % 1e-3) - 0.5e-3
+        if abs(innovation) > 0.25e-3:
+            rec.l2_delay_s = code_phase_delay_s
+            rec.l2_smoothing_depth = 1
+            return
+        depth = min(rec.l2_smoothing_depth + 1, n_max)
+        rec.l2_delay_s = predicted + innovation / depth
+        rec.l2_smoothing_depth = depth
+
+    def handle_lost_l2_lock(self, prn: int) -> None:
+        """The L2OF channel dropped: invalidate ONLY the L2 half of the
+        dual-frequency state — the satellite's L1 time base, smoothing and
+        ephemeris are untouched (they belong to the L1 band's channel)."""
+        rec = self._record(prn)
+        rec.l2_delay_s = None
+        rec.l2_smoothing_depth = 0
+        rec.l2_updated_at = None
+
+    def measured_iono_l1_s(
+        self, prn: int, l1_delay_s: float, now: float
+    ) -> float | None:
+        """Dual-frequency measured L1 ionospheric group delay (seconds) for
+        ``prn``, or None when unavailable/stale. Both bands see the same
+        geometry and receiver clock, so the wrapped delay difference is
+        purely the dispersive term: d = I2 - I1 = I1 (f1^2 - f2^2)/f2^2,
+        i.e. I1 = d * f2^2/(f1^2 - f2^2). For GLONASS f2/f1 = 7/9 exactly,
+        making the leverage factor f2^2/(f1^2-f2^2) = 49/32."""
+        cfg = self.config
+        rec = self._sats.get(prn)
+        if (
+            not cfg.dual_frequency_iono
+            or rec is None
+            or rec.l2_delay_s is None
+            or rec.l2_updated_at is None
+            or now - rec.l2_updated_at > cfg.l2_iono_max_age_s
+            or rec.glonass is None
+        ):
+            return None
+        f1 = rec.glonass.carrier_frequency_hz
+        f2 = rec.l2_carrier_hz
+        d = ((rec.l2_delay_s - l1_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
+        return float(d * f2 * f2 / (f1 * f1 - f2 * f2))
+
     def _compute_position_dual(
         self, receiver_timestamp: float, prns: list[int]
     ) -> ReceiverSolution | None:

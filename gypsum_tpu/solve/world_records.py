@@ -156,6 +156,16 @@ class _SatelliteRecord:
     # averaging depth (grows until the configured window).
     smoothed_delay_s: float | None = None
     smoothing_depth: int = 0
+    # GLONASS L2OF dual-frequency state (band="glonass_l2" receiver): the
+    # Hatch-filtered L2 code delay on the L2 carrier, its depth, the L2
+    # carrier frequency, and the block-end time of the last L2 update (the
+    # measured iono correction goes stale after
+    # SolverConfig.l2_iono_max_age_s without one).
+    l2_delay_s: float | None = None
+    l2_smoothing_depth: int = 0
+    l2_carrier_hz: float | None = None
+    l2_updated_at: float | None = None
+    l2_cn0_dbhz: float | None = None
     # Vector-coast flag (runtime/receiver.py): the channel is being driven
     # open-loop from predicted geometry — its "observables" are predictions,
     # so it must not feed the fix (excluded by _fix_ready_satellites).

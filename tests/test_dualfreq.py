@@ -1,0 +1,209 @@
+"""GLONASS L1OF+L2OF dual-frequency: measured ionospheric correction.
+
+The L2OF band carries the SAME 511-chip SP code at f2 = 1246 MHz +
+k * 437.5 kHz (f2/f1 = 7/9 exactly), so an L2 channel needs tracking only —
+no decode. The wrapped L2-L1 code-delay difference measures the dispersive
+ionosphere directly: I_L1 = (d_L2 - d_L1) * f2^2 / (f1^2 - f2^2)
+(solve/world_multiconstellation.py). A GLONASS-only receiver has no
+Klobuchar broadcast, so this measurement is its ONLY iono correction — the
+e2e here pins that it recovers the injected delay and beats the
+uncorrected single-frequency fix.
+
+The reference (gypsum) is GPS L1-only; no analogue exists.
+"""
+
+import numpy as np
+import pytest
+
+from gypsum_tpu.core.config import ReceiverConfig, SolverConfig
+from gypsum_tpu.core.constants import (
+    GLONASS_L2_BASE_HZ,
+    GLONASS_L2_CHANNEL_SPACING_HZ,
+    GPS_L1_FREQUENCY_HZ,
+    SPEED_OF_LIGHT_M_PER_S as C,
+)
+from gypsum_tpu.io.sources import ArraySampleSource
+from gypsum_tpu.runtime.receiver import DualBandReceiver, Receiver
+from gypsum_tpu.signal.constellation import synthesize_constellation
+from gypsum_tpu.signal.scenarios import (
+    DEMO_GLONASS_SAMPLE_RATE as GLO_FS,
+    demo_glonass_constellation,
+    demo_iono_page18,
+    demo_receiver_ecef,
+)
+from gypsum_tpu.solve.glonass import GlonassEphemeris
+from gypsum_tpu.solve.iono import IonoUtcParams, klobuchar_delay_s
+from gypsum_tpu.solve.world import WorldModel
+
+START_SOW = 21618.0  # GLONASS frame boundary at t=0 (see test_glonass_receiver)
+RX = demo_receiver_ecef()
+KS = [-2, -1, 0, 1, 2]
+
+
+def _fake_glonass_record(world: WorldModel, prn: int, k: int):
+    rec = world._record(prn)
+    rec.glonass = GlonassEphemeris(
+        frequency_number=k, tb_day_s=0.0, pos_m=np.zeros(3),
+        vel_mps=np.zeros(3), acc_mps2=np.zeros(3),
+    )
+    return rec
+
+
+def test_measured_iono_recovers_injected_difference():
+    """Unit: the wrapped L2-L1 difference maps back to the exact L1 delay
+    through the 49/32 leverage factor, regardless of the shared geometry
+    part of the delays."""
+    w = WorldModel(SolverConfig())
+    prn, k = 210, 2
+    rec = _fake_glonass_record(w, prn, k)
+    f1 = rec.glonass.carrier_frequency_hz
+    f2 = GLONASS_L2_BASE_HZ + k * GLONASS_L2_CHANNEL_SPACING_HZ
+    assert f2 / f1 == pytest.approx(7.0 / 9.0, rel=1e-12)
+    i1 = 25e-9
+    i2 = i1 * (f1 / f2) ** 2
+    geom = 0.41e-3  # shared (non-dispersive) part: cancels in the difference
+    w.handle_glonass_l2_block(
+        prn, geom + i2, 1000.0, 1000, receiver_timestamp=1.0, carrier_hz=f2
+    )
+    got = w.measured_iono_l1_s(prn, geom + i1, now=1.5)
+    assert got == pytest.approx(i1, abs=1e-12)
+
+
+def test_measured_iono_staleness_and_l2_drop():
+    """The correction disappears after l2_iono_max_age_s without an L2
+    update, and an L2-only drop clears the L2 state without touching the
+    L1 record."""
+    w = WorldModel(SolverConfig())
+    prn, k = 206, -2
+    rec = _fake_glonass_record(w, prn, k)
+    f2 = GLONASS_L2_BASE_HZ + k * GLONASS_L2_CHANNEL_SPACING_HZ
+    rec.smoothed_delay_s = 0.2e-3
+    rec.smoothing_depth = 7
+    rec.counting = True
+    w.handle_glonass_l2_block(
+        prn, 0.2e-3 + 40e-9, -500.0, 1000, receiver_timestamp=2.0, carrier_hz=f2
+    )
+    assert w.measured_iono_l1_s(prn, 0.2e-3, now=2.5) is not None
+    assert w.measured_iono_l1_s(
+        prn, 0.2e-3, now=2.0 + w.config.l2_iono_max_age_s + 0.1
+    ) is None
+    w.handle_lost_l2_lock(prn)
+    assert w.measured_iono_l1_s(prn, 0.2e-3, now=2.5) is None
+    assert rec.smoothed_delay_s == 0.2e-3 and rec.smoothing_depth == 7
+    assert rec.counting
+
+
+def test_measured_iono_disabled_by_config():
+    w = WorldModel(SolverConfig(dual_frequency_iono=False))
+    prn, k = 208, 0
+    _fake_glonass_record(w, prn, k)
+    w.handle_glonass_l2_block(
+        prn, 0.1e-3, 0.0, 1000, receiver_timestamp=1.0,
+        carrier_hz=GLONASS_L2_BASE_HZ,
+    )
+    assert w.measured_iono_l1_s(prn, 0.1e-3, now=1.0) is None
+
+
+def test_l2_band_receiver_acquires_and_measures():
+    """A band="glonass_l2" receiver over a pure L2OF capture: every FDMA
+    channel acquired at its 437.5 kHz sub-band and the world model holds a
+    fresh Hatch-filtered L2 delay for each (no decode anywhere)."""
+    sats = demo_glonass_constellation(KS)
+    iq, _ = synthesize_constellation(
+        sats, RX, START_SOW, 3.0, GLO_FS, noise_sigma=0.25,
+        glonass_band="l2",
+    )
+    recv = Receiver(
+        ArraySampleSource(iq, GLO_FS), ReceiverConfig(), band="glonass_l2",
+        attempt_fixes=False,
+    )
+    reports = recv.run()
+    tracked = {p for r in reports for p in r.tracked_prns}
+    want = {s.prn for s in sats}
+    assert want <= tracked, f"missing L2 channels: {want - tracked}"
+    for prn in want:
+        rec = recv.world._sats[prn]
+        assert rec.l2_delay_s is not None
+        assert rec.l2_smoothing_depth >= 2
+        assert rec.l2_carrier_hz == pytest.approx(
+            GLONASS_L2_BASE_HZ
+            + (prn - 208) * GLONASS_L2_CHANNEL_SPACING_HZ
+        )
+        # The decode stack never ran: no strings, no time base.
+        assert rec.tow_at_last_subframe is None
+    assert not any(r.glonass_strings for r in reports)
+
+
+def test_glonass_dual_frequency_end_to_end():
+    """Full stack: an iono-loaded GLONASS scene synthesized at BOTH bands;
+    the L1+L2 receiver must (a) measure each satellite's slant iono within
+    a few ns of the injected Klobuchar truth and (b) fix decisively closer
+    to the true position than the single-frequency receiver on the same L1
+    capture (which, GLONASS-only, has no model correction at all)."""
+    page = demo_iono_page18()
+    params = IonoUtcParams.from_page(page)
+    sats = demo_glonass_constellation(KS)
+    l1_iq, _ = synthesize_constellation(
+        sats, RX, START_SOW, 16.0, GLO_FS, noise_sigma=0.25, iono=params,
+    )
+    l2_iq, _ = synthesize_constellation(
+        sats, RX, START_SOW, 16.0, GLO_FS, noise_sigma=0.25, iono=params,
+        glonass_band="l2",
+    )
+
+    dual = DualBandReceiver(
+        None,
+        ArraySampleSource(l1_iq, GLO_FS),
+        glonass_l2_source=ArraySampleSource(l2_iq, GLO_FS),
+    )
+    dual_reports = dual.run()
+    dual_fixes = [r.fix for r in dual_reports if r.fix is not None]
+    assert dual_fixes, "no dual-frequency fix"
+
+    # (a) Measured slant iono vs the injected truth, per satellite.
+    from gypsum_tpu.solve.geodesy import ecef_to_lla, elevation_azimuth
+    from gypsum_tpu.solve.glonass import glonass_satellite_position
+
+    lat_u, lon_u, _ = ecef_to_lla(RX)
+    world = dual.world
+    t_mid = START_SOW + 12.0
+    checked = 0
+    for sat in sats:
+        prn = sat.prn
+        rec = world._sats.get(prn)
+        if rec is None or rec.l2_delay_s is None or rec.smoothed_delay_s is None:
+            continue
+        measured = world.measured_iono_l1_s(
+            prn, rec.smoothed_delay_s, now=rec.l2_updated_at
+        )
+        assert measured is not None
+        sv_pos = glonass_satellite_position(
+            sat.ephemeris,
+            t_mid + (32400.0 - START_SOW),  # scene's GLONASS day mapping
+        )[:3]
+        el, az = elevation_azimuth(RX, sv_pos)
+        truth = klobuchar_delay_s(params, lat_u, lon_u, el, az, t_mid) * (
+            GPS_L1_FREQUENCY_HZ / rec.glonass.carrier_frequency_hz
+        ) ** 2
+        assert measured == pytest.approx(truth, abs=6e-9), (
+            f"k={prn - 208}: measured {measured * 1e9:.1f} ns vs "
+            f"truth {truth * 1e9:.1f} ns (el {el:.0f})"
+        )
+        assert measured > 10e-9  # the scene's iono is strongly nonzero
+        checked += 1
+    assert checked >= 4
+
+    # (b) Head-to-head against single-frequency on the same L1 capture.
+    single = Receiver(
+        ArraySampleSource(l1_iq, GLO_FS), ReceiverConfig(), band="glonass",
+    )
+    single_reports = single.run()
+    single_fixes = [r.fix for r in single_reports if r.fix is not None]
+    assert single_fixes, "no single-frequency fix"
+    err_dual = np.linalg.norm(dual_fixes[-1].ecef - RX)
+    err_single = np.linalg.norm(single_fixes[-1].ecef - RX)
+    assert err_dual < 6.0, f"dual-frequency fix off by {err_dual:.1f} m"
+    assert err_dual < err_single - 2.0, (
+        f"dual {err_dual:.1f} m not decisively better than "
+        f"single-frequency {err_single:.1f} m"
+    )
