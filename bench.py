@@ -347,20 +347,27 @@ def farm_throughput_details() -> dict:
         }
     sweep = [(8, 8), (16, 16), (32, 32), (64, 32)]
     curve = []
-    for n_streams, cps in sweep:
-        r = _farm_config_msps(n_streams, cps)
-        _log(f"farm {n_streams}x{cps}: {r['aggregate_msamples_per_sec']:.0f} "
-             f"Msps ({r['block_latency_ms']:.1f} ms/block)")
-        prev_best = max(
-            (c["aggregate_msamples_per_sec"] for c in curve), default=0.0
+
+    def _rate(c: dict) -> float:
+        # Saturation must be judged on the PIPELINED rate: the 20-block
+        # timed loop syncs through a fetch and measures host dispatch as
+        # much as the device (733 vs 1708 Msps at 8x8 on 2026-08-20), so a
+        # short sustained window per geometry is the honest curve.
+        return c.get(
+            "sustained_aggregate_msamples_per_sec",
+            c["aggregate_msamples_per_sec"],
         )
+
+    for n_streams, cps in sweep:
+        r = _farm_config_msps(n_streams, cps, sustain_s=10.0)
+        _log(f"farm {n_streams}x{cps}: {_rate(r):.0f} Msps sustained "
+             f"({r['block_latency_ms']:.1f} ms/block synced)")
+        prev_best = max((_rate(c) for c in curve), default=0.0)
         curve.append(r)
-        if curve and prev_best and (
-            r["aggregate_msamples_per_sec"] <= 1.10 * prev_best
-        ):
+        if curve and prev_best and (_rate(r) <= 1.10 * prev_best):
             _log("farm sweep: <10% gain, saturated")
             break
-    best = max(curve, key=lambda c: c["aggregate_msamples_per_sec"])
+    best = max(curve, key=_rate)
     sustained = _farm_config_msps(
         best["streams"], best["channels_per_stream"], sustain_s=60.0
     )
@@ -595,7 +602,18 @@ def _dist_scaling_details() -> dict:
     labeled as such — real multi-host hardware does not exist in this
     environment; the same code path measures DCN the day it does) and
     report aggregate + scaling efficiency (VERDICT round-3 item 4)."""
-    out: dict = {"dist_simulated": "cpu (4 virtual devices per host)"}
+    import os
+
+    out: dict = {
+        "dist_simulated": "cpu (4 virtual devices per host)",
+        # N simulated host PROCESSES share this machine's physical cores:
+        # with fewer cores than hosts the per-host rate is bounded by
+        # cores/N, so the observed efficiency is bounded by cores/N (e.g.
+        # exactly 1/N on a 1-core box -> efficiency 1/N^2). The number
+        # here says how much of the measured loss is that artifact; the
+        # collective/comm overhead is only the remainder.
+        "dist_host_cpus": os.cpu_count(),
+    }
     base = None
     for n in (1, 2, 4):
         r = _hosts_result(n)

@@ -382,6 +382,11 @@ def cmd_replay(args) -> int:
                 pl = (f" hpl={f.protection['hpl_m']:.0f}m"
                       f" vpl={f.protection['vpl_m']:.0f}m")
             dgps = f" sbas-corrected={list(f.sbas_corrected)}" if f.sbas_corrected else ""
+            dfi = ""
+            if f.iono_measured_m:
+                vals = list(f.iono_measured_m.values())
+                dfi = (f" iono-measured={np.mean(vals):.1f}m"
+                       f"@{len(vals)}sv")
             isb = (
                 f" isb={f.inter_system_bias_s * 1e9:+.1f}ns"
                 if f.inter_system_bias_s is not None
@@ -389,7 +394,7 @@ def cmd_replay(args) -> int:
             )
             print(f"[{report.block_end:8.1f}s] {tag} lat={f.lat_deg:.6f} lon={f.lon_deg:.6f} "
                   f"alt={f.alt_m:.0f}m bias={f.clock_bias_s * 1e6:.2f}us{vel}{pl}{isb} "
-                  f"sats={f.satellites_used}{dgps}")
+                  f"sats={f.satellites_used}{dgps}{dfi}")
 
     receiver.add_block_listener(narrate)
     if dual is not None:

@@ -416,6 +416,14 @@ class SolverConfig:
     # An L2 channel outage invalidates the measured correction after this
     # many seconds without an update (falls back to the model, if any).
     l2_iono_max_age_s: float = 5.0
+    # Cross-constellation iono: when NO broadcast Klobuchar is available
+    # (page 18 recurs only every 12.5 min — a cold GPS receiver waits that
+    # long for the model), map the GLONASS dual-frequency measurements into
+    # a thin-shell vertical delay estimate and correct every other row by
+    # its own obliquity and carrier (iono_vertical_gps_l1_m). A decoded
+    # model takes precedence: it is a per-pierce-point fit where the mapped
+    # estimate assumes one vertical delay for the whole local sky.
+    cross_constellation_iono: bool = True
     # Apply SBAS fast corrections (MT1 mask + MT2-5 PRCs decoded from a
     # tracked GEO, solve/sbas_corrections.py) to GPS pseudoranges, and fold
     # the UDREI variance into the integrity weighting. The reference has no

@@ -74,7 +74,7 @@ def klobuchar_delay_s(
     t = 4.32e4 * lam_i + gps_tow_s
     t = t % 86400.0
 
-    f = 1.0 + 16.0 * (0.53 - e) ** 3  # slant obliquity
+    f = klobuchar_obliquity(elevation_deg)  # slant obliquity
     per = sum(b * phi_m**n for n, b in enumerate(params.beta))
     per = max(per, 72_000.0)
     amp = sum(al * phi_m**n for n, al in enumerate(params.alpha))
@@ -85,6 +85,16 @@ def klobuchar_delay_s(
     else:
         night_day = 5e-9
     return float(f * night_day)
+
+
+def klobuchar_obliquity(elevation_deg: float) -> float:
+    """Slant obliquity factor F of IS-GPS-200 §20.3.3.5.2.5 — the ratio of
+    slant to vertical ionospheric delay for a thin-shell ionosphere. Shared
+    by the model above and the cross-constellation measured-iono mapping
+    (solve/world_multiconstellation.py:iono_vertical_gps_l1_m), so the two
+    paths are obliquity-consistent."""
+    e = max(elevation_deg, 0.0) / 180.0  # semicircles
+    return float(1.0 + 16.0 * (0.53 - e) ** 3)
 
 
 def gps_to_utc_offset_s(params: IonoUtcParams, gps_tow_s: float) -> float:

@@ -581,6 +581,7 @@ class WorldModel(
             protection=protection,
             raim=raim,
             sbas_corrected=corrected,
+            iono_measured_m=dict(getattr(self, "_iono_measured_m", {})) or None,
         )
         self.position_fixes.append(solution)
         if self.config.ekf_enabled:

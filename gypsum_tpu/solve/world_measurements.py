@@ -72,6 +72,9 @@ class MeasurementMixin:
         cfg = self.config
         sat_pos = np.empty((len(prns), 3))
         transit = np.empty(len(prns))
+        # Per-solve observability of the dual-frequency measured iono
+        # (consumed by the solution constructors; last round wins).
+        self._iono_measured_m = {}
         # Atmospheric-correction geometry shared by every row this round
         # (ecef_to_lla per SV per round was ~15% of the fix cost).
         correct_atmo = np.linalg.norm(pos_est) > 6.0e6 and (
@@ -80,6 +83,19 @@ class MeasurementMixin:
         )
         if correct_atmo:
             lat_u, lon_u, alt_u = ecef_to_lla(pos_est)
+        # Cross-constellation measured iono (solve/world_multiconstellation
+        # .py): only when no broadcast model exists — the model, once
+        # decoded, is a per-pierce-point fit and takes precedence.
+        iono_vertical_m = None
+        if (
+            correct_atmo
+            and cfg.apply_iono_correction
+            and cfg.cross_constellation_iono
+            and self.iono_utc is None
+        ):
+            iono_vertical_m = self.iono_vertical_gps_l1_m(
+                receiver_timestamp, pos_est
+            )
         for i, prn in enumerate(prns):
             rec = self._sats[prn]
             sv_tow = self.observed_sv_time_of_week(prn)
@@ -126,6 +142,7 @@ class MeasurementMixin:
             )
             if iono_meas_s is not None:
                 transit[i] -= iono_meas_s
+                self._iono_measured_m[prn] = iono_meas_s * C
             # Atmospheric corrections: both make the code arrive LATE,
             # so subtract from the transit. They need a position
             # estimate for the geometry — rounds after the first have
@@ -156,6 +173,25 @@ class MeasurementMixin:
                         self.iono_utc, lat_u, lon_u, el, az,
                         self.receiver_clock_slide + receiver_timestamp,
                     )
+                elif iono_vertical_m is not None and iono_meas_s is None:
+                    # Mapped from the GLONASS dual-frequency vertical
+                    # estimate, re-slanted by this row's own obliquity and
+                    # scaled to its carrier.
+                    from gypsum_tpu.solve.iono import klobuchar_obliquity
+
+                    f_row = (
+                        rec.glonass.carrier_frequency_hz
+                        if rec.glonass is not None
+                        else GPS_L1_FREQUENCY_HZ
+                    )
+                    mapped_s = (
+                        iono_vertical_m
+                        * klobuchar_obliquity(el)
+                        * (GPS_L1_FREQUENCY_HZ / f_row) ** 2
+                        / C
+                    )
+                    transit[i] -= mapped_s
+                    self._iono_measured_m[prn] = mapped_s * C
                 if cfg.apply_tropo_correction:
                     from gypsum_tpu.solve.tropo import tropo_delay_s
 

@@ -274,6 +274,49 @@ class MultiConstellationMixin:
         d = ((rec.l2_delay_s - l1_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
         return float(d * f2 * f2 / (f1 * f1 - f2 * f2))
 
+    def iono_vertical_gps_l1_m(
+        self, receiver_timestamp: float, pos_est: np.ndarray
+    ) -> float | None:
+        """Thin-shell vertical (zenith) ionospheric delay at GPS L1, in
+        meters, estimated from every FRESH GLONASS dual-frequency
+        measurement: each slant measurement is scaled to GPS L1 by
+        (f_glo/f_gps)^2 and divided by its obliquity
+        (solve/iono.py:klobuchar_obliquity); the median over satellites is
+        the local-sky estimate. None below two contributing satellites
+        (a single ray cannot distinguish vertical delay from its own
+        noise/mapping error). Requires a position estimate for the
+        elevations — same contract as the model correction."""
+        from gypsum_tpu.solve.geodesy import elevation_azimuth
+        from gypsum_tpu.solve.iono import klobuchar_obliquity
+
+        vals = []
+        for prn, rec in self._sats.items():
+            if (
+                rec.glonass is None
+                or not rec.counting
+                or rec.smoothed_delay_s is None
+            ):
+                continue
+            iono_s = self.measured_iono_l1_s(
+                prn, rec.smoothed_delay_s, now=receiver_timestamp
+            )
+            if iono_s is None:
+                continue
+            sv_tow = self.observed_sv_time_of_week(prn)
+            sv_pos = rec.sv_position(
+                sv_tow, kepler_iterations=self.config.kepler_iterations
+            )
+            el, _ = elevation_azimuth(pos_est, sv_pos)
+            if el < 10.0:
+                continue  # low rays: mapping error dominates
+            i_gps_s = iono_s * (
+                rec.glonass.carrier_frequency_hz / GPS_L1_FREQUENCY_HZ
+            ) ** 2
+            vals.append(C * i_gps_s / klobuchar_obliquity(el))
+        if len(vals) < 2:
+            return None
+        return float(np.median(vals))
+
     def _compute_position_dual(
         self, receiver_timestamp: float, prns: list[int]
     ) -> ReceiverSolution | None:
@@ -354,6 +397,7 @@ class MultiConstellationMixin:
             protection=protection,
             raim=raim,
             inter_system_bias_s=self.glonass_bias_s,
+            iono_measured_m=dict(getattr(self, "_iono_measured_m", {})) or None,
         )
         self.position_fixes.append(solution)
         if self.config.ekf_enabled:

@@ -105,6 +105,11 @@ class ReceiverSolution:
     # GPS clock bias (hardware inter-channel delays + the residual
     # GPS-GLONASS time offset). None for single-constellation fixes.
     inter_system_bias_s: float | None = None
+    # Satellites whose iono correction was MEASURED from the dual-frequency
+    # L2-L1 code difference this solve (prn -> slant L1 group delay in
+    # meters; solve/world_multiconstellation.py:measured_iono_l1_s). None
+    # when no dual-frequency channel contributed.
+    iono_measured_m: dict | None = None
 
 
 @dataclass(frozen=True)

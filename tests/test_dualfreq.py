@@ -27,6 +27,7 @@ from gypsum_tpu.runtime.receiver import DualBandReceiver, Receiver
 from gypsum_tpu.signal.constellation import synthesize_constellation
 from gypsum_tpu.signal.scenarios import (
     DEMO_GLONASS_SAMPLE_RATE as GLO_FS,
+    demo_constellation,
     demo_glonass_constellation,
     demo_iono_page18,
     demo_receiver_ecef,
@@ -38,6 +39,7 @@ from gypsum_tpu.solve.world import WorldModel
 START_SOW = 21618.0  # GLONASS frame boundary at t=0 (see test_glonass_receiver)
 RX = demo_receiver_ecef()
 KS = [-2, -1, 0, 1, 2]
+GPS_FS = 2.046e6
 
 
 def _fake_glonass_record(world: WorldModel, prn: int, k: int):
@@ -159,6 +161,12 @@ def test_glonass_dual_frequency_end_to_end():
     dual_reports = dual.run()
     dual_fixes = [r.fix for r in dual_reports if r.fix is not None]
     assert dual_fixes, "no dual-frequency fix"
+    # Observability: the published solution names the measured corrections.
+    assert dual_fixes[-1].iono_measured_m is not None
+    assert len(dual_fixes[-1].iono_measured_m) >= 4
+    for prn, iono_m in dual_fixes[-1].iono_measured_m.items():
+        assert 201 <= prn <= 214
+        assert 2.0 < iono_m < 40.0, f"implausible measured iono {iono_m} m"
 
     # (a) Measured slant iono vs the injected truth, per satellite.
     from gypsum_tpu.solve.geodesy import ecef_to_lla, elevation_azimuth
@@ -206,4 +214,77 @@ def test_glonass_dual_frequency_end_to_end():
     assert err_dual < err_single - 2.0, (
         f"dual {err_dual:.1f} m not decisively better than "
         f"single-frequency {err_single:.1f} m"
+    )
+
+
+def test_cross_constellation_iono_corrects_gps_rows():
+    """Tri-band (GPS L1 + GLONASS L1OF + L2OF) with iono injected but NO
+    page-18 on the GPS side (the page recurs only every 12.5 min — a cold
+    GPS receiver has no model for that long): the GLONASS dual-frequency
+    vertical estimate must map onto the GPS rows (own obliquity, own
+    carrier) within the thin-shell approximation, and the tri-band fix must
+    beat the uncorrected GPS-only receiver on the same GPS capture."""
+    page = demo_iono_page18()
+    params = IonoUtcParams.from_page(page)
+    gps_sats = demo_constellation([25, 28, 31, 32])  # default sf4 != page 18
+    gps_iq, _ = synthesize_constellation(
+        gps_sats, RX, START_SOW, 26.0, GPS_FS, noise_sigma=0.3, iono=params,
+    )
+    glo_sats = demo_glonass_constellation(KS)
+    l1_iq, _ = synthesize_constellation(
+        glo_sats, RX, START_SOW, 26.0, GLO_FS, noise_sigma=0.25, iono=params,
+    )
+    l2_iq, _ = synthesize_constellation(
+        glo_sats, RX, START_SOW, 26.0, GLO_FS, noise_sigma=0.25, iono=params,
+        glonass_band="l2",
+    )
+
+    tri = DualBandReceiver(
+        ArraySampleSource(gps_iq, GPS_FS),
+        ArraySampleSource(l1_iq, GLO_FS),
+        glonass_l2_source=ArraySampleSource(l2_iq, GLO_FS),
+    )
+    tri_reports = tri.run()
+    tri_fixes = [r.fix for r in tri_reports if r.fix is not None]
+    assert tri_fixes, "no tri-band fix"
+    assert tri.world.iono_utc is None  # the model never became available
+
+    # The final fix must include GPS satellites whose iono came from the
+    # MAPPED estimate, each within the thin-shell approximation of truth.
+    last = tri_fixes[-1]
+    gps_used = [p for p in last.satellites_used if p <= 32]
+    assert len(gps_used) >= 4, f"GPS never joined the fix: {last.satellites_used}"
+    mapped_gps = {
+        p: v for p, v in (last.iono_measured_m or {}).items() if p <= 32
+    }
+    assert set(gps_used) <= set(mapped_gps), (
+        f"unmapped GPS rows: {set(gps_used) - set(mapped_gps)}"
+    )
+    from gypsum_tpu.solve.geodesy import ecef_to_lla, elevation_azimuth
+
+    lat_u, lon_u, _ = ecef_to_lla(RX)
+    for sat in gps_sats:
+        if sat.prn not in mapped_gps:
+            continue
+        sv_tow = tri.world.observed_sv_time_of_week(sat.prn)
+        sv_pos = tri.world._sats[sat.prn].sv_position(sv_tow)
+        el, az = elevation_azimuth(RX, sv_pos)
+        truth_m = C * klobuchar_delay_s(
+            params, lat_u, lon_u, el, az, last.receiver_timestamp + START_SOW
+        )
+        assert mapped_gps[sat.prn] == pytest.approx(truth_m, rel=0.35), (
+            f"PRN {sat.prn}: mapped {mapped_gps[sat.prn]:.1f} m vs "
+            f"Klobuchar truth {truth_m:.1f} m (el {el:.0f})"
+        )
+
+    solo = Receiver(ArraySampleSource(gps_iq, GPS_FS), ReceiverConfig())
+    solo.run()
+    solo_fixes = solo.world.position_fixes
+    assert solo_fixes, "no GPS-only fix"
+    err_tri = np.linalg.norm(tri_fixes[-1].ecef - RX)
+    err_solo = np.linalg.norm(solo_fixes[-1].ecef - RX)
+    assert err_tri < 8.0, f"tri-band fix off by {err_tri:.1f} m"
+    assert err_tri < err_solo, (
+        f"tri-band {err_tri:.1f} m not better than uncorrected GPS-only "
+        f"{err_solo:.1f} m"
     )
