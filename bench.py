@@ -345,7 +345,10 @@ def farm_throughput_details() -> dict:
             "farm_aggregate_msamples_per_sec": r["aggregate_msamples_per_sec"],
             "farm_note": "cpu fallback: saturation sweep skipped",
         }
-    sweep = [(8, 8), (16, 16), (32, 32), (64, 32)]
+    # Grow STREAMS at the realistic ~8 channels/stream (growing both axes
+    # conflates per-stream rate with per-sample work); channels beyond 256
+    # run the fixup kernel in VMEM slabs (ops/pallas_fixup.py:_S_SLAB).
+    sweep = [(8, 8), (16, 8), (32, 8), (64, 8)]
     curve = []
 
     def _rate(c: dict) -> float:

@@ -273,6 +273,7 @@ def make_fixup_fn(
     zeta = cfg.pll_damping_factor
     if n_lags_eff > 128:
         raise ValueError(f"n_lags_eff ({n_lags_eff}) exceeds the 128-lane row")
+    _S_SLAB = 256  # max channels per pallas_call (scoped-vmem bound, v5e)
 
     def gains(bw):
         return 4.0 * zeta * bw * t_ms, 4.0 * (bw**2) * t_ms
@@ -298,36 +299,56 @@ def make_fixup_fn(
         group = pick_group_ms(b, cfg.fixup_group_ms)
         cr = jnp.pad(corr_r, ((0, 0), (0, 0), (0, 128 - nle)))
         ci = jnp.pad(corr_i, ((0, 0), (0, 0), (0, 128 - nle)))
-        outs, fin = pl.pallas_call(
-            functools.partial(
-                _fixup_kernel,
-                cfg_consts=cfg_consts,
-                length=length,
-                n_lags_eff=n_lags_eff,
-                k_half=k_half,
-                group_ms=group,
-                s_count=s_count,
-                use_hrc=cfg.code_phase_measurement == "hrc",
-                w_chip=float(length) / float(cfg.chips_per_code),
-            ),
-            grid=(b // group,),
-            in_specs=[
-                pl.BlockSpec((N_CARRY, s_count), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((group, s_count, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((group, s_count, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((group, N_OUT, s_count), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((N_CARRY, s_count), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, N_OUT, s_count), jnp.float32),
-                jax.ShapeDtypeStruct((N_CARRY, s_count), jnp.float32),
-            ],
-            scratch_shapes=[pltpu.VMEM((N_CARRY, s_count), jnp.float32)],
-            interpret=interp,
-        )(init, cr, ci)
-        return fin, outs
+
+        def run(init_c, cr_c, ci_c):
+            s_c = init_c.shape[1]
+            return pl.pallas_call(
+                functools.partial(
+                    _fixup_kernel,
+                    cfg_consts=cfg_consts,
+                    length=length,
+                    n_lags_eff=n_lags_eff,
+                    k_half=k_half,
+                    group_ms=group,
+                    s_count=s_c,
+                    use_hrc=cfg.code_phase_measurement == "hrc",
+                    w_chip=float(length) / float(cfg.chips_per_code),
+                ),
+                grid=(b // group,),
+                in_specs=[
+                    pl.BlockSpec((N_CARRY, s_c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((group, s_c, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((group, s_c, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((group, N_OUT, s_c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((N_CARRY, s_c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((b, N_OUT, s_c), jnp.float32),
+                    jax.ShapeDtypeStruct((N_CARRY, s_c), jnp.float32),
+                ],
+                scratch_shapes=[pltpu.VMEM((N_CARRY, s_c), jnp.float32)],
+                interpret=interp,
+            )(init_c, cr_c, ci_c)
+
+        if s_count <= _S_SLAB:
+            outs, fin = run(init, cr, ci)
+            return fin, outs
+        # Channels are independent: farms beyond _S_SLAB channels run the
+        # kernel in VMEM-sized slabs (one pallas_call each, same program) —
+        # a single 512-channel call overflows the ~16 MB scoped-vmem limit
+        # (measured on v5e; the per-step output block is what blows up).
+        outs_l, fin_l = [], []
+        for c0 in range(0, s_count, _S_SLAB):
+            o, f = run(
+                init[:, c0:c0 + _S_SLAB],
+                cr[:, c0:c0 + _S_SLAB],
+                ci[:, c0:c0 + _S_SLAB],
+            )
+            outs_l.append(o)
+            fin_l.append(f)
+        return jnp.concatenate(fin_l, axis=1), jnp.concatenate(outs_l, axis=2)
 
     def fn(init, corr_r, corr_i):
         interp = (

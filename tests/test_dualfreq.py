@@ -267,7 +267,7 @@ def test_cross_constellation_iono_corrects_gps_rows():
         if sat.prn not in mapped_gps:
             continue
         sv_tow = tri.world.observed_sv_time_of_week(sat.prn)
-        sv_pos = tri.world._sats[sat.prn].sv_position(sv_tow)
+        sv_pos = tri.world._sats[sat.prn].sv_position(sv_tow, kepler_iterations=8)
         el, az = elevation_azimuth(RX, sv_pos)
         truth_m = C * klobuchar_delay_s(
             params, lat_u, lon_u, el, az, last.receiver_timestamp + START_SOW

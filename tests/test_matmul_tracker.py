@@ -206,3 +206,40 @@ def test_matmul_tracker_farm_mode_parity():
     assert np.array_equal(
         np.sign(np.asarray(oA.prompt_i)), np.sign(np.asarray(oB.prompt_i))
     )
+
+
+def test_fixup_kernel_channel_slabs_parity():
+    """Beyond _S_SLAB (=256) channels the fixup runs as VMEM-sized
+    pallas_call slabs (a single 512-channel call overflows v5e scoped
+    vmem); the slabbed program must match the scan path exactly like the
+    single-call one does. 300 channels exercises one full slab plus a
+    44-channel tail."""
+    S, B = 300, 24
+    sat = SyntheticSatellite(prn=9, doppler_hz=700.0, delay_samples=100, amplitude=0.3)
+    iq = synthesize_iq([sat], B * L, FS, noise_sigma=0.2, seed=9).reshape(B, L)
+    planes = jnp.asarray(to_planes(iq))
+    _, cfg_mm = _cfgs(B)
+    cfg_pallas = dataclasses.replace(cfg_mm, fixup_backend="pallas", fixup_group_ms=12)
+    replicas = _replicas(9, S, cfg_mm)
+    st = fresh_state(S)
+    # Spread the channels over distinct states so a slab-boundary mixup
+    # cannot cancel out.
+    st = st._replace(
+        doppler=(st.doppler + 700.0 + 2.0 * np.arange(S)).astype(np.float32),
+        code_phase=(st.code_phase + 100.0 + (np.arange(S) % 7)).astype(np.float32),
+    )
+
+    sA, oA = jax.device_get(make_track_block_fn(cfg_mm, L, FS, S)(st, planes, replicas))
+    sB, oB = jax.device_get(make_track_block_fn(cfg_pallas, L, FS, S)(st, planes, replicas))
+    for name in ("code_phase", "carrier_phase", "doppler", "ema_err", "ema_quality"):
+        a = np.asarray(getattr(sA, name)).ravel()
+        b = np.asarray(getattr(sB, name)).ravel()
+        np.testing.assert_allclose(
+            b, a, atol=1e-4 * max(1.0, np.abs(a).max()), err_msg=name
+        )
+    for name in ("prompt_i", "prompt_q", "code_phase_measured", "doppler"):
+        a = np.asarray(getattr(oA, name))
+        b = np.asarray(getattr(oB, name))
+        np.testing.assert_allclose(
+            b, a, atol=1e-4 * max(1.0, np.abs(a).max()), err_msg=name
+        )
