@@ -320,13 +320,21 @@ def cmd_replay(args) -> int:
         receiver.add_block_listener(save_figures)
         _logger.info("writing tracker figures to %s/", figure_dir)
 
-    rinex_writer = None
+    rinex_writers = []
     if args.rinex_obs or args.rinex_nav:
         from gypsum_tpu.obs.rinex import RinexObsWriter
 
-        rinex_writer = RinexObsWriter(receiver)
         if args.rinex_obs:
-            receiver.add_block_listener(rinex_writer.on_block)
+            rinex_writers = [RinexObsWriter(receiver)]
+            receiver.add_block_listener(rinex_writers[0].on_block)
+            if dual is not None and dual.glonass is not receiver:
+                # Dual-band replay: the GLONASS band exports its own rows
+                # (R<slot>, incl. C2C when an L2 band rides along); bands
+                # merge by epoch at write time. The L2 band itself never
+                # gets a writer — its delay surfaces as the L1 rows' C2C.
+                w2 = RinexObsWriter(dual.glonass)
+                dual.glonass.add_block_listener(w2.on_block)
+                rinex_writers.append(w2)
 
     nmea_writer = None
     if getattr(args, "nmea_out", None):
@@ -411,23 +419,31 @@ def cmd_replay(args) -> int:
             save_checkpoint(receiver, args.checkpoint)
             _logger.info("checkpointed to %s at stream t=%.1fs",
                          args.checkpoint, source.seconds_consumed)
-    if args.rinex_obs and rinex_writer is not None and rinex_writer.epochs:
+    if args.rinex_obs and any(w.epochs for w in rinex_writers):
+        from gypsum_tpu.obs.rinex import write_obs_merged
+
         approx = (receiver.world.position_fixes[-1].ecef
                   if receiver.world.position_fixes else None)
-        rinex_writer.write(args.rinex_obs, approx_ecef=approx)
+        n_epochs = write_obs_merged(
+            args.rinex_obs, [w for w in rinex_writers if w.epochs],
+            approx_ecef=approx,
+        )
         print(f"wrote RINEX observations: {args.rinex_obs} "
-              f"({len(rinex_writer.epochs)} epochs)")
+              f"({n_epochs} epochs)")
     if args.rinex_nav:
         from gypsum_tpu.obs.rinex import render_nav
 
         eph = {p: r.ephemeris for p, r in receiver.world._sats.items()
                if r.ephemeris is not None}
-        if eph:
+        glo = {p: r.glonass for p, r in receiver.world._sats.items()
+               if r.glonass is not None and r.glonass.slot >= 1}
+        if eph or glo:
             with open(args.rinex_nav, "w") as f:
                 f.write(render_nav(
-                    eph, base_week=config.solver.gps_epoch_base_week_number))
+                    eph, base_week=config.solver.gps_epoch_base_week_number,
+                    glonass=glo or None))
             print(f"wrote RINEX navigation: {args.rinex_nav} "
-                  f"({len(eph)} ephemerides)")
+                  f"({len(eph)} GPS + {len(glo)} GLONASS ephemerides)")
     if nmea_writer is not None:
         nmea_writer.close()
         print(f"wrote NMEA log: {args.nmea_out} "

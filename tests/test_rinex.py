@@ -196,3 +196,110 @@ def test_receiver_export_is_physically_consistent():
     for prn, series in cmc.items():
         assert len(series) >= 4
         assert np.std(np.asarray(series)) < 1.0, (prn, np.std(series))
+
+
+# --------------------------------------------------------------- GLONASS
+
+
+def test_glonass_nav_round_trip_preserves_orbits():
+    """R records (km-unit state vectors, -tau_n clock line, frequency
+    number in the body) propagate to the same positions after re-parse, in
+    a standalone R file and in a MIXED file next to GPS records."""
+    from gypsum_tpu.obs.rinex import parse_nav_glonass, render_nav_glonass
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_EPHEMERIDES,
+        demo_glonass_constellation,
+    )
+    from gypsum_tpu.solve.glonass import glonass_satellite_position
+
+    sats = demo_glonass_constellation([-2, 0, 2])
+    eph_in = {s.prn: s.ephemeris for s in sats}
+    text = render_nav_glonass(eph_in)
+    eph_out = parse_nav_glonass(text)
+    assert sorted(eph_out) == sorted(eph_in)
+    for prn in eph_in:
+        a, b = eph_in[prn], eph_out[prn]
+        assert b.frequency_number == a.frequency_number
+        assert b.slot == a.slot
+        assert b.health_bn == a.health_bn
+        assert b.tb_day_s == a.tb_day_s
+        assert abs(b.tau_n_s - a.tau_n_s) < 1e-15
+        assert abs(b.gamma_n - a.gamma_n) < 1e-20
+        for dt in (-600.0, 0.0, 600.0):
+            p_in = glonass_satellite_position(a, a.tb_day_s + dt)
+            p_out = glonass_satellite_position(b, a.tb_day_s + dt)
+            assert np.linalg.norm(p_in - p_out) < 0.05  # km-unit rounding
+
+    # MIXED file: both parsers read their own system and skip the other.
+    mixed = render_nav({25: DEMO_EPHEMERIDES[0]}, base_week=2048, glonass=eph_in)
+    assert "M: MIXED" in mixed
+    assert sorted(parse_nav_glonass(mixed)) == sorted(eph_in)
+    assert sorted(parse_nav(mixed)) == [25]
+
+
+def test_glonass_obs_export_with_l2_end_to_end():
+    """A GLONASS L1+L2 dual-frequency replay exports R<slot> rows with the
+    SLOT/FRQ header and a C2C cell whose C2C-C1C difference IS the
+    measured inter-band divergence (the dual-frequency iono observable,
+    re-derivable by any external tool from the file alone)."""
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.obs.rinex import render_obs_merged
+    from gypsum_tpu.runtime.receiver import DualBandReceiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GLONASS_SAMPLE_RATE as GLO_FS,
+        demo_glonass_constellation,
+        demo_iono_page18,
+        demo_receiver_ecef,
+    )
+    from gypsum_tpu.solve.iono import IonoUtcParams
+
+    ks = [-2, -1, 1, 2]  # 4 channels: fixes pin the receiver clock,
+    # so C1C is a true ~20,000 km pseudorange (a no-fix replay leaves
+    # the clock slide anchored to one SV, shifting every C1C by its
+    # ~70 ms transit)
+    rx = demo_receiver_ecef()
+    params = IonoUtcParams.from_page(demo_iono_page18())
+    sats = demo_glonass_constellation(ks)
+    l1_iq, _ = synthesize_constellation(
+        sats, rx, 21618.0, 13.0, GLO_FS, noise_sigma=0.25, iono=params,
+    )
+    l2_iq, _ = synthesize_constellation(
+        sats, rx, 21618.0, 13.0, GLO_FS, noise_sigma=0.25, iono=params,
+        glonass_band="l2",
+    )
+    dual = DualBandReceiver(
+        None,
+        ArraySampleSource(l1_iq, GLO_FS),
+        glonass_l2_source=ArraySampleSource(l2_iq, GLO_FS),
+    )
+    writer = RinexObsWriter(dual.glonass)
+    dual.glonass.add_block_listener(writer.on_block)
+    dual.run()
+    assert writer.epochs, "no exportable epochs (time bases never formed)"
+    text = render_obs_merged([writer], approx_ecef=rx)
+    assert "R: GLONASS" in text
+    assert "GLONASS SLOT / FRQ #" in text
+
+    parsed = parse_obs(text)
+    # Demo slots are 1..len(ks) in ks order.
+    assert parsed.slot_to_freq == {i + 1: k for i, k in enumerate(ks)}
+    assert parsed.obs_types_by_sys["R"] == ("C1C", "D1C", "S1C", "C2C")
+    _, rows = parsed.epochs[-1]
+    want_ids = {208 + k for k in ks}
+    assert want_ids <= set(rows), f"missing rows: {want_ids - set(rows)}"
+    for prn in want_ids:
+        vals = rows[prn]
+        assert 15e6 < vals["C1C"] < 30e6
+        assert "D1C" in vals and "S1C" in vals
+        assert "C2C" in vals, "L2 band delay never exported"
+        d = vals["C2C"] - vals["C1C"]
+        assert 1.0 < d < 30.0, f"inter-band divergence {d:.2f} m implausible"
+        # The file's own divergence must equal the receiver's measured
+        # iono observable (I_L1 = d * 49/32 for GLONASS's exact 7/9 ratio).
+        rec = dual.world._sats[prn]
+        i1 = dual.world.measured_iono_l1_s(
+            prn, rec.smoothed_delay_s, now=rec.l2_updated_at
+        )
+        assert i1 is not None
+        assert abs(d * 49.0 / 32.0 - i1 * C) < 1.0
