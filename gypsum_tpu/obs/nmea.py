@@ -160,8 +160,34 @@ def gga(fix: "ReceiverSolution", when: _dt.datetime, talker: str = "GP") -> str:
     return make_sentence(body)
 
 
-def gsa(fix: "ReceiverSolution", talker: str = "GP") -> str:
-    prns = list(fix.satellites_used)[:12]
+def nmea_sat_id(world, prn: int) -> int | None:
+    """NMEA satellite numbering: GPS 1-32 as-is, SBAS 33-51 (prn-87),
+    GLONASS 65-96 (orbital slot + 64 — the slot comes from decoded string
+    4; a channel whose slot is still unknown has no NMEA number yet)."""
+    if 1 <= prn <= 32:
+        return prn
+    if 120 <= prn <= 138:
+        return prn - 87
+    if 201 <= prn <= 214 and world is not None:
+        rec = world._sats.get(prn)
+        glo = getattr(rec, "glonass", None) if rec is not None else None
+        slot = int(getattr(glo, "slot", 0) or 0)
+        return 64 + slot if slot >= 1 else None
+    return None
+
+
+def gsa(
+    fix: "ReceiverSolution",
+    talker: str = "GP",
+    sat_ids: "list[int] | None" = None,
+    system_id: int | None = None,
+) -> str:
+    """``sat_ids``: NMEA satellite numbers to list (defaults to the fix's
+    satellites_used verbatim — the single-constellation GPS case).
+    ``system_id``: NMEA 4.10 trailing GNSS system id (1 GPS, 2 GLONASS),
+    emitted by multi-constellation receivers which send one GSA per
+    system under the GN talker."""
+    prns = (list(fix.satellites_used) if sat_ids is None else list(sat_ids))[:12]
     slots = ",".join(
         f"{p:02d}" if i < len(prns) else ""
         for i, p in enumerate(list(prns) + [0] * (12 - len(prns)))
@@ -173,6 +199,8 @@ def gsa(fix: "ReceiverSolution", talker: str = "GP") -> str:
         return f"{v:.2f}" if v is not None and np.isfinite(v) else ""
 
     body = f"{talker}GSA,A,3,{slots},{f('pdop')},{f('hdop')},{f('vdop')}"
+    if system_id is not None:
+        body += f",{system_id}"
     return make_sentence(body)
 
 
@@ -237,15 +265,67 @@ def gsv(
     return out
 
 
+def gsv_glonass(world, sky: dict[int, "object"],
+                cn0_dbhz: dict[int, float] | None = None,
+                talker: str = "GL") -> list[str]:
+    """GLGSV sentences for predicted GLONASS satellites (NMEA ids 65-96 =
+    slot + 64; channels whose slot is not yet decoded are skipped)."""
+    entries = []
+    for p, s in sorted(sky.items()):
+        if not (201 <= p <= 214) or s.elevation_deg <= 0.0:
+            continue
+        nid = nmea_sat_id(world, p)
+        if nid is None:
+            continue
+        entries.append((nid, s, (cn0_dbhz or {}).get(p)))
+    if not entries:
+        return []
+    n_msgs = (len(entries) + 3) // 4
+    out = []
+    for m in range(n_msgs):
+        fields = [f"{talker}GSV", str(n_msgs), str(m + 1), f"{len(entries):02d}"]
+        for nid, s, snr in entries[m * 4 : m * 4 + 4]:
+            fields += [
+                f"{nid:02d}",
+                f"{int(round(s.elevation_deg)):02d}",
+                f"{int(round(s.azimuth_deg)) % 360:03d}",
+                f"{int(round(snr)):02d}" if snr is not None else "",
+            ]
+        out.append(make_sentence(",".join(fields)))
+    return out
+
+
 def sentences_for_fix(
     world, fix: "ReceiverSolution", include_gsv: bool = True, talker: str = "GP"
 ) -> list[str]:
-    """The full per-fix sentence burst (GGA, GSA, RMC, VTG, [GSV...], ZDA)."""
+    """The full per-fix sentence burst (GGA, GSA, RMC, VTG, [GSV...], ZDA).
+
+    Multi-constellation fixes (any GLONASS satellite used) follow the
+    NMEA 4.10 convention: the GN talker for the position sentences, one
+    GSA per system (system id 1 GPS / 2 GLONASS, GLONASS satellites as
+    slot+64), and per-constellation GPGSV/GLGSV."""
     when = utc_of_fix(world, fix)
     if when is None:
         return []
-    out = [gga(fix, when, talker), gsa(fix, talker), rmc(fix, when, talker),
-           vtg(fix, talker)]
+    glo_used = [p for p in fix.satellites_used if 201 <= p <= 214]
+    if glo_used and talker == "GP":
+        talker = "GN"
+    out = [gga(fix, when, talker)]
+    if glo_used:
+        gps_ids = [
+            nmea_sat_id(world, p) or p
+            for p in fix.satellites_used if p < 200
+        ]
+        glo_ids = [
+            i for i in (nmea_sat_id(world, p) for p in glo_used)
+            if i is not None
+        ]
+        if gps_ids:
+            out.append(gsa(fix, talker, sat_ids=gps_ids, system_id=1))
+        out.append(gsa(fix, talker, sat_ids=glo_ids, system_id=2))
+    else:
+        out.append(gsa(fix, talker))
+    out += [rmc(fix, when, talker), vtg(fix, talker)]
     if include_gsv:
         sky = world.predicted_sky(fix.receiver_timestamp, fix.ecef)
         cn0 = {
@@ -253,7 +333,8 @@ def sentences_for_fix(
             for p, r in world._sats.items()
             if r.cn0_dbhz is not None
         }
-        out.extend(gsv(sky, cn0, talker))
+        out.extend(gsv(sky, cn0, "GP" if talker == "GN" else talker))
+        out.extend(gsv_glonass(world, sky, cn0))
     out.append(zda(when, talker))
     return out
 

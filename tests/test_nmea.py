@@ -232,3 +232,46 @@ def test_raim_failed_fix_demoted_to_estimated():
     bad = dataclasses.replace(good, raim={"ok": False, "sigma_scale": 40.0})
     assert _quality(good) == 1 and _mode_letter(good) == "A"
     assert _quality(bad) == 6 and _mode_letter(bad) == "E"
+
+
+def test_multiconstellation_burst_gn_talker_dual_gsa_and_glgsv():
+    """A fix using GLONASS satellites follows NMEA 4.10: GN talker on the
+    position sentences, one GSA per system (system id 1/2; GLONASS ids are
+    slot+64 from the decoded string 4), GPGSV + GLGSV pairs. A GLONASS
+    channel whose slot is still unknown has no NMEA number and is skipped."""
+
+    class _FakeGlo:
+        slot = 5
+
+    world = _FakeWorld(slide=21600.0)
+    rec = _FakeRec(cn0=41.0)
+    rec.glonass = _FakeGlo()
+    world._sats[210] = rec
+    world._sats[208] = _FakeRec()  # tracked, but string 4 not decoded yet
+    world.predicted_sky = lambda ts, ecef: {
+        25: _Sky(45.0, 120.0), 210: _Sky(30.0, 200.0),
+    }
+    fix = _fix(sats=(25, 28, 31, 32, 210, 208))
+    burst = sentences_for_fix(world, fix)
+    kinds = [s[1:6] for s in burst]
+    assert kinds[0] == "GNGGA"
+    gsas = [s for s in burst if "GSA" in s]
+    assert len(gsas) == 2
+    assert all(s.startswith("$GNGSA") for s in gsas)
+    # Trailing system id before the checksum.
+    assert gsas[0].split("*")[0].endswith(",1")
+    assert gsas[1].split("*")[0].endswith(",2")
+    assert ",25," in gsas[0] and ",69," in gsas[1]  # slot 5 -> 69
+    # Slotless 208 is absent from every sentence.
+    assert not any(",72," in s for s in gsas)
+    gsvs = [s for s in burst if "GSV" in s]
+    assert any(s.startswith("$GPGSV") for s in gsvs)
+    glgsv = [s for s in gsvs if s.startswith("$GLGSV")]
+    assert len(glgsv) == 1 and ",69," in glgsv[0]
+    assert burst[-1].startswith("$GNZDA")
+    # Checksums stay valid on every sentence.
+    from gypsum_tpu.obs.nmea import checksum as _ck
+
+    for s in burst:
+        body, ck = s[1:].split("*")
+        assert _ck(body) == ck
