@@ -289,10 +289,20 @@ def cmd_replay(args) -> int:
         _logger.info("assist-time: stream t=0 is SOW %.1f (coarse)", args.assist_time)
 
     if args.checkpoint and pathlib.Path(args.checkpoint).exists():
-        from gypsum_tpu.runtime.checkpoint import fast_forward, load_checkpoint
+        from gypsum_tpu.runtime.checkpoint import (
+            fast_forward,
+            load_checkpoint,
+            load_dual_checkpoint,
+        )
 
-        stream_s = load_checkpoint(receiver, args.checkpoint)
-        fast_forward(source, stream_s)
+        if dual is not None:
+            per_band = load_dual_checkpoint(dual, args.checkpoint)
+            for name, secs in per_band.items():
+                fast_forward(getattr(dual, name).source, secs)
+            stream_s = per_band["gps" if dual.gps is not None else "glonass"]
+        else:
+            stream_s = load_checkpoint(receiver, args.checkpoint)
+            fast_forward(source, stream_s)
         _logger.info("resumed from %s at stream t=%.1fs", args.checkpoint, stream_s)
 
     visualizer = None
@@ -405,18 +415,21 @@ def cmd_replay(args) -> int:
                   f"sats={f.satellites_used}{dgps}{dfi}")
 
     receiver.add_block_listener(narrate)
-    if dual is not None:
-        if dual.glonass is not receiver:
-            dual.glonass.add_block_listener(narrate)
-        if args.checkpoint:
-            raise SystemExit("--checkpoint does not support dual-band replays yet")
+    if dual is not None and dual.glonass is not receiver:
+        dual.glonass.add_block_listener(narrate)
     try:
         (dual or receiver).run(max_seconds=args.duration, until_fix=args.until_fix)
     finally:
         if args.checkpoint:
-            from gypsum_tpu.runtime.checkpoint import save_checkpoint
+            from gypsum_tpu.runtime.checkpoint import (
+                save_checkpoint,
+                save_dual_checkpoint,
+            )
 
-            save_checkpoint(receiver, args.checkpoint)
+            if dual is not None:
+                save_dual_checkpoint(dual, args.checkpoint)
+            else:
+                save_checkpoint(receiver, args.checkpoint)
             _logger.info("checkpointed to %s at stream t=%.1fs",
                          args.checkpoint, source.seconds_consumed)
     if args.rinex_obs and any(w.epochs for w in rinex_writers):

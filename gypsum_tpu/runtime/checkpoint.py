@@ -55,20 +55,15 @@ from pathlib import Path
 CHECKPOINT_VERSION = 12
 
 
-def save_checkpoint(receiver, path: str | Path) -> None:
-    """Snapshot a Receiver (runtime/receiver.py) to ``path``.
-
-    The caller must have drained the tracking pipeline (Receiver.run does);
-    a checkpoint taken with blocks in flight would otherwise skip their
-    samples on resume."""
+def _band_blob(receiver) -> dict:
+    """Per-band snapshot fields (everything but the shared world)."""
     if receiver.bank.pending_blocks:
         raise RuntimeError(
             f"{receiver.bank.pending_blocks} tracking block(s) still in "
             "flight; drain the pipeline before checkpointing"
         )
     receiver.bank.sync_host_state()
-    blob = {
-        "version": CHECKPOINT_VERSION,
+    return {
         # Excludes any undispatched read-ahead block (async_upload): it is
         # simply re-read after resume.
         "stream_seconds": receiver.stream_position_s,
@@ -76,26 +71,12 @@ def save_checkpoint(receiver, path: str | Path) -> None:
         "slot_prn": list(receiver.bank.slot_prn),
         "eligible_prns": set(receiver.eligible_prns),
         "pipelines": receiver.pipelines,
-        "world": receiver.world,
         "last_scan_time": receiver._last_scan_time,
         "subframe_count": receiver.subframe_count,
     }
-    with gzip.open(path, "wb") as f:
-        pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
 
 
-def load_checkpoint(receiver, path: str | Path) -> float:
-    """Restore a snapshot into a freshly constructed Receiver whose source is
-    positioned at (or seekable to) the checkpoint's stream position.
-
-    Returns the stream timestamp the checkpoint was taken at; the caller is
-    responsible for fast-forwarding the sample source to it (sources are
-    sequential, matching the reference's cursor model).
-    """
-    with gzip.open(path, "rb") as f:
-        blob = pickle.load(f)
-    if blob["version"] != CHECKPOINT_VERSION:
-        raise ValueError(f"checkpoint version {blob['version']} != {CHECKPOINT_VERSION}")
+def _restore_band(receiver, blob: dict) -> float:
     outside = [
         p for p in blob["slot_prn"]
         if p is not None and p not in receiver.bank._prn_row
@@ -110,10 +91,94 @@ def load_checkpoint(receiver, path: str | Path) -> float:
     receiver.bank.slot_prn = blob["slot_prn"]
     receiver.eligible_prns = blob["eligible_prns"]
     receiver.pipelines = blob["pipelines"]
-    receiver.world = blob["world"]
     receiver._last_scan_time = blob["last_scan_time"]
     receiver.subframe_count = blob["subframe_count"]
     return float(blob["stream_seconds"])
+
+
+def save_checkpoint(receiver, path: str | Path) -> None:
+    """Snapshot a Receiver (runtime/receiver.py) to ``path``.
+
+    The caller must have drained the tracking pipeline (Receiver.run does);
+    a checkpoint taken with blocks in flight would otherwise skip their
+    samples on resume."""
+    blob = {
+        "version": CHECKPOINT_VERSION,
+        **_band_blob(receiver),
+        "world": receiver.world,
+    }
+    with gzip.open(path, "wb") as f:
+        pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+#: DualBandReceiver attribute name per band key in a dual checkpoint.
+_DUAL_BANDS = ("gps", "glonass", "glonass_l2")
+
+
+def save_dual_checkpoint(dual, path: str | Path) -> None:
+    """Snapshot a DualBandReceiver: one per-band blob each (same contents
+    as a single-band checkpoint) plus the SHARED world model exactly once
+    (the bands' ``world`` references are re-tied on load)."""
+    bands = {
+        name: _band_blob(getattr(dual, name))
+        for name in _DUAL_BANDS
+        if getattr(dual, name, None) is not None
+    }
+    blob = {
+        "version": CHECKPOINT_VERSION,
+        "dual_bands": bands,
+        "world": dual.world,
+    }
+    with gzip.open(path, "wb") as f:
+        pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_dual_checkpoint(dual, path: str | Path) -> dict[str, float]:
+    """Restore a dual checkpoint into a freshly constructed
+    DualBandReceiver with the same band set. Returns the per-band stream
+    positions; the caller fast-forwards each band's source."""
+    with gzip.open(path, "rb") as f:
+        blob = pickle.load(f)
+    if blob["version"] != CHECKPOINT_VERSION:
+        raise ValueError(
+            f"checkpoint version {blob['version']} != {CHECKPOINT_VERSION}"
+        )
+    if "dual_bands" not in blob:
+        raise ValueError("not a dual-band checkpoint (use load_checkpoint)")
+    have = {n for n in _DUAL_BANDS if getattr(dual, n, None) is not None}
+    if have != set(blob["dual_bands"]):
+        raise ValueError(
+            f"checkpoint bands {sorted(blob['dual_bands'])} != receiver "
+            f"bands {sorted(have)}"
+        )
+    out: dict[str, float] = {}
+    for name, band_blob in blob["dual_bands"].items():
+        out[name] = _restore_band(getattr(dual, name), band_blob)
+    dual.world = blob["world"]
+    for name in have:
+        getattr(dual, name).world = blob["world"]
+    return out
+
+
+def load_checkpoint(receiver, path: str | Path) -> float:
+    """Restore a snapshot into a freshly constructed Receiver whose source is
+    positioned at (or seekable to) the checkpoint's stream position.
+
+    Returns the stream timestamp the checkpoint was taken at; the caller is
+    responsible for fast-forwarding the sample source to it (sources are
+    sequential, matching the reference's cursor model).
+    """
+    with gzip.open(path, "rb") as f:
+        blob = pickle.load(f)
+    if blob["version"] != CHECKPOINT_VERSION:
+        raise ValueError(f"checkpoint version {blob['version']} != {CHECKPOINT_VERSION}")
+    if "dual_bands" in blob:
+        raise ValueError(
+            "dual-band checkpoint: restore through load_dual_checkpoint"
+        )
+    seconds = _restore_band(receiver, blob)
+    receiver.world = blob["world"]
+    return seconds
 
 
 def fast_forward(source, seconds: float, chunk_ms: int = 1000) -> None:

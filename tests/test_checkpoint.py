@@ -140,3 +140,104 @@ def test_checkpoint_roundtrip_sbas_channel(tmp_path):
     gps_only = Receiver(ArraySampleSource(iq, FS), _config())
     with pytest.raises(ValueError, match="family"):
         load_checkpoint(gps_only, ckpt)
+
+
+def test_dual_band_checkpoint_roundtrip(tmp_path):
+    """A GPS+GLONASS dual-band replay checkpoints both bands and the
+    SHARED world once; a fresh DualBandReceiver resumes mid-stream with no
+    re-acquisition and reaches the dual-constellation fix."""
+    from gypsum_tpu.runtime.checkpoint import (
+        load_dual_checkpoint,
+        save_dual_checkpoint,
+    )
+    from gypsum_tpu.runtime.receiver import DualBandReceiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GLONASS_SAMPLE_RATE as GLO_FS,
+        demo_constellation,
+        demo_glonass_constellation,
+        demo_receiver_ecef,
+    )
+
+    rx = demo_receiver_ecef()
+    gps_iq, _ = synthesize_constellation(
+        demo_constellation([25, 28, 31, 32]), rx, 21618.0, 24.0, FS,
+        noise_sigma=0.3,
+    )
+    glo_iq, _ = synthesize_constellation(
+        demo_glonass_constellation([-2, 0, 2]), rx, 21618.0, 24.0, GLO_FS,
+        noise_sigma=0.25, glonass_time_offset_s=8e-7,
+    )
+
+    first = DualBandReceiver(
+        ArraySampleSource(gps_iq, FS), ArraySampleSource(glo_iq, GLO_FS),
+    )
+    first.run(max_seconds=12.0)
+    assert first.gps.bank.tracked_prns  # both bands mid-track
+    assert first.glonass.bank.tracked_prns
+    ckpt = tmp_path / "dual.ckpt.gz"
+    save_dual_checkpoint(first, ckpt)
+
+    gps_src = ArraySampleSource(gps_iq, FS)
+    glo_src = ArraySampleSource(glo_iq, GLO_FS)
+    resumed = DualBandReceiver(gps_src, glo_src)
+    per_band = load_dual_checkpoint(resumed, ckpt)
+    assert per_band == {"gps": pytest.approx(12.0), "glonass": pytest.approx(12.0)}
+    # One world, re-tied everywhere.
+    assert resumed.gps.world is resumed.world
+    assert resumed.glonass.world is resumed.world
+    fast_forward(gps_src, per_band["gps"])
+    fast_forward(glo_src, per_band["glonass"])
+    reports = resumed.run()
+
+    # The checkpointed channels survived the restart: none was dropped or
+    # re-acquired in either band (a fresh marginal acquisition of some
+    # OTHER PRN — a noise peak grazing the threshold — is not a resume
+    # defect and is allowed).
+    carried = set(first.gps.bank.tracked_prns) | set(first.glonass.bank.tracked_prns)
+    for band_reports in (reports, resumed.glonass.block_reports):
+        for r in band_reports:
+            assert not (carried & {a.prn for a in r.newly_acquired})
+            assert not (carried & set(r.dropped_prns))
+    fixes = [r.fix for r in reports if r.fix is not None]
+    assert fixes, "no fix after dual-band resume"
+    last = fixes[-1]
+    assert np.linalg.norm(last.ecef - rx) < 8.0
+    assert any(p >= 201 for p in last.satellites_used)
+    assert any(p <= 32 for p in last.satellites_used)
+
+
+def test_dual_checkpoint_rejected_by_single_loader(tmp_path):
+    """Band/shape mismatches fail loudly, not half-restored."""
+    from gypsum_tpu.runtime.checkpoint import (
+        load_dual_checkpoint,
+        save_dual_checkpoint,
+    )
+    from gypsum_tpu.runtime.receiver import DualBandReceiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GLONASS_SAMPLE_RATE as GLO_FS,
+        demo_glonass_constellation,
+        demo_receiver_ecef,
+    )
+
+    glo_iq, _ = synthesize_constellation(
+        demo_glonass_constellation([0]), demo_receiver_ecef(), 21618.0, 2.0,
+        GLO_FS, noise_sigma=0.3,
+    )
+    dual = DualBandReceiver(None, ArraySampleSource(glo_iq, GLO_FS))
+    dual.run(max_seconds=1.0)
+    ckpt = tmp_path / "glo.ckpt.gz"
+    save_dual_checkpoint(dual, ckpt)
+
+    single = Receiver(ArraySampleSource(glo_iq, GLO_FS), _config(), band="glonass")
+    with pytest.raises(ValueError, match="dual-band checkpoint"):
+        load_checkpoint(single, ckpt)
+    # Band-set mismatch: a GPS+GLONASS receiver cannot restore a
+    # GLONASS-only checkpoint.
+    other = DualBandReceiver(
+        ArraySampleSource(np.zeros(20460, np.complex64), FS),
+        ArraySampleSource(glo_iq, GLO_FS),
+    )
+    with pytest.raises(ValueError, match="bands"):
+        load_dual_checkpoint(other, ckpt)
