@@ -275,12 +275,16 @@ def cmd_replay(args) -> int:
         # or any IGS/receiver product). Orbits are known before any decode,
         # so the first fix needs only the first handover word
         # (solve/world.py:_assisted_bootstrap).
-        from gypsum_tpu.obs.rinex import parse_nav
+        from gypsum_tpu.obs.rinex import parse_nav, parse_nav_glonass
 
         with open(args.assist_nav) as f:
-            eph = parse_nav(f.read())
-        n = receiver.world.assist_ephemerides(eph)
-        _logger.info("assist-nav %s: %d ephemerides loaded", args.assist_nav, n)
+            nav_text = f.read()
+        n = receiver.world.assist_ephemerides(parse_nav(nav_text))
+        n_glo = receiver.world.assist_glonass_ephemerides(
+            parse_nav_glonass(nav_text)
+        )
+        _logger.info("assist-nav %s: %d GPS + %d GLONASS ephemerides loaded",
+                     args.assist_nav, n, n_glo)
     if getattr(args, "assist_time", None) is not None:
         # Coarse time (network-time grade, ~minute accuracy is enough):
         # with assist-nav this publishes coarse snapshot fixes before any

@@ -47,6 +47,27 @@ class AssistMixin:
             _logger.info("assist: %d satellite ephemerides injected", n)
         return n
 
+    def assist_glonass_ephemerides(self, ephemerides: "dict[int, object]") -> int:
+        """GLONASS state-vector ephemeris injection (RINEX R records via
+        obs/rinex.py:parse_nav_glonass, keyed by channel id 201-214): the
+        channel then ranges after its FIRST navigation string — the 2 s
+        time-grid anchor needs only string 1's tk, where a cold start
+        waits for the full strings-1..4 frame (~8 s) to assemble the
+        orbit. Broadcast strings still replace the assisted record when a
+        full frame arrives (handle_glonass_string overwrites)."""
+        n = 0
+        for prn, eph in ephemerides.items():
+            if not 201 <= prn <= 214:
+                continue
+            rec = self._record(prn)
+            if rec.glonass is None:
+                rec.glonass = eph
+                rec.orbit_version += 1
+                n += 1
+        if n:
+            _logger.info("assist: %d GLONASS ephemerides injected", n)
+        return n
+
     def assist_time(self, coarse_sow_of_stream_start: float) -> None:
         """Coarse time assistance: GPS seconds-of-week of stream t=0, good
         to ~a minute (the snapshot solver's documented basin). Pairs with

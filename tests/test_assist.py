@@ -154,3 +154,44 @@ def test_assisted_replay_first_fix_beats_full_decode():
     assert lsq[0].receiver_timestamp - first_subframe_t < 2.5
     err1 = np.linalg.norm(lsq[-1].ecef - TRUTH)
     assert err1 < 10.0, f"precise assisted fix off by {err1:.1f} m"
+
+
+def test_glonass_assisted_start_fixes_after_first_string():
+    """Injected GLONASS state-vector ephemerides (RINEX R records through
+    the actual render/parse round trip) let channels range after their
+    FIRST string — the 2 s time anchor needs only string 1's tk — where
+    the cold receiver waits ~8 s for the full strings-1..4 frame. The
+    assisted first fix must come several seconds earlier than the cold
+    one on the same capture."""
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.obs.rinex import parse_nav_glonass, render_nav_glonass
+    from gypsum_tpu.runtime.receiver import Receiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GLONASS_SAMPLE_RATE as GLO_FS,
+        demo_glonass_constellation,
+        demo_receiver_ecef,
+    )
+
+    rx = demo_receiver_ecef()
+    sats = demo_glonass_constellation([-2, -1, 1, 2])
+    iq, _ = synthesize_constellation(
+        sats, rx, 21618.0, 11.0, GLO_FS, noise_sigma=0.25,
+    )
+
+    cold = Receiver(ArraySampleSource(iq, GLO_FS), ReceiverConfig(), band="glonass")
+    cold_reports = cold.run(until_fix=True)
+    cold_first = next(r for r in cold_reports if r.fix is not None)
+    assert cold_first.block_end >= 8.0  # frame assembly gates the cold start
+
+    warm = Receiver(ArraySampleSource(iq, GLO_FS), ReceiverConfig(), band="glonass")
+    text = render_nav_glonass({s.prn: s.ephemeris for s in sats})
+    n = warm.world.assist_glonass_ephemerides(parse_nav_glonass(text))
+    assert n == len(sats)
+    warm_reports = warm.run(until_fix=True)
+    warm_first = next(r for r in warm_reports if r.fix is not None)
+    assert warm_first.block_end <= cold_first.block_end - 2.0, (
+        f"assisted fix at {warm_first.block_end:.1f} s vs cold "
+        f"{cold_first.block_end:.1f} s"
+    )
+    assert np.linalg.norm(warm_first.fix.ecef - rx) < 30.0

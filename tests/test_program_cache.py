@@ -59,11 +59,14 @@ def test_acquisition_engine_shared_and_keyed_on_config():
     assert e3 is not e1
     # Engines are stateless across detect() calls, so sharing is safe; guard
     # against someone adding per-call mutable state without noticing.
-    # _aot_cache is an allowed exception: a pure memo (samples geometry ->
+    # Allowed exceptions: _aot_cache is a pure memo (samples geometry ->
     # compiled executable) fully determined by the engine's construction
-    # parameters — the same parameters the sharing key covers.
+    # parameters — the same parameters the sharing key covers — and
+    # _aot_preload holds the in-flight deserialize threads feeding that
+    # memo (any number of sharers may join the same thread).
     mutable = [
         k for k, v in vars(e1).items()
-        if isinstance(v, (list, dict, set)) and k not in ("_aot_cache",)
+        if isinstance(v, (list, dict, set))
+        and k not in ("_aot_cache", "_aot_preload")
     ]
     assert mutable == [], f"AcquisitionEngine grew mutable state {mutable}; sharing is no longer safe"
