@@ -416,6 +416,11 @@ class SolverConfig:
     # An L2 channel outage invalidates the measured correction after this
     # many seconds without an update (falls back to the model, if any).
     l2_iono_max_age_s: float = 5.0
+    # Averaging cap (blocks) for the L2-L1 iono difference: the difference
+    # is geometry-free and iono moves at cm/s, so it averages far beyond
+    # the range-tracking Hatch window — 600 blocks (~10 min at 1 s blocks)
+    # spans the timescale over which slant iono actually changes.
+    l2_iono_smoothing_window: int = 600
     # Cross-constellation iono: when NO broadcast Klobuchar is available
     # (page 18 recurs only every 12.5 min — a cold GPS receiver waits that
     # long for the model), map the GLONASS dual-frequency measurements into

@@ -52,7 +52,11 @@ from pathlib import Path
 #       measured-iono fields (solve/world_multiconstellation.py
 #       handle_glonass_l2_block) and SolverConfig the dual_frequency_iono
 #       knobs.
-CHECKPOINT_VERSION = 12
+#  13 — FDMA cross-channel ghost veto: _SatelliteRecord gained
+#       ``glonass_ghost`` (slot-collision arbitration,
+#       world_multiconstellation._flag_glonass_ghosts); dual-band
+#       checkpoints (``dual_bands`` blob) also landed in this version.
+CHECKPOINT_VERSION = 13
 
 
 def _band_blob(receiver) -> dict:

@@ -1087,6 +1087,16 @@ class Receiver:
         from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
         from gypsum_tpu.signal.prn import glonass_frequency_number
 
+        rec = self.world._sats.get(obs.prn)
+        if rec is not None and rec.glonass_ghost:
+            # Flagged as an FDMA cross-channel image (two channels decoded
+            # one orbital slot; this one is the weaker — see
+            # world_multiconstellation._flag_glonass_ghosts): release the
+            # channel. The slot stays ineligible only until its next scan,
+            # so a REAL signal appearing on this sub-band later still gets
+            # acquired (and would out-C/N0 the ghost decision).
+            self._drop_satellite(obs.prn, report)
+            return
         events = pipe.glonass.process_block(
             obs.pseudosymbol_signs.astype(np.float64), obs.start_times
         )

@@ -165,6 +165,11 @@ class WorldModel(
         rec.tdcp_cycles = phase_advance_cycles
         rec.tdcp_dt_s = block_ms * 1e-3
         self._update_carrier_smoothing(rec, code_phase_delay_s, block_ms, doppler_hz)
+        if rec.glonass is not None and rec.l2_delay_s is not None:
+            # Dual-frequency: both bands' delays now sit at this block's
+            # end (the L2 band steps first) — the epoch-consistent point
+            # to advance the geometry-free iono-difference average.
+            self._update_iono_diff(rec)
 
     def handle_subframe_emitted(self, prn: int, event: EmitSubframeEvent) -> list[Event]:
         """A decoded subframe resets the SV's PRN-tick time base and updates
@@ -362,6 +367,10 @@ class WorldModel(
         rec.tdcp_cycles = None
         rec.coasting = False
         rec.deep_ranging = False
+        # A re-acquisition starts with a clean slate: if the ghost decision
+        # was wrong (or the real SV appears on this sub-band later), the
+        # next decoded frame re-runs the slot-collision arbitration.
+        rec.glonass_ghost = False
 
     # ------------------------------------------------------------- queries
 
@@ -434,6 +443,8 @@ class WorldModel(
                 and rec.tow_at_last_subframe is not None
             ):
                 continue
+            if rec.glonass_ghost:
+                continue  # FDMA cross-channel image (world_multiconstellation)
             if (
                 not rec.coasting
                 and rec.prn_ticks_since_subframe <= cfg.max_prn_ticks_since_handover

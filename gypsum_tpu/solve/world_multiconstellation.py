@@ -165,6 +165,7 @@ class MultiConstellationMixin:
                         events.append(
                             DeterminedSatelliteOrbitEvent(prn=prn, ephemeris=None)
                         )
+                    self._flag_glonass_ghosts(prn, rec)
                 rec.glo_pending = {
                     m: v for m, v in rec.glo_pending.items() if m == 1
                 }
@@ -240,6 +241,37 @@ class MultiConstellationMixin:
         rec.l2_delay_s = predicted + innovation / depth
         rec.l2_smoothing_depth = depth
 
+    def _update_iono_diff(self, rec) -> None:
+        """Geometry-free accumulator: the wrapped L2-L1 difference is pure
+        dispersive delay (+ noise), so it averages over the WHOLE track —
+        far beyond the range-tracking Hatch window (the per-SV measured
+        iono then stops costing accuracy on high-DOP geometries, where
+        meter-level per-row noise is what GDOP amplifies). A >1 us
+        innovation resets (iono cannot jump 300 m; a track reset can).
+
+        Called from the L1 band's per-block update (world.py
+        handle_channel_block), AFTER both bands' delays have advanced to
+        the same block end — the L2 band steps first in a dual-band
+        receiver, so sampling here is the only epoch-consistent point
+        (sampling at the L2 update would difference against a one-block-
+        stale L1 delay: code drift folds ~us of error into a tens-of-ns
+        observable — measured: a 27 m fix error became 17 km)."""
+        if rec.smoothed_delay_s is None or rec.l2_delay_s is None:
+            return
+        d_inst = ((rec.l2_delay_s - rec.smoothed_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
+        if rec.iono_diff_s is None:
+            rec.iono_diff_s = d_inst
+            rec.iono_diff_depth = 1
+            return
+        innov = ((d_inst - rec.iono_diff_s + 0.5e-3) % 1e-3) - 0.5e-3
+        if abs(innov) > 1e-6:
+            rec.iono_diff_s = d_inst
+            rec.iono_diff_depth = 1
+            return
+        depth = min(rec.iono_diff_depth + 1, self.config.l2_iono_smoothing_window)
+        rec.iono_diff_s += innov / depth
+        rec.iono_diff_depth = depth
+
     def handle_lost_l2_lock(self, prn: int) -> None:
         """The L2OF channel dropped: invalidate ONLY the L2 half of the
         dual-frequency state — the satellite's L1 time base, smoothing and
@@ -248,6 +280,8 @@ class MultiConstellationMixin:
         rec.l2_delay_s = None
         rec.l2_smoothing_depth = 0
         rec.l2_updated_at = None
+        rec.iono_diff_s = None
+        rec.iono_diff_depth = 0
 
     def measured_iono_l1_s(
         self, prn: int, l1_delay_s: float, now: float
@@ -271,7 +305,12 @@ class MultiConstellationMixin:
             return None
         f1 = rec.glonass.carrier_frequency_hz
         f2 = rec.l2_carrier_hz
-        d = ((rec.l2_delay_s - l1_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
+        # Prefer the long-window geometry-free accumulator; fall back to
+        # the instantaneous wrapped difference before it exists.
+        if rec.iono_diff_s is not None:
+            d = rec.iono_diff_s
+        else:
+            d = ((rec.l2_delay_s - l1_delay_s + 0.5e-3) % 1e-3) - 0.5e-3
         return float(d * f2 * f2 / (f1 * f1 - f2 * f2))
 
     def iono_vertical_gps_l1_m(
@@ -316,6 +355,36 @@ class MultiConstellationMixin:
         if len(vals) < 2:
             return None
         return float(np.median(vals))
+
+    def _flag_glonass_ghosts(self, prn: int, rec) -> None:
+        """FDMA cross-channel ghost veto: every GLONASS satellite transmits
+        the SAME 511-chip SP code, so a strong signal can leak into a
+        vacant neighboring sub-band, false-acquire there, and decode the
+        SAME navigation strings — two channels then claim one orbital slot
+        (string 4). The weaker channel (C/N0) is the leakage image: flag
+        it so the receiver drops it and the fix never ranges it
+        (campaign-found failure: a ghost pseudorange moved a fix 335 m —
+        the ghost's assumed sub-band carrier misestimates its Doppler/
+        carrier-aiding by the 562.5 kHz channel spacing)."""
+        slot = int(getattr(rec.glonass, "slot", 0) or 0)
+        if slot < 1:
+            return
+        for other_prn, other in self._sats.items():
+            if other_prn == prn or other.glonass is None or other.glonass_ghost:
+                continue
+            if int(getattr(other.glonass, "slot", 0) or 0) != slot:
+                continue
+            mine = rec.cn0_dbhz if rec.cn0_dbhz is not None else -1.0
+            theirs = other.cn0_dbhz if other.cn0_dbhz is not None else -1.0
+            weaker = prn if mine <= theirs else other_prn
+            self._sats[weaker].glonass_ghost = True
+            _logger.warning(
+                "GLONASS slot %d decoded on two FDMA channels (ids %d and "
+                "%d): flagging the weaker (id %d, C/N0 %.1f vs %.1f dBHz) "
+                "as a cross-channel ghost",
+                slot, prn, other_prn, weaker, min(mine, theirs),
+                max(mine, theirs),
+            )
 
     def _compute_position_dual(
         self, receiver_timestamp: float, prns: list[int]

@@ -171,6 +171,21 @@ class _SatelliteRecord:
     l2_carrier_hz: float | None = None
     l2_updated_at: float | None = None
     l2_cn0_dbhz: float | None = None
+    # Long-window average of the wrapped L2-L1 delay difference (seconds):
+    # the difference is GEOMETRY-FREE (only the dispersive iono, moving at
+    # cm/s), so unlike the range-tracking Hatch filter it can average far
+    # beyond carrier_smoothing_window — per-SV iono noise shrinks with the
+    # whole track length (SolverConfig.l2_iono_smoothing_window cap).
+    iono_diff_s: float | None = None
+    iono_diff_depth: int = 0
+    # FDMA cross-channel ghost (solve/world_multiconstellation.py): the SP
+    # code is shared by every GLONASS satellite, so a strong neighbor can
+    # leak into a vacant sub-band, false-acquire there, and decode the SAME
+    # navigation strings — detected when two channels decode one orbital
+    # slot. The weaker channel is flagged; the receiver drops it and it
+    # never enters a fix. (Campaign finding: a ghost ranged into a fix
+    # moved it 335 m.)
+    glonass_ghost: bool = False
     # Vector-coast flag (runtime/receiver.py): the channel is being driven
     # open-loop from predicted geometry — its "observables" are predictions,
     # so it must not feed the fix (excluded by _fix_ready_satellites).

@@ -138,3 +138,51 @@ def test_glonass_world_state_checkpoint_roundtrip(tmp_path):
 
     day = glonass_day_time_from_gps_sow(rec.tow_at_last_subframe, 18)
     assert day % 2.0 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_fdma_cross_channel_ghost_vetoed_by_slot_collision():
+    """Campaign-found (glonass-df seed 4): the shared SP code leaks a
+    strong satellite into a vacant neighboring sub-band; the ghost channel
+    decodes the SAME strings (so it has an orbit and a time base) and its
+    pseudorange moved the fix 335 m. Two channels decoding one orbital
+    slot is the tell — the weaker must be flagged, dropped, and kept out
+    of every fix."""
+    import dataclasses
+
+    from gypsum_tpu.signal.scenarios import demo_iono_page18
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+    from gypsum_tpu.solve.iono import IonoUtcParams
+
+    # Exact failing scenario (tools/campaign.py run_glonass_df_trial seed 4).
+    ks = [-7, -6, -4, -1, 3, 6]
+    rx = lla_to_ecef(51.77840736923656, -1.9751926311883372, 38.53965397915354)
+    page = demo_iono_page18()
+    scale = 0.40072056427505365
+    page = dataclasses.replace(
+        page, alpha0=page.alpha0 * scale, alpha1=page.alpha1 * scale,
+        alpha2=page.alpha2 * scale, alpha3=page.alpha3 * scale,
+    )
+    params = IonoUtcParams.from_page(page)
+    sats = demo_glonass_constellation(ks)
+    iq, _ = synthesize_constellation(
+        sats, rx, START_SOW, 15.6, GLO_FS, noise_sigma=0.2610781313993226,
+        seed=4, iono=params,
+    )
+    recv = Receiver(ArraySampleSource(iq, GLO_FS), ReceiverConfig(), band="glonass")
+    reports = recv.run()
+    ghosts = [
+        p for p, r in recv.world._sats.items()
+        if r.glonass_ghost or (p in {pp for rep in reports for pp in rep.dropped_prns})
+    ]
+    on_air = {s.prn for s in sats}
+    dropped = {p for rep in reports for p in rep.dropped_prns}
+    assert dropped - on_air, (
+        f"no ghost channel was dropped (dropped={dropped}, ghosts={ghosts})"
+    )
+    fixes = [r.fix for r in reports if r.fix is not None]
+    assert fixes, "no fix"
+    last = fixes[-1]
+    assert set(last.satellites_used) <= on_air, (
+        f"ghost ranged into the fix: {set(last.satellites_used) - on_air}"
+    )
+    assert np.linalg.norm(last.ecef - rx) < 15.0

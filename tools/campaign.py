@@ -275,6 +275,110 @@ def run_trial(seed: int, impairment: str = "none") -> dict:
     return result
 
 
+def run_glonass_df_trial(seed: int, _impairment: str = "none") -> dict:
+    """Randomized GLONASS-only dual-frequency (L1OF+L2OF) trial: random
+    FDMA channel subset, geometry, motion, noise, and IONOSPHERE STRENGTH
+    (the Klobuchar amplitude scaled 0.4-2x of the demo daytime set — the
+    measured inter-band correction must hold across the range, not at one
+    tuned operating point). Judged like the GPS trials: position within
+    tolerance, error within the published protection levels, and the
+    dual-frequency correction actually applied on most channels."""
+    import dataclasses
+
+    from gypsum_tpu.io.sources import ArraySampleSource
+    from gypsum_tpu.runtime.receiver import DualBandReceiver
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GLONASS_SAMPLE_RATE as GLO_FS,
+        demo_glonass_constellation,
+        demo_iono_page18,
+    )
+    from gypsum_tpu.solve.geodesy import lla_to_ecef
+    from gypsum_tpu.solve.iono import IonoUtcParams
+
+    rng = np.random.default_rng(seed + 7_000_000)
+    n_ch = int(rng.integers(4, 7))
+    ks = sorted(int(k) for k in rng.choice(np.arange(-7, 7), size=n_ch, replace=False))
+    lat = 51.5 + float(rng.uniform(-3.0, 3.0))
+    lon = -0.1 + float(rng.uniform(-3.0, 3.0))
+    alt = float(rng.uniform(0.0, 500.0))
+    noise = float(rng.uniform(0.25, 0.4))
+    duration = float(rng.uniform(14.0, 18.0))
+    iono_scale = float(rng.uniform(0.4, 2.0))
+    result: dict = {
+        "kind": "glonass_df", "seed": seed, "ks": ks, "lat": lat, "lon": lon,
+        "alt": alt, "noise": noise, "duration_s": duration,
+        "iono_scale": iono_scale,
+    }
+    t0 = time.monotonic()
+    try:
+        page = demo_iono_page18()
+        page = dataclasses.replace(
+            page,
+            alpha0=page.alpha0 * iono_scale, alpha1=page.alpha1 * iono_scale,
+            alpha2=page.alpha2 * iono_scale, alpha3=page.alpha3 * iono_scale,
+        )
+        params = IonoUtcParams.from_page(page)
+        rx = lla_to_ecef(lat, lon, alt)
+        sats = demo_glonass_constellation(ks)
+        l1_iq, _ = synthesize_constellation(
+            sats, rx, 21618.0, duration, GLO_FS, noise_sigma=noise,
+            seed=seed, iono=params,
+        )
+        l2_iq, _ = synthesize_constellation(
+            sats, rx, 21618.0, duration, GLO_FS, noise_sigma=noise,
+            seed=seed + 1, iono=params, glonass_band="l2",
+        )
+        dual = DualBandReceiver(
+            None,
+            ArraySampleSource(l1_iq, GLO_FS),
+            glonass_l2_source=ArraySampleSource(l2_iq, GLO_FS),
+        )
+        dual.run()
+        fixes = dual.world.position_fixes
+        if not fixes:
+            result.update(status="no_fix", elapsed_s=time.monotonic() - t0)
+            return result
+        fix = fixes[-1]
+        pos_err = float(np.linalg.norm(fix.ecef - rx))
+        status = "pass" if pos_err < POSITION_TOLERANCE_M else "bad_fix"
+        hpl = fix.protection["hpl_m"] if fix.protection else None
+        if hpl is not None:
+            up = rx / np.linalg.norm(rx)
+            err_vec = fix.ecef - rx
+            v_err = abs(float(err_vec @ up))
+            h_err = float(np.linalg.norm(err_vec - (err_vec @ up) * up))
+            if h_err > hpl or v_err > fix.protection["vpl_m"]:
+                status = "integrity_violation"
+            elif status == "bad_fix" and (fix.dop or {}).get("gdop", 0.0) > 15.0:
+                # DO-229 availability semantics: an extreme-DOP geometry
+                # (random 4-subsets of FDMA looks can exceed GDOP 30) whose
+                # error sits INSIDE its published protection level is the
+                # system being honest about degradation — unavailability,
+                # not silent wrongness. Distinct status so the campaign
+                # reports it without calling it a failure.
+                status = "degraded_honest"
+        n_df = len(fix.iono_measured_m or {})
+        if status == "pass" and n_df < max(2, n_ch - 1):
+            status = "df_not_applied"
+        result.update(
+            status=status,
+            position_error_m=pos_err,
+            hpl_m=hpl,
+            fix_time_s=float(fix.receiver_timestamp),
+            df_corrected=n_df,
+            satellites_used=list(fix.satellites_used),
+            elapsed_s=time.monotonic() - t0,
+        )
+    except Exception as exc:
+        result.update(
+            status="error",
+            error=f"{type(exc).__name__}: {exc}",
+            elapsed_s=time.monotonic() - t0,
+        )
+    return result
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--trials", type=int, default=20)
@@ -291,15 +395,21 @@ def main() -> int:
     ap.add_argument("--no-resync-cutoff", action="store_true",
                     help="disable the 40 s bit-phase resync cutoff "
                     "(band-aid inherited from the reference) for every trial")
+    ap.add_argument("--glonass-df", action="store_true",
+                    help="run GLONASS-only dual-frequency (L1OF+L2OF) "
+                    "trials instead of GPS ones: random FDMA subsets and "
+                    "iono strengths, measured-iono correction judged")
     args = ap.parse_args()
     global NO_RESYNC_CUTOFF
     NO_RESYNC_CUTOFF = args.no_resync_cutoff
+
+    trial_fn = run_glonass_df_trial if args.glonass_df else run_trial
 
     if args.replay_seed is not None:
         import logging
 
         logging.basicConfig(level=logging.INFO)
-        res = run_trial(args.replay_seed, args.impairment)
+        res = trial_fn(args.replay_seed, args.impairment)
         print(json.dumps(res, indent=2))
         return 0 if res["status"] == "pass" else 1
 
@@ -335,14 +445,21 @@ def main() -> int:
     failures: list[dict] = []
     n_done = 0
     with concurrent.futures.ProcessPoolExecutor(max_workers=args.jobs) as pool:
-        for res in pool.map(run_trial, seeds, [args.impairment] * len(seeds)):
+        for res in pool.map(trial_fn, seeds, [args.impairment] * len(seeds)):
             n_done += 1
-            sc = res["scenario"]
-            line = (
-                f"[{n_done}/{len(seeds)}] seed={sc['seed']} {res['status']:7s} "
-                f"sats={len(sc['prns'])} noise={sc['noise_sigma']:.2f} "
-                f"block={sc['block_size_ms']}ms"
-            )
+            if "scenario" in res:
+                sc = res["scenario"]
+                line = (
+                    f"[{n_done}/{len(seeds)}] seed={sc['seed']} {res['status']:7s} "
+                    f"sats={len(sc['prns'])} noise={sc['noise_sigma']:.2f} "
+                    f"block={sc['block_size_ms']}ms"
+                )
+            else:  # glonass dual-frequency trial
+                line = (
+                    f"[{n_done}/{len(seeds)}] seed={res['seed']} {res['status']:7s} "
+                    f"ks={res['ks']} noise={res['noise']:.2f} "
+                    f"iono×{res['iono_scale']:.2f}"
+                )
             if res["status"] in ("pass", "bad_fix"):
                 line += (
                     f" err={res['position_error_m']:.1f}m"
@@ -350,10 +467,12 @@ def main() -> int:
                 )
                 if res.get("velocity_error_mps") is not None:
                     line += f" verr={res['velocity_error_mps']:.2f}m/s"
+                if res.get("df_corrected") is not None:
+                    line += f" df={res['df_corrected']}sv"
             elif res["status"] == "error":
                 line += f" {res['error']}"
             print(line, flush=True)
-            if res["status"] != "pass":
+            if res["status"] not in ("pass", "degraded_honest"):
                 failures.append(res)
             if out_f:
                 out_f.write(json.dumps(res) + "\n")
