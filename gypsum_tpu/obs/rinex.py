@@ -132,7 +132,8 @@ class RinexObsWriter:
             # the orbit is decoded (~18 s into a cold start, immediately
             # on a warm one).
             if (rec is None or not rec.counting
-                    or rec.tow_at_last_subframe is None or not rec.has_orbit):
+                    or rec.tow_at_last_subframe is None or not rec.has_orbit
+                    or rec.glonass_ghost):
                 continue
             t_end = float(obs.start_times[0]) - float(obs.code_phases[0]) / recv.sample_rate
             t_end += obs.start_times.shape[0] * 1e-3

@@ -1087,16 +1087,12 @@ class Receiver:
         from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
         from gypsum_tpu.signal.prn import glonass_frequency_number
 
-        rec = self.world._sats.get(obs.prn)
-        if rec is not None and rec.glonass_ghost:
-            # Flagged as an FDMA cross-channel image (two channels decoded
-            # one orbital slot; this one is the weaker — see
-            # world_multiconstellation._flag_glonass_ghosts): release the
-            # channel. The slot stays ineligible only until its next scan,
-            # so a REAL signal appearing on this sub-band later still gets
-            # acquired (and would out-C/N0 the ghost decision).
-            self._drop_satellite(obs.prn, report)
-            return
+        # An FDMA cross-channel ghost (world_multiconstellation.
+        # _flag_glonass_ghosts) keeps TRACKING and DECODING here — it is
+        # excluded from fixes by _fix_ready_satellites, and every new
+        # frame re-runs the slot-collision arbitration with fresh C/N0s,
+        # so a real satellite appearing on the sub-band later reclaims it
+        # without the acquire/drop churn an eager drop would cause.
         events = pipe.glonass.process_block(
             obs.pseudosymbol_signs.astype(np.float64), obs.start_times
         )

@@ -369,15 +369,22 @@ class MultiConstellationMixin:
         slot = int(getattr(rec.glonass, "slot", 0) or 0)
         if slot < 1:
             return
+        # Fresh arbitration each frame: the flagged channel keeps tracking
+        # and decoding (just excluded from fixes), so C/N0s stay live and
+        # a real satellite later claiming this sub-band wins the re-vote.
+        rec.glonass_ghost = False
         for other_prn, other in self._sats.items():
-            if other_prn == prn or other.glonass is None or other.glonass_ghost:
+            if other_prn == prn or other.glonass is None:
                 continue
             if int(getattr(other.glonass, "slot", 0) or 0) != slot:
                 continue
             mine = rec.cn0_dbhz if rec.cn0_dbhz is not None else -1.0
             theirs = other.cn0_dbhz if other.cn0_dbhz is not None else -1.0
-            weaker = prn if mine <= theirs else other_prn
+            weaker, stronger = (
+                (prn, other_prn) if mine <= theirs else (other_prn, prn)
+            )
             self._sats[weaker].glonass_ghost = True
+            self._sats[stronger].glonass_ghost = False
             _logger.warning(
                 "GLONASS slot %d decoded on two FDMA channels (ids %d and "
                 "%d): flagging the weaker (id %d, C/N0 %.1f vs %.1f dBHz) "
