@@ -57,7 +57,11 @@ class DeepAcquisitionEngine:
         samples_per_prn: int,
         config: DeepAcquisitionConfig | None = None,
         prns: tuple[int, ...] = ALL_PRN_IDS,
+        carrier_hz: float = GPS_L1_FREQUENCY_HZ,
     ) -> None:
+        """``carrier_hz``: the passband carrier the code-Doppler
+        compensation scales against (GPS L1 default; a GLONASS deep search
+        passes the L1OF base — see deep_acquire_glonass)."""
         self.config = cfg = config or DeepAcquisitionConfig()
         if cfg.total_ms % cfg.coherent_ms:
             raise ValueError(
@@ -67,6 +71,7 @@ class DeepAcquisitionEngine:
         self.sample_rate = float(sample_rate)
         self.samples_per_prn = int(samples_per_prn)
         self.prns = tuple(prns)
+        self.carrier_hz = float(carrier_hz)
         self.n_groups = cfg.total_ms // cfg.coherent_ms
 
         reps = replica_table(self.samples_per_prn, self.prns)  # [S, L] +/-1
@@ -98,8 +103,8 @@ class DeepAcquisitionEngine:
         cfg = self.config
         g_t = (np.arange(self.n_groups) + 0.5) * cfg.coherent_ms * 1e-3  # [G]
         # Code-phase drift rate: the tracker's carrier-aiding constant
-        # (track/loop.py aiding_scale): samples/s = f_d * L * 1000 / f_L1.
-        rate = dopplers_chunk * (length * 1e3 / GPS_L1_FREQUENCY_HZ)  # [C] /s
+        # (track/loop.py aiding_scale): samples/s = f_d * L * 1000 / f_car.
+        rate = dopplers_chunk * (length * 1e3 / self.carrier_hz)  # [C] /s
         if not cfg.compensate_code_doppler:
             rate = np.zeros_like(rate)
         shift = np.round(rate[None, :] * g_t[:, None]).astype(np.int64)  # [G, C]
@@ -233,3 +238,74 @@ class DeepAcquisitionEngine:
             if r.strength > self.detection_threshold
             and (eligible_prns is None or r.prn in eligible_prns)
         ]
+
+
+def deep_acquire_glonass(
+    samples_ms: np.ndarray,
+    sample_rate: float,
+    samples_per_prn: int,
+    config: DeepAcquisitionConfig | None = None,
+    prns: "tuple[int, ...] | None" = None,
+) -> list[AcquisitionResult]:
+    """Deep (grouped coherent x non-coherent) search over the GLONASS L1OF
+    FDMA family: ~7-10 dB below the standard 10 ms engine, per channel.
+
+    Every GLONASS satellite transmits the SAME 511-chip SP code on its own
+    k * 562.5 kHz sub-band, so the deep sweep runs ONE single-code engine
+    and visits channels by pre-rotating the capture to each sub-band's
+    center — in float64 on the host: at |offset| up to ~3.9 MHz the
+    per-chunk float32 phase of the on-device wipeoff would smear ~45 deg
+    per ms into the coherent group sums (the same precision trap the
+    deep-coast measurer hit, runtime/receiver.py FDMA wipeoff). The jitted
+    sweep is compiled once and reused for all channels (same shapes).
+
+    Results report the ABSOLUTE baseband frequency (sub-band center +
+    Doppler), matching the standard engine's FDMA convention. A deep hit's
+    payoff is its code phase (the 1 kHz loops cannot hold lock this weak):
+    feed it to snapshot positioning or a warm tracker start.
+    """
+    from gypsum_tpu.core.constants import (
+        GLONASS_L1_BASE_HZ,
+        GLONASS_L1_CHANNEL_SPACING_HZ,
+    )
+    from gypsum_tpu.signal.prn import GLONASS_PRN_IDS, glonass_frequency_number
+
+    family = tuple(prns) if prns is not None else GLONASS_PRN_IDS
+    bad = set(family) - set(GLONASS_PRN_IDS)
+    if bad:
+        raise ValueError(f"not GLONASS channel ids (201..214): {sorted(bad)}")
+    cfg = config or DeepAcquisitionConfig()
+    length = int(samples_per_prn)
+    samples = np.asarray(samples_ms)
+    if samples.ndim == 2:
+        samples = samples.reshape(-1)
+    n = cfg.total_ms * length
+    if samples.shape[0] < n:
+        raise ValueError(
+            f"need {cfg.total_ms} ms ({n} samples), got {samples.shape[0]}"
+        )
+    samples = samples[:n]
+    eng = DeepAcquisitionEngine(
+        sample_rate, length, cfg, prns=family[:1],
+        carrier_hz=GLONASS_L1_BASE_HZ,
+    )
+    t = np.arange(n, dtype=np.float64) / float(sample_rate)
+    out: list[AcquisitionResult] = []
+    for prn in family:
+        offset = glonass_frequency_number(prn) * GLONASS_L1_CHANNEL_SPACING_HZ
+        rotated = (
+            samples.astype(np.complex128)
+            * np.exp(-2j * np.pi * offset * t)
+        ).astype(np.complex64).reshape(cfg.total_ms, length)
+        r = eng.acquire_all(rotated)[0]
+        out.append(
+            AcquisitionResult(
+                prn=prn,
+                doppler_hz=r.doppler_hz + offset,
+                code_phase_samples=r.code_phase_samples,
+                carrier_phase_rad=r.carrier_phase_rad,
+                strength=r.strength,
+            )
+        )
+    out.sort(key=lambda r: -r.strength)
+    return out

@@ -490,7 +490,12 @@ def cmd_replay(args) -> int:
 
 
 def cmd_acquire(args) -> int:
-    source = _open_source(args)
+    glo_file = getattr(args, "glonass_file", None)
+    source = (
+        _open_glonass_source(glo_file, getattr(args, "glonass_rate", None))
+        if glo_file
+        else _open_source(args)
+    )
     attrs = source.attributes
     if args.deep:
         # High-sensitivity mode (acquire/deep.py): grouped coherent x
@@ -500,12 +505,52 @@ def cmd_acquire(args) -> int:
         from gypsum_tpu.core.config import DeepAcquisitionConfig
 
         cfg = DeepAcquisitionConfig(total_ms=args.deep_ms)
-        engine = DeepAcquisitionEngine(attrs.sample_rate, attrs.samples_per_prn, cfg)
+        if glo_file:
+            # FDMA family: per-channel f64 pre-rotation over one shared
+            # single-code engine (acquire/deep.py:deep_acquire_glonass).
+            from gypsum_tpu.acquire.deep import deep_acquire_glonass
+
+            class _GloDeep:
+                detection_threshold = 1.0 + cfg.detection_k / np.sqrt(
+                    cfg.total_ms // cfg.coherent_ms
+                )
+
+                @staticmethod
+                def acquire_all(block):
+                    return deep_acquire_glonass(
+                        block, attrs.sample_rate, attrs.samples_per_prn, cfg
+                    )
+
+            engine = _GloDeep()
+        else:
+            engine = DeepAcquisitionEngine(
+                attrs.sample_rate, attrs.samples_per_prn, cfg
+            )
         n_ms = cfg.total_ms
     else:
         from gypsum_tpu.acquire.engine import shared_acquisition_engine
 
-        engine = shared_acquisition_engine(attrs.sample_rate, attrs.samples_per_prn)
+        if glo_file:
+            from gypsum_tpu.core.constants import (
+                GLONASS_L1_CHANNEL_SPACING_HZ,
+            )
+            from gypsum_tpu.signal.prn import (
+                GLONASS_PRN_IDS,
+                glonass_frequency_number,
+            )
+
+            engine = shared_acquisition_engine(
+                attrs.sample_rate, attrs.samples_per_prn,
+                prns=GLONASS_PRN_IDS,
+                center_offsets_hz=tuple(
+                    glonass_frequency_number(p) * GLONASS_L1_CHANNEL_SPACING_HZ
+                    for p in GLONASS_PRN_IDS
+                ),
+            )
+        else:
+            engine = shared_acquisition_engine(
+                attrs.sample_rate, attrs.samples_per_prn
+            )
         n_ms = engine.config.integration_period_ms
     _, block = source.read_block(n_ms)
     threshold = getattr(engine, "detection_threshold", None)
@@ -1039,6 +1084,12 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("acquire", help="one-shot acquisition report over 10 ms")
+    p.add_argument("--glonass-file", default=None, metavar="PATH",
+                   help="acquire over a GLONASS L1OF band capture instead "
+                   "(FDMA sub-band sweep; with --deep, the per-channel "
+                   "f64-rotated deep search)")
+    p.add_argument("--glonass-rate", type=float, default=None,
+                   help="GLONASS capture sample rate (else sidecar; 4.092e6 for .npy)")
     p.add_argument("--deep", action="store_true",
                    help="high-sensitivity search: grouped coherent x "
                         "non-coherent integration over --deep-ms (~7-10 dB "

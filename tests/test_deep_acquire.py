@@ -101,3 +101,68 @@ def test_total_ms_must_divide_into_groups():
         DeepAcquisitionEngine(
             FS, L, DeepAcquisitionConfig(coherent_ms=10, total_ms=205),
             prns=(7,))
+
+
+def test_deep_acquire_glonass_fdma():
+    """GLONASS weak-signal deep search (acquire/deep.py:
+    deep_acquire_glonass): at an amplitude where the standard FDMA engine
+    is blind, the per-channel f64 pre-rotation + single-code deep sweep
+    still nails each planted channel's code phase and absolute baseband
+    frequency; a vacant sub-band stays below the adaptive threshold."""
+    import dataclasses
+
+    from gypsum_tpu.acquire.deep import deep_acquire_glonass
+    from gypsum_tpu.core.constants import (
+        GLONASS_L1_CHANNEL_SPACING_HZ as SPACING,
+    )
+    from gypsum_tpu.signal.constellation import synthesize_constellation
+    from gypsum_tpu.signal.prn import glonass_frequency_number
+    from gypsum_tpu.signal.scenarios import (
+        DEMO_GLONASS_SAMPLE_RATE as GLO_FS,
+        demo_glonass_constellation,
+        demo_receiver_ecef,
+    )
+
+    glo_l = 4092
+    sats = [
+        dataclasses.replace(s, amplitude=0.011)
+        for s in demo_glonass_constellation([-4, 2])
+    ]
+    iq, truth = synthesize_constellation(
+        sats, demo_receiver_ecef(), 21618.0, 0.42, GLO_FS, noise_sigma=0.3,
+        seed=11,
+    )
+    planted = [s.prn for s in sats]  # 204 (k=-4), 210 (k=+2)
+    probe = tuple(planted) + (208,)  # + vacant k=0 control
+
+    std = AcquisitionEngine(
+        GLO_FS, glo_l, AcquisitionConfig(correlator="fft"), prns=probe,
+        center_offsets_hz=tuple(
+            glonass_frequency_number(p) * SPACING for p in probe
+        ),
+    )
+    std_hits = {r.prn: r for r in std.acquire_all(iq[: 10 * glo_l].reshape(10, glo_l))}
+    assert all(std_hits[p].strength < 3.0 for p in planted), (
+        "amplitude not below the standard floor: "
+        f"{[(p, std_hits[p].strength) for p in planted]}"
+    )
+
+    cfg = DeepAcquisitionConfig(total_ms=400, doppler_span_hz=4000.0)
+    hits = {
+        r.prn: r
+        for r in deep_acquire_glonass(iq, GLO_FS, glo_l, cfg, prns=probe)
+    }
+    threshold = 1.0 + cfg.detection_k / np.sqrt(400 // cfg.coherent_ms)
+    for p in planted:
+        h = hits[p]
+        assert h.strength > threshold, f"id {p}: {h.strength:.2f}"
+        assert abs(h.code_phase_samples - truth.code_phase_samples[p]) <= 1
+        # Doppler contract at this depth: the winning 50 Hz bin can sit one
+        # step off under noise and the squared-slope refinement is only
+        # unambiguous to +/-25 Hz — the deep hit's payoff is the CODE
+        # PHASE (module docstring); the tracker/snapshot consumers pull in
+        # a <100 Hz error without help.
+        assert abs(h.doppler_hz - truth.doppler_hz[p]) < 80.0, (
+            f"id {p}: {h.doppler_hz:.1f} vs truth {truth.doppler_hz[p]:.1f}"
+        )
+    assert hits[208].strength < threshold
