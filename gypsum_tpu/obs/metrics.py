@@ -26,6 +26,11 @@ class ChannelHealth:
     code_phase: float = 0.0
     pseudosymbols: int = 0
     cn0_dbhz: float | None = None
+    # Dual-frequency measured slant iono at the channel's own carrier
+    # (meters) and the equivalent slant TEC (TECU, 1e16 el/m^2) —
+    # GLONASS L1+L2 channels only (solve/world_multiconstellation.py).
+    iono_measured_m: float | None = None
+    stec_tecu: float | None = None
 
 
 @dataclass
@@ -69,6 +74,23 @@ class ReceiverMetrics:
         if src is not None and hasattr(src, "interference_seconds"):
             self.interference_blocks = len(src.events)
         for obs in report.observations:
+            iono_m = stec = None
+            rec = receiver.world._sats.get(obs.prn)
+            if rec is not None and rec.glonass is not None and rec.smoothed_delay_s is not None:
+                iono_s = receiver.world.measured_iono_l1_s(
+                    obs.prn, rec.smoothed_delay_s,
+                    now=report.block_end,
+                )
+                if iono_s is not None:
+                    from gypsum_tpu.core.constants import (
+                        SPEED_OF_LIGHT_M_PER_S as _C,
+                    )
+
+                    f1 = rec.glonass.carrier_frequency_hz
+                    iono_m = iono_s * _C
+                    # Slant TEC: I = 40.3 * TEC / f^2  ->  TEC[TECU] =
+                    # I_m * f^2 / 40.3 / 1e16.
+                    stec = iono_m * f1 * f1 / 40.3 / 1e16
             self.channels[obs.prn] = ChannelHealth(
                 prn=obs.prn,
                 doppler_hz=float(obs.dopplers[-1]),
@@ -76,9 +98,9 @@ class ReceiverMetrics:
                 locked=bool(obs.locked[-1]),
                 code_phase=float(obs.code_phases[-1]),
                 pseudosymbols=len(obs.pseudosymbol_signs),
-                cn0_dbhz=receiver.world._sats[obs.prn].cn0_dbhz
-                if obs.prn in receiver.world._sats
-                else None,
+                cn0_dbhz=rec.cn0_dbhz if rec is not None else None,
+                iono_measured_m=iono_m,
+                stec_tecu=stec,
             )
         for prn in report.dropped_prns:
             self.channels.pop(prn, None)
@@ -99,6 +121,14 @@ class ReceiverMetrics:
                 "clock_drift_s_per_s": report.fix.clock_drift_s_per_s,
                 # "lsq" or "ekf" (coast below four satellites, solve/ekf.py)
                 "kind": report.fix.kind,
+                # Satellites whose iono was MEASURED (own dual-frequency
+                # band or the mapped cross-constellation estimate),
+                # prn -> slant L1 delay in meters.
+                "iono_measured_m": (
+                    {p: round(v, 2) for p, v in report.fix.iono_measured_m.items()}
+                    if report.fix.iono_measured_m
+                    else None
+                ),
             }
 
     @property
@@ -139,6 +169,14 @@ class ReceiverMetrics:
                     "locked": c.locked,
                     "code_phase": round(c.code_phase, 2),
                     "cn0_dbhz": None if c.cn0_dbhz is None else round(c.cn0_dbhz, 1),
+                    **(
+                        {
+                            "iono_measured_m": round(c.iono_measured_m, 2),
+                            "stec_tecu": round(c.stec_tecu, 2),
+                        }
+                        if c.iono_measured_m is not None
+                        else {}
+                    ),
                 }
                 for prn, c in sorted(self.channels.items())
             },

@@ -158,6 +158,10 @@ def test_glonass_dual_frequency_end_to_end():
         ArraySampleSource(l1_iq, GLO_FS),
         glonass_l2_source=ArraySampleSource(l2_iq, GLO_FS),
     )
+    from gypsum_tpu.obs.metrics import ReceiverMetrics
+
+    metrics = ReceiverMetrics()
+    dual.glonass.add_block_listener(metrics.on_block)
     dual_reports = dual.run()
     dual_fixes = [r.fix for r in dual_reports if r.fix is not None]
     assert dual_fixes, "no dual-frequency fix"
@@ -167,6 +171,18 @@ def test_glonass_dual_frequency_end_to_end():
     for prn, iono_m in dual_fixes[-1].iono_measured_m.items():
         assert 201 <= prn <= 214
         assert 2.0 < iono_m < 40.0, f"implausible measured iono {iono_m} m"
+    # ... and the metrics registry surfaces per-channel iono + slant TEC
+    # (1 TECU = 40.3e16/f^2 ~ 0.157 m of group delay at 1602 MHz) plus
+    # the fix's map.
+    snap = metrics.snapshot()
+    tec_channels = {
+        p: c for p, c in snap["channels"].items() if "stec_tecu" in c
+    }
+    assert len(tec_channels) >= 4
+    for p, c in tec_channels.items():
+        ratio = c["iono_measured_m"] / c["stec_tecu"]
+        assert 0.14 < ratio < 0.18, (p, c)  # ~0.157 m/TECU at ~1.6 GHz
+    assert snap["last_fix"]["iono_measured_m"]
 
     # (a) Measured slant iono vs the injected truth, per satellite.
     from gypsum_tpu.solve.geodesy import ecef_to_lla, elevation_azimuth
