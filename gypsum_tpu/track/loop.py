@@ -163,9 +163,71 @@ def make_track_block_fn(
         config, samples_per_prn, sample_rate, n_channels,
         stream_of_channel=stream_of_channel, input_offset=input_offset,
     )
+    if jax.default_backend() == "tpu" and stream_of_channel is None:
+        fn = _with_track_aot(
+            fn, config, samples_per_prn, sample_rate, n_channels, input_offset
+        )
     if key is not None:
         _TRACK_FN_CACHE[key] = fn
     return fn
+
+
+def track_aot_tag(
+    config: TrackingConfig,
+    samples_per_prn: int,
+    sample_rate: float,
+    n_channels: int,
+    input_offset: float = 0.0,
+) -> str:
+    """In-repo AOT artifact name for the standard track-block program
+    (core/aot.py), keyed on everything that shapes it."""
+    import hashlib
+
+    key = repr((
+        "track", config, int(samples_per_prn), float(sample_rate),
+        int(n_channels), float(input_offset),
+    ))
+    return "track_" + hashlib.md5(key.encode()).hexdigest()[:16]
+
+
+def _with_track_aot(fn, config, samples_per_prn, sample_rate, n_channels,
+                    input_offset):
+    """Prefer the in-repo AOT-serialized executable for this track-block
+    geometry (tools/build_aot.py ships the standard 32-channel 1 s block):
+    the cold XLA/Mosaic compile of the matmul tracker + fixup kernel is
+    11-25 s on a recycled machine, the deserialize tens of ms. Loading
+    starts on a daemon thread NOW (overlapping the receiver's acquisition
+    phase); the first call joins it. Any mismatch or call failure falls
+    back to the jitted build permanently."""
+    import threading
+
+    tag = track_aot_tag(
+        config, samples_per_prn, sample_rate, n_channels, input_offset
+    )
+    holder: dict = {}
+
+    def _load() -> None:
+        from gypsum_tpu.core.aot import load_compiled
+
+        holder["aot"] = load_compiled(tag)
+
+    t = threading.Thread(target=_load, daemon=True, name=f"aot-{tag}")
+    t.start()
+
+    def wrapper(state, samples, replicas):
+        if "aot" not in holder:
+            t.join()
+        aot = holder.get("aot")
+        if aot is not None:
+            try:
+                return aot(state, samples, replicas)
+            except Exception:  # stale/mismatched artifact: recompile via jit
+                holder["aot"] = None
+        return fn(state, samples, replicas)
+
+    wrapper._aot_tag = tag
+    wrapper._jit_fn = fn
+    return wrapper
 
 
 def _build_track_block_fn(

@@ -75,3 +75,20 @@ def test_corrupt_artifact_falls_back(tmp_path, monkeypatch):
     monkeypatch.setattr(aot, "AOT_DIR", tmp_path)
     (tmp_path / "bad.jaxexec").write_bytes(b"not a pickle")
     assert aot.load_compiled("bad") is None
+
+
+def test_track_fn_aot_gating_and_tag():
+    """The track-block AOT wrapper is TPU-only (CPU callers get the raw
+    jitted build) and its artifact tag is deterministic per geometry."""
+    from gypsum_tpu.core.config import TrackingConfig
+    from gypsum_tpu.track.loop import make_track_block_fn, track_aot_tag
+
+    fn = make_track_block_fn(TrackingConfig(), 2046, 2.046e6, 8)
+    assert not hasattr(fn, "_aot_tag")  # suite forces the CPU backend
+    t32 = track_aot_tag(TrackingConfig(), 2046, 2.046e6, 32)
+    assert t32 == track_aot_tag(TrackingConfig(), 2046, 2.046e6, 32)
+    assert t32 != track_aot_tag(TrackingConfig(), 2046, 2.046e6, 16)
+    assert t32 != track_aot_tag(
+        TrackingConfig(block_size_ms=500), 2046, 2.046e6, 32
+    )
+    assert t32.startswith("track_")

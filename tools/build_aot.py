@@ -24,12 +24,38 @@ def main() -> None:
         raise SystemExit(
             f"build_aot must run on the TPU backend (got {jax.default_backend()})"
         )
+    import numpy as np
+
     from gypsum_tpu.acquire.engine import AcquisitionEngine
-    from gypsum_tpu.core.aot import runtime_meta
+    from gypsum_tpu.core.aot import runtime_meta, save_compiled
 
     fs, length = 2.046e6, 2046
     eng = AcquisitionEngine(fs, length)
     path = eng.export_aot()
+    print(f"saved {path} for {runtime_meta()}")
+
+    # The standard 32-channel 1 s track block (matmul tracker + Pallas
+    # fixup): the other half of the recycled-machine cold start (11-25 s
+    # of compile in the bench's tracking_warmup_s).
+    import jax.numpy as jnp
+
+    from gypsum_tpu.core.config import TrackingConfig
+    from gypsum_tpu.signal.prn import replica_table
+    from gypsum_tpu.track.loop import fresh_state, make_track_block_fn
+
+    cfg = TrackingConfig()
+    n_channels, block_ms = 32, cfg.block_size_ms
+    fn = make_track_block_fn(cfg, length, fs, n_channels)
+    jit_fn = getattr(fn, "_jit_fn", fn)
+    tag = fn._aot_tag
+    state = fresh_state(n_channels)
+    planes = jnp.zeros((block_ms, length, 2), jnp.float32)
+    k = cfg.lag_window_half_width
+    reps = replica_table(length)
+    wide = np.concatenate([reps, reps, reps[:, : 2 * k]], axis=1).astype(np.float32)
+    replicas = jnp.asarray(np.tile(wide[0][None, :], (n_channels, 1)))
+    compiled = jax.jit(jit_fn).lower(state, planes, replicas).compile()
+    path = save_compiled(tag, compiled)
     print(f"saved {path} for {runtime_meta()}")
 
 
