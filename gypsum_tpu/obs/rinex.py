@@ -448,8 +448,20 @@ def _glonass_nav_records(
 def parse_nav_glonass(text: str) -> "dict[int, object]":
     """Read R records back into GlonassEphemeris, keyed by channel id
     201-214 (208 + frequency number) — the id every other GLONASS surface
-    in this framework uses."""
+    in this framework uses.
+
+    External (IGS-style) nav files can legitimately contain ANTIPODAL
+    satellites sharing one frequency number; this framework's channel-id
+    model is one SV per frequency, so only one of the pair can be kept.
+    When distinct slots collide on a frequency number, the later record
+    overwrites the earlier one and a warning names both slots so the drop
+    is not silent (round-trip of this framework's own files is unaffected).
+    """
+    import logging
+
     from gypsum_tpu.solve.glonass import GlonassEphemeris
+
+    logger = logging.getLogger(__name__)
 
     lines = text.splitlines()
     i = 0
@@ -486,7 +498,16 @@ def parse_nav_glonass(text: str) -> "dict[int, object]":
             slot=slot,
             health_bn=int(round(body[0][3])),
         )
-        out[208 + eph.frequency_number] = eph
+        key = 208 + eph.frequency_number
+        prev = out.get(key)
+        if prev is not None and prev.slot != eph.slot:
+            logger.warning(
+                "GLONASS nav file: slots R%02d and R%02d share frequency "
+                "number %+d (antipodal pair); keeping R%02d only — one SV "
+                "per frequency channel in this receiver's id model",
+                prev.slot, eph.slot, eph.frequency_number, eph.slot,
+            )
+        out[key] = eph
     return out
 
 

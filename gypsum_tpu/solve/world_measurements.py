@@ -135,9 +135,14 @@ class MeasurementMixin:
             # world_multiconstellation.py): needs no position geometry, so
             # it applies from the very first solve round — and supersedes
             # the Klobuchar model for this satellite below.
+            # Gated on BOTH cfg.dual_frequency_iono (inside
+            # measured_iono_l1_s) and the master apply_iono_correction
+            # switch, so disabling the documented master switch reproduces
+            # fully uncorrected behavior for GLONASS dual-frequency rows
+            # too.
             iono_meas_s = (
                 self.measured_iono_l1_s(prn, delay, receiver_timestamp)
-                if rec.glonass is not None
+                if rec.glonass is not None and cfg.apply_iono_correction
                 else None
             )
             if iono_meas_s is not None:

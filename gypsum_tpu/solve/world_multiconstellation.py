@@ -334,6 +334,12 @@ class MultiConstellationMixin:
                 rec.glonass is None
                 or not rec.counting
                 or rec.smoothed_delay_s is None
+                # Ghost channels (cross-channel FDMA leakage) carry
+                # carrier/Doppler assumptions off by the sub-band spacing:
+                # even with an L2 pair their slant iono is corrupted, so
+                # they must not contribute to the vertical median that
+                # corrects GPS rows.
+                or rec.glonass_ghost
             ):
                 continue
             iono_s = self.measured_iono_l1_s(
@@ -369,29 +375,39 @@ class MultiConstellationMixin:
         slot = int(getattr(rec.glonass, "slot", 0) or 0)
         if slot < 1:
             return
-        # Fresh arbitration each frame: the flagged channel keeps tracking
-        # and decoding (just excluded from fixes), so C/N0s stay live and
-        # a real satellite later claiming this sub-band wins the re-vote.
-        rec.glonass_ghost = False
-        for other_prn, other in self._sats.items():
-            if other_prn == prn or other.glonass is None:
-                continue
-            if int(getattr(other.glonass, "slot", 0) or 0) != slot:
-                continue
-            mine = rec.cn0_dbhz if rec.cn0_dbhz is not None else -1.0
-            theirs = other.cn0_dbhz if other.cn0_dbhz is not None else -1.0
-            weaker, stronger = (
-                (prn, other_prn) if mine <= theirs else (other_prn, prn)
-            )
-            self._sats[weaker].glonass_ghost = True
-            self._sats[stronger].glonass_ghost = False
-            _logger.warning(
-                "GLONASS slot %d decoded on two FDMA channels (ids %d and "
-                "%d): flagging the weaker (id %d, C/N0 %.1f vs %.1f dBHz) "
-                "as a cross-channel ghost",
-                slot, prn, other_prn, weaker, min(mine, theirs),
-                max(mine, theirs),
-            )
+        # GLOBAL arbitration per orbital slot (not pairwise): with >= 3
+        # channels claiming one slot (a strong SV leaking into BOTH
+        # adjacent vacant sub-bands), pairwise weaker/stronger overwrites
+        # could un-flag a ghost that a stronger third claimant had
+        # correctly flagged. Collect every claimant, keep only the single
+        # max-C/N0 channel fix-eligible. Fresh re-vote each frame: flagged
+        # channels keep tracking and decoding (just excluded from fixes),
+        # so C/N0s stay live and a real satellite later claiming this
+        # sub-band wins the re-vote.
+        claimants = [
+            (other_prn, other)
+            for other_prn, other in self._sats.items()
+            if other.glonass is not None
+            and int(getattr(other.glonass, "slot", 0) or 0) == slot
+        ]
+        if len(claimants) < 2:
+            rec.glonass_ghost = False
+            return
+
+        def _cn0(r) -> float:
+            return r.cn0_dbhz if r.cn0_dbhz is not None else -1.0
+
+        winner_prn, _ = max(claimants, key=lambda kv: _cn0(kv[1]))
+        for other_prn, other in claimants:
+            other.glonass_ghost = other_prn != winner_prn
+        _logger.warning(
+            "GLONASS slot %d decoded on %d FDMA channels (ids %s): keeping "
+            "the strongest (id %d, C/N0 %.1f dBHz), flagging the rest as "
+            "cross-channel ghosts",
+            slot, len(claimants),
+            [p for p, _ in claimants], winner_prn,
+            _cn0(self._sats[winner_prn]),
+        )
 
     def _compute_position_dual(
         self, receiver_timestamp: float, prns: list[int]

@@ -184,3 +184,38 @@ def test_fdma_cross_channel_ghost_vetoed_by_slot_collision():
     last = fixes[-1]
     assert set(last.satellites_used) <= on_air
     assert np.linalg.norm(last.ecef - rx) < 15.0
+
+
+def test_ghost_arbitration_is_global_per_slot():
+    """Advisor-found (round 4): with >= 3 channels decoding one orbital
+    slot (a strong SV leaking into BOTH adjacent vacant sub-bands), the
+    old pairwise weaker/stronger arbitration could un-flag a ghost that a
+    stronger third claimant had already flagged (45 dBHz real + 30/25 dBHz
+    ghosts left the 30 dBHz ghost fix-eligible). Arbitration is now global
+    per slot: all but the single max-C/N0 claimant are flagged, regardless
+    of which channel's frame decode triggers the re-vote."""
+    from types import SimpleNamespace
+
+    from gypsum_tpu.solve.world import WorldModel, _SatelliteRecord
+
+    wm = WorldModel()
+    cn0 = {204: 30.0, 205: 45.0, 206: 25.0}
+    for prn, c in cn0.items():
+        wm._sats[prn] = _SatelliteRecord(
+            glonass=SimpleNamespace(slot=7), cn0_dbhz=c
+        )
+    # Trigger the re-vote from EVERY claimant's perspective: the outcome
+    # must be identical (the pairwise bug depended on the trigger order).
+    for prn in (205, 204, 206, 204):
+        wm._flag_glonass_ghosts(prn, wm._sats[prn])
+        flags = {p: wm._sats[p].glonass_ghost for p in cn0}
+        assert flags == {204: True, 205: False, 206: True}, (
+            f"after re-vote from {prn}: {flags}"
+        )
+    # A lone claimant is never a ghost.
+    wm2 = WorldModel()
+    wm2._sats[205] = _SatelliteRecord(
+        glonass=SimpleNamespace(slot=7), cn0_dbhz=40.0, glonass_ghost=True
+    )
+    wm2._flag_glonass_ghosts(205, wm2._sats[205])
+    assert wm2._sats[205].glonass_ghost is False

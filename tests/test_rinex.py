@@ -303,3 +303,35 @@ def test_glonass_obs_export_with_l2_end_to_end():
         )
         assert i1 is not None
         assert abs(d * 49.0 / 32.0 - i1 * C) < 1.0
+
+
+def test_glonass_nav_duplicate_frequency_number_warns(caplog):
+    """Advisor-found (round 4): real IGS nav files carry ANTIPODAL
+    satellites sharing one frequency number; the 208+k channel-id keying
+    can hold only one of the pair, so the overwrite must be loud, not
+    silent. (Round-trip of this framework's own files never collides —
+    its channel-id model is one SV per frequency.)"""
+    import dataclasses
+    import logging
+
+    from gypsum_tpu.obs.rinex import parse_nav_glonass, render_nav_glonass
+    from gypsum_tpu.signal.scenarios import demo_glonass_constellation
+
+    sats = demo_glonass_constellation([-2, 0])
+    eph = {s.prn: s.ephemeris for s in sats}
+    # Forge an antipodal pair: give the second record the FIRST record's
+    # frequency number but a different orbital slot.
+    (k0, e0), (k1, e1) = sorted(eph.items())
+    eph[k1] = dataclasses.replace(
+        e1, frequency_number=e0.frequency_number, slot=e0.slot + 8
+    )
+    text = render_nav_glonass(eph)
+    with caplog.at_level(logging.WARNING, logger="gypsum_tpu.obs.rinex"):
+        out = parse_nav_glonass(text)
+    # Exactly one channel id survives (the later record wins)...
+    assert sorted(out) == [208 + e0.frequency_number]
+    assert out[208 + e0.frequency_number].slot == e0.slot + 8
+    # ...and the drop was reported, naming both slots.
+    assert any(
+        "share frequency" in r.message for r in caplog.records
+    ), caplog.records
