@@ -20,114 +20,49 @@ timestamps are code-phase corrected, so the completion chunk index within the
 block is ``floor((t_edge - block_start) / 1ms) - 1``; ticks are credited
 around each subframe event in order (the reference does the same accounting
 implicitly by interleaving 1 ms steps, gypsum/receiver.py:106-117).
+
+This module outgrew one file in round 4 (1,300 lines — the god-module
+failure mode that bit solve/world.py in round 3); it is now the composition
+root over cohesive pieces, and remains the public API:
+
+- runtime/pipeline.py — _ChannelPipeline (per-channel decode state) and
+  BlockReport (re-exported here);
+- runtime/coast.py — CoastMixin: the vector-coast tier (open-loop holding,
+  deep-integration measurement, recovery/timeout);
+- runtime/bands.py — BandProcessorsMixin: GLONASS L1OF/L2OF and SBAS GEO
+  channel processors (the GPS processor below is the template);
+- runtime/dualband.py — DualBandReceiver (re-exported here).
 """
 
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
 
 import numpy as np
 
-from gypsum_tpu.acquire.engine import AcquisitionResult, shared_acquisition_engine
+from gypsum_tpu.acquire.engine import shared_acquisition_engine
 from gypsum_tpu.core.config import ReceiverConfig
 from gypsum_tpu.core.events import (
     CannotDetermineBitPhaseEvent,
     CannotDetermineSubframePhaseEvent,
     EmitNavigationBitEvent,
-    Event,
     LostBitCoherenceEvent,
     NoMoreSamplesError,
 )
 from gypsum_tpu.io.sources import SampleSource
 from gypsum_tpu.nav.bits import BitIntegrator
 from gypsum_tpu.nav.frames import EmitSubframeEvent, SubframeDecoder
+from gypsum_tpu.runtime.bands import BandProcessorsMixin
+from gypsum_tpu.runtime.coast import CoastMixin
+from gypsum_tpu.runtime.pipeline import BlockReport, _ChannelPipeline  # noqa: F401  (re-export)
 from gypsum_tpu.signal.prn import ALL_PRN_IDS
-from gypsum_tpu.solve.world import ReceiverSolution, WorldModel
+from gypsum_tpu.solve.world import WorldModel
 from gypsum_tpu.track.loop import ChannelObservation, TrackerBank
 
 _logger = logging.getLogger(__name__)
 
 
-@dataclass
-class _ChannelPipeline:
-    """Host-side per-satellite decode state (analogue of the reference's
-    GpsSatelliteSignalProcessingPipeline,
-    gypsum/satellite_signal_processing_pipeline.py:35-102).
-
-    GPS channels carry the bit integrator + subframe decoder; SBAS GEO
-    channels (PRNs 120-138) carry the DO-229 frame decoder instead — the
-    tracking slot underneath is identical."""
-
-    prn: int
-    slot: int
-    integrator: BitIntegrator | None
-    decoder: SubframeDecoder | None
-    acquired_at: float = 0.0
-    sbas: "object | None" = None  # nav.sbas.SbasFrameDecoder
-    # GLONASS channels (ids 201-214) carry the string decoder instead; the
-    # tracking slot underneath is identical (1 ms code period either way).
-    glonass: "object | None" = None  # nav.glonass.GlonassStringDecoder
-    carrier_offset_hz: float = 0.0  # FDMA sub-band offset of this channel
-    # Vector-coast state (TrackingConfig.coast_*): last healthy block-end
-    # observables (t, code_phase_delay_s, doppler_hz) anchoring the coast
-    # prediction; when coasting, the entry time and the geometry anchor
-    # (t0, delay0_s, doppler0_hz, range0_m, range_rate0_m_s).
-    last_good: tuple | None = None
-    coast_started: float | None = None
-    coast_anchor: tuple | None = None
-    # Last successful deep-integration measurement time (track/deepmeas.py):
-    # refreshes the coast_max_s deadline — the signal is present, just weak.
-    coast_measured_at: float | None = None
-    # Multi-block confirmation of deep detections
-    # (TrackingConfig.coast_meas_confirm_blocks): Doppler of the last
-    # detection and the length of the current consistent streak. A detection
-    # acts (re-anchor / fix admission / deadline refresh) only once the
-    # streak reaches the configured length — sidelobe and noise artifacts do
-    # not repeat coherently block over block.
-    deep_candidate_hz: float | None = None
-    deep_streak: int = 0
-
-
-@dataclass
-class BlockReport:
-    """What happened during one block iteration.
-
-    In pipelined mode (pipeline_tracking / the TPU default) a report is
-    labeled with the block DISPATCHED this iteration while its
-    observations/subframes/fix come from the previously dispatched block
-    (collected one iteration later); totals across a run are exact, and the
-    final in-flight block is drained into its own correctly-labeled report.
-    Unpipelined mode collects the same block it dispatches."""
-
-    block_start: float
-    block_end: float
-    tracked_prns: list[int] = field(default_factory=list)
-    newly_acquired: list[AcquisitionResult] = field(default_factory=list)
-    dropped_prns: list[int] = field(default_factory=list)
-    rescued_prns: list[int] = field(default_factory=list)
-    # PRNs whose millisecond time base was seeded from geometry this block
-    # (solve/world.py:seed_time_base_from_geometry) — ranging immediately
-    # after (re)acquisition instead of waiting for a subframe.
-    reseeded_prns: list[int] = field(default_factory=list)
-    # PRNs held open-loop this block by the vector-coast tier, and PRNs
-    # whose signal returned this block (coast exited, decode restarted).
-    coasting_prns: list[int] = field(default_factory=list)
-    coast_recovered_prns: list[int] = field(default_factory=list)
-    # Coasting PRNs whose observables this block came from a deep-integration
-    # MEASUREMENT of the raw IQ (track/deepmeas.py) instead of the open-loop
-    # prediction — these keep feeding the fix through the fade.
-    deep_measured_prns: list[int] = field(default_factory=list)
-    subframes: list[tuple[int, EmitSubframeEvent]] = field(default_factory=list)
-    sbas_blocks: list = field(default_factory=list)  # [(prn, nav.sbas.SbasBlock)]
-    glonass_strings: list = field(default_factory=list)  # [(id, GlonassStringEvent)]
-    fix: ReceiverSolution | None = None
-    observations: list[ChannelObservation] = field(default_factory=list)
-    # Alerts raised by the spoofing monitors this block (solve/spoofing.py).
-    spoofing_alerts: list = field(default_factory=list)
-
-
-class Receiver:
+class Receiver(CoastMixin, BandProcessorsMixin):
     def __init__(
         self,
         source: SampleSource,
@@ -682,290 +617,7 @@ class Receiver:
                 obs.prn, float(obs.quality[-1]), self.bank.rescue_counts[obs.slot],
             )
 
-    # --------------------------------------------------------- vector coast
-
-    def _enter_coast(self, obs: ChannelObservation, pipe: _ChannelPipeline,
-                     t_end: float) -> bool:
-        """Deep-integration tier above the rescue: a channel the watchdog
-        declared lost is driven open-loop from the navigation solution's
-        predicted geometry instead of dropped (TrackingConfig.coast_*).
-        Requires a healthy anchor block, the SV's orbit, and a recent fix;
-        decode state is rebuilt so bit/subframe sync restart cleanly on
-        recovery. Returns True when the channel entered coast."""
-        cfg = self.config.tracking
-        if not cfg.coast_enabled or pipe.last_good is None:
-            return False
-        # Coast only a SIGNAL loss: a decode failure on a healthy signal
-        # (quality still high) needs a decode restart, not open-loop NCOs —
-        # keep the reference's drop semantics there.
-        if float(obs.quality[-1]) >= cfg.rescue_quality_threshold:
-            return False
-        t0, cp0_s, fd0 = pipe.last_good
-        if self.world.predicted_range_and_rate(obs.prn, t0) is None:
-            return False  # no orbit / fix / slide to coast on
-        fix = self.world.position_fixes[-1]
-        if t_end - fix.receiver_timestamp > self.config.solver.geometry_reseed_max_fix_age_s:
-            return False
-        pipe.coast_started = t_end
-        pipe.coast_measured_at = None
-        pipe.deep_candidate_hz = None
-        pipe.deep_streak = 0
-        # Anchor holds ONLY the measured channel state; the geometry at t0
-        # is re-evaluated under the CURRENT fix at every apply, so both ends
-        # of the range delta share one model and fix errors cancel. (The
-        # original design froze (rho0, rate0) at entry — computed from the
-        # fix polluted by this very channel's corrupt dying-signal
-        # pseudorange, whose garbage velocity estimate biased the anchored
-        # range rate by ~15 m/s = a +78 Hz Doppler override no PLL pulls
-        # in from.)
-        pipe.coast_anchor = (t0, cp0_s, fd0)
-        # Fresh decode stacks (family-appropriate): the queued noise symbols
-        # are garbage, and a clean restart resyncs within seconds of
-        # recovered signal.
-        if pipe.glonass is not None:
-            from gypsum_tpu.nav.glonass import GlonassStringDecoder
-
-            pipe.glonass = GlonassStringDecoder()
-        elif pipe.sbas is not None:
-            from gypsum_tpu.nav.sbas import SbasFrameDecoder
-
-            pipe.sbas = SbasFrameDecoder(obs.prn)
-        else:
-            pipe.integrator = BitIntegrator(self.config.nav)
-            pipe.decoder = SubframeDecoder(self.config.nav)
-        # In pipelined mode the in-flight block(s) run on the pre-edit
-        # carry: predict for the instant the NEXT dispatch will start
-        # (code-Doppler drift is samples-per-block — a one-block-stale
-        # override puts the peak outside the lag window).
-        t_apply = t_end + self.bank.pending_ms * 1e-3
-        vals = self._apply_coast_state(obs.prn, pipe, t_apply)
-        if vals is None:  # raced a fix invalidation; fall back to drop
-            pipe.coast_started = None
-            pipe.coast_anchor = None
-            return False
-        self.world.begin_coast(obs.prn, vals[0])
-        _logger.info(
-            "PRN %d signal lost (quality %.2f): coasting open-loop from "
-            "predicted geometry", obs.prn, float(obs.quality[-1]),
-        )
-        return True
-
-    def _coast_prediction(self, prn: int, pipe: _ChannelPipeline,
-                          t: float) -> tuple[float, float] | None:
-        """Predicted (sub-ms delay s, Doppler Hz) of a coasting channel at
-        stream time ``t``. Both epochs of the geometry delta are evaluated
-        under the CURRENT fix (see _enter_coast's anchor note)."""
-        t0, cp0_s, fd0 = pipe.coast_anchor
-        rr0 = self.world.predicted_range_and_rate(prn, t0)
-        rr = self.world.predicted_range_and_rate(prn, t)
-        if rr is None or rr0 is None:
-            return None
-        rho0, rate0 = rr0
-        from gypsum_tpu.core.constants import (
-            GPS_L1_FREQUENCY_HZ,
-            SPEED_OF_LIGHT_M_PER_S,
-        )
-
-        f_car = self._channel_carrier_hz.get(prn, GPS_L1_FREQUENCY_HZ)
-        delay_s = (cp0_s + (rr[0] - rho0) / SPEED_OF_LIGHT_M_PER_S) % 1e-3
-        doppler = fd0 - (rr[1] - rate0) * f_car / SPEED_OF_LIGHT_M_PER_S
-        return delay_s, doppler
-
-    def _apply_coast_state(self, prn: int, pipe: _ChannelPipeline,
-                           t: float) -> tuple[float, float] | None:
-        """Drive the channel's NCOs to the coast prediction at ``t`` = the
-        instant the NEXT dispatched block will start."""
-        vals = self._coast_prediction(prn, pipe, t)
-        if vals is not None:
-            self.bank.coast_override(
-                pipe.slot, vals[0] * self.sample_rate, vals[1]
-            )
-        return vals
-
-    def _process_coasting_channel(
-        self,
-        obs: ChannelObservation,
-        block_start: float,
-        block_ms: int,
-        report: BlockReport,
-        pipe: _ChannelPipeline,
-    ) -> None:
-        """One block of an open-loop channel: decide recovery / timeout /
-        keep coasting, and feed the world model PREDICTED observables so the
-        millisecond tick time base stays anchored (the SV is excluded from
-        fixes by the coasting flag the whole time)."""
-        from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
-
-        cfg = self.config.tracking
-        prn = obs.prn
-        t_end = block_start + block_ms * 1e-3
-
-        if float(obs.quality[-1]) >= cfg.coast_recovery_quality:
-            # Signal returned: the loops were held aligned, so this block's
-            # observables are already measurements — resume ranging now.
-            coast_s = t_end - pipe.coast_started
-            pipe.coast_started = None
-            pipe.coast_anchor = None
-            pipe.coast_measured_at = None
-            pipe.deep_candidate_hz = None
-            pipe.deep_streak = 0
-            self.world.end_coast(prn)
-            f_car = self._channel_carrier_hz.get(prn)
-            cp_delay, doppler = self._block_end_observables(obs, carrier_hz=f_car)
-            self.world.handle_channel_block(
-                prn, cp_delay, doppler, block_ms,
-                cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
-                carrier_hz=f_car,
-            )
-            self.world.handle_prn_observed(
-                prn, cp_delay, count=block_ms, doppler_hz=doppler
-            )
-            if self.world.seed_time_base_from_geometry(prn, t_end):
-                report.reseeded_prns.append(prn)
-            pipe.last_good = (t_end, cp_delay, doppler)
-            report.coast_recovered_prns.append(prn)
-            _logger.info(
-                "PRN %d signal returned after %.1f s coast: ranging resumed "
-                "in place (quality %.2f)", prn, coast_s, float(obs.quality[-1]),
-            )
-            return
-
-        # Deep-integration measurement of this block's raw IQ around the
-        # prediction (track/deepmeas.py): a detection re-anchors the coast
-        # (bounding open-loop drift), refreshes the give-up deadline (the
-        # signal is present, just below the loops' threshold), and feeds the
-        # world model a GENUINE pseudorange instead of the prediction.
-        deep = None
-        if cfg.coast_deep_measurement:
-            deep = self._deep_coast_measurement(obs, pipe, block_start, block_ms)
-
-        # Multi-block confirmation: a single-block detection is only a
-        # CANDIDATE; it acts (re-anchor, fix admission, deadline refresh)
-        # once coast_meas_confirm_blocks consecutive blocks agree in Doppler.
-        # Sidelobe/noise artifacts that slip past the gates do not repeat
-        # coherently, while a real weak signal re-detects every block.
-        if deep is not None:
-            consistent = (
-                pipe.deep_candidate_hz is not None
-                and abs(deep[1] - pipe.deep_candidate_hz)
-                <= cfg.coast_meas_confirm_tol_hz
-            )
-            pipe.deep_streak = pipe.deep_streak + 1 if consistent else 1
-            pipe.deep_candidate_hz = deep[1]
-            if pipe.deep_streak < int(cfg.coast_meas_confirm_blocks):
-                deep = None
-        else:
-            pipe.deep_candidate_hz = None
-            pipe.deep_streak = 0
-
-        if deep is None:
-            last_progress = max(
-                pipe.coast_started, pipe.coast_measured_at or pipe.coast_started
-            )
-            if t_end - last_progress > cfg.coast_max_s:
-                _logger.info(
-                    "PRN %d coast timed out after %.1f s without signal: dropping",
-                    prn, t_end - pipe.coast_started,
-                )
-                self._drop_satellite(prn, report)
-                return
-
-        if deep is not None:
-            delay_s, doppler = deep
-            pipe.coast_anchor = (t_end, delay_s, doppler)
-            pipe.coast_measured_at = t_end
-            self.world.set_deep_ranging(prn, True)
-            report.deep_measured_prns.append(prn)
-        else:
-            self.world.set_deep_ranging(prn, False)
-
-        if self._apply_coast_state(
-            prn, pipe, t_end + self.bank.pending_ms * 1e-3
-        ) is None:
-            self._drop_satellite(prn, report)
-            return
-        # World-model observables are evaluated at the PROCESSED block's end
-        # (the override above targets the next dispatch instead, which in
-        # pipelined mode is later). Measured observables (deep) or predicted
-        # ones (keeping the tick time base anchored); C/N0 comes from the
-        # real (faded) prompts so metrics show the outage.
-        if deep is None:
-            delay_s, doppler = self._coast_prediction(prn, pipe, t_end)
-        self.world.handle_channel_block(
-            prn, delay_s, doppler, block_ms,
-            cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
-        )
-        self.world.handle_prn_observed(
-            prn, delay_s, count=block_ms, doppler_hz=doppler
-        )
-        report.coasting_prns.append(prn)
-
-    def _deep_coast_measurement(
-        self,
-        obs: ChannelObservation,
-        pipe: _ChannelPipeline,
-        block_start: float,
-        block_ms: int,
-    ) -> tuple[float, float] | None:
-        """Measure a coasting channel's (sub-ms delay s, Doppler Hz) at the
-        block's end from the retained raw IQ (track/deepmeas.py). None when
-        no raw block was retained (first coasting block), the prediction is
-        unavailable, or nothing cleared the detection gate."""
-        raw = self._coast_raw.get(int(round(block_start * 1e3)))
-        if raw is None:
-            return None
-        t_end = block_start + block_ms * 1e-3
-        p0 = self._coast_prediction(obs.prn, pipe, block_start)
-        p1 = self._coast_prediction(obs.prn, pipe, t_end)
-        if p0 is None or p1 is None:
-            return None
-        d0, f0 = p0
-        d1, f1 = p1
-        fs = self.sample_rate
-        drift = (((d1 - d0) + 0.5e-3) % 1e-3 - 0.5e-3) * fs
-        if self._coast_measurer is None:
-            from gypsum_tpu.track.deepmeas import DeepCoastMeasurer
-
-            self._coast_measurer = DeepCoastMeasurer(
-                fs, self.samples_per_prn, self.bank.prns, self.bank.config
-            )
-        # FDMA channels sit at their sub-band offset in baseband: the static
-        # offset is wiped separately in float64 inside the measurer (float32
-        # chunk phases at MHz offsets would cost ~45° of per-ms jitter on
-        # exactly the weak-signal path that needs coherence); only the
-        # kHz-scale Doppler grid reaches the device wipeoff.
-        off = pipe.carrier_offset_hz
-        res = self._coast_measurer.measure(
-            raw,
-            obs.prn,
-            (d0 * fs) % self.samples_per_prn,
-            drift,
-            0.5 * (f0 + f1),
-            static_offset_hz=off,
-        )
-        if res is None or not res.detected:
-            return None
-        from gypsum_tpu.track.deepmeas import xcorr_suspect
-
-        cfg = self.config.tracking
-        live = [v for p, v in self._live_sig.items() if p != obs.prn]
-        if live and xcorr_suspect(
-            off + res.doppler_hz,
-            res.peak_abs,
-            res.groups,
-            int(cfg.coast_meas_coherent_ms),
-            live,
-            float(cfg.coast_meas_xcorr_tol_hz),
-            float(cfg.coast_meas_xcorr_margin),
-        ):
-            _logger.info(
-                "PRN %d deep detection (strength %.2f, %.1f Hz) vetoed: "
-                "Doppler-consistent with a live channel's cross-correlation "
-                "sidelobes", obs.prn, res.strength, res.doppler_hz,
-            )
-            return None
-        delay_end = (d1 + res.cp_error_samples / fs) % 1e-3
-        return delay_end, res.doppler_hz
+    # ------------------------------------------------------- observables
 
     def _block_phase_advance(self, obs: ChannelObservation) -> float | None:
         """The channel's NCO carrier-phase advance over this block (cycles),
@@ -1025,180 +677,6 @@ class Receiver:
         cp_block_end = (cm[-1] + float(np.median(w))) % spp
         return cp_block_end / self.sample_rate, float(obs.dopplers[-1])
 
-    def _process_l2_channel(
-        self,
-        obs: ChannelObservation,
-        block_start: float,
-        block_ms: int,
-        report: BlockReport,
-        pipe: _ChannelPipeline,
-    ) -> None:
-        """GLONASS L2OF channel: tracking only — the block-end code delay
-        feeds the world model's per-SV L1/L2 difference (the dispersive
-        ionosphere measured directly, no Klobuchar model or broadcast
-        needed; solve/world_multiconstellation.py:handle_glonass_l2_block).
-        No decode stack: the L2OF nav message duplicates L1OF's. Lost
-        channels simply drop and reacquire — the iono correction has a
-        model fallback, so an L2 outage never needs the coast tier."""
-        from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
-        from gypsum_tpu.signal.prn import glonass_frequency_number
-
-        f_car = self._channel_carrier_hz.get(obs.prn)
-        cp_delay, doppler = self._block_end_observables(obs, carrier_hz=f_car)
-        self.world.handle_glonass_l2_block(
-            obs.prn, cp_delay, doppler, block_ms,
-            receiver_timestamp=block_start + block_ms * 1e-3,
-            carrier_hz=f_car,
-            cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
-        )
-        if obs.lost:
-            # L2-only drop: release the channel but leave the shared L1
-            # record's time base/smoothing untouched (only the L2 half of
-            # the iono difference is invalidated).
-            self.pipelines.pop(obs.prn)
-            self.bank.release(pipe.slot)
-            self.world.handle_lost_l2_lock(obs.prn)
-            self.eligible_prns.add(obs.prn)
-            report.dropped_prns.append(obs.prn)
-            _logger.info(
-                "dropped GLONASS L2 channel k=%+d (lost lock); returned to "
-                "acquisition pool", glonass_frequency_number(obs.prn),
-            )
-        elif self.bank.maybe_rescue(obs, block_start + block_ms * 1e-3):
-            report.rescued_prns.append(obs.prn)
-            _logger.info(
-                "rescued marginal GLONASS L2 channel k=%+d in place (quality %.2f)",
-                glonass_frequency_number(obs.prn), float(obs.quality[-1]),
-            )
-
-    def _process_glonass_channel(
-        self,
-        obs: ChannelObservation,
-        block_start: float,
-        block_ms: int,
-        report: BlockReport,
-        pipe: _ChannelPipeline,
-    ) -> None:
-        """GLONASS channel: same tracking observables and tick accounting as
-        GPS, but the decode stack is the string decoder (nav/glonass.py) and
-        a KX-verified string's trailing edge — on the 2 s GLONASS grid —
-        plays the subframe edge's role in the time base
-        (solve/world.py:handle_glonass_string)."""
-        from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
-        from gypsum_tpu.signal.prn import glonass_frequency_number
-
-        # An FDMA cross-channel ghost (world_multiconstellation.
-        # _flag_glonass_ghosts) keeps TRACKING and DECODING here — it is
-        # excluded from fixes by _fix_ready_satellites, and every new
-        # frame re-runs the slot-collision arbitration with fresh C/N0s,
-        # so a real satellite appearing on the sub-band later reclaims it
-        # without the acquire/drop churn an eager drop would cause.
-        events = pipe.glonass.process_block(
-            obs.pseudosymbol_signs.astype(np.float64), obs.start_times
-        )
-        f_car = self._channel_carrier_hz.get(obs.prn)
-        cp_delay, doppler = self._block_end_observables(obs, carrier_hz=f_car)
-        # TDCP phase advance deliberately omitted: the NCO replay law
-        # changes under an FDMA offset; GLONASS rows use the Doppler
-        # velocity fallback (with their own wavelength, solve/velocity.py).
-        self.world.handle_channel_block(
-            obs.prn, cp_delay, doppler, block_ms,
-            cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
-            carrier_hz=f_car,
-        )
-        k = glonass_frequency_number(obs.prn)
-        consumed = 0
-        for ev in events:  # emitted in edge order
-            t_edge = ev.trailing_edge_receiver_timestamp
-            k_raw = int(np.floor((t_edge - block_start) / 1e-3))
-            # The decoder needs ~2.3 s buffered past a string before it can
-            # emit it, so an edge may precede this block: those ticks were
-            # counted against the old anchor — hand them to the reset.
-            late_ticks = max(0, -k_raw)
-            k_done = max(0, min(k_raw, block_ms))
-            if k_done > consumed:
-                self.world.handle_prn_observed(
-                    obs.prn, cp_delay, count=k_done - consumed, doppler_hz=doppler
-                )
-                consumed = k_done
-            self.world.handle_glonass_string(
-                obs.prn, ev, frequency_number=k, initial_ticks=late_ticks
-            )
-            self.subframe_count += 1
-            report.glonass_strings.append((obs.prn, ev))
-        if block_ms > consumed:
-            self.world.handle_prn_observed(
-                obs.prn, cp_delay, count=block_ms - consumed, doppler_hz=doppler
-            )
-        if not obs.lost and float(obs.quality[-1]) >= self.config.tracking.rescue_quality_threshold:
-            pipe.last_good = (block_start + block_ms * 1e-3, cp_delay, doppler)
-        if obs.lost:
-            if self._enter_coast(obs, pipe, block_start + block_ms * 1e-3):
-                report.coasting_prns.append(obs.prn)
-            else:
-                self._drop_satellite(obs.prn, report)
-        elif self.bank.maybe_rescue(obs, block_start + block_ms * 1e-3):
-            report.rescued_prns.append(obs.prn)
-            _logger.info(
-                "rescued marginal GLONASS channel k=%+d in place (quality %.2f)",
-                k, float(obs.quality[-1]),
-            )
-
-    def _process_sbas_channel(
-        self,
-        obs: ChannelObservation,
-        block_start: float,
-        block_ms: int,
-        report: BlockReport,
-        pipe: _ChannelPipeline,
-    ) -> None:
-        """SBAS GEO channel: same tracking observables and tick accounting as
-        GPS, but the decode stack is the DO-229 frame decoder (nav/sbas.py)
-        and a verified block's trailing edge plays the subframe edge's role
-        in the time base (solve/world.py handle_sbas_block)."""
-        blocks = pipe.sbas.process_block(obs.prompts.real, obs.start_times)
-        cp_delay, doppler = self._block_end_observables(obs)
-        from gypsum_tpu.obs.cn0 import cn0_m2m4_dbhz
-
-        self.world.handle_channel_block(
-            obs.prn, cp_delay, doppler, block_ms,
-            cn0_dbhz=cn0_m2m4_dbhz(obs.prompts),
-        )
-        consumed = 0
-        for blk in blocks:
-            t_edge = blk.leading_edge_timestamp + 1.0  # trailing edge (1 s blocks)
-            k_raw = int(np.floor((t_edge - block_start) / 1e-3))
-            # An SBAS block verifies ~30 ms after its trailing edge, which may
-            # fall in the PREVIOUS tracking block: those ticks were already
-            # counted against the old base, so hand them to the reset.
-            late_ticks = max(0, -k_raw)
-            k_done = max(0, min(k_raw, block_ms))
-            if k_done > consumed:
-                self.world.handle_prn_observed(
-                    obs.prn, cp_delay, count=k_done - consumed, doppler_hz=doppler
-                )
-                consumed = k_done
-            self.world.handle_sbas_block(obs.prn, blk, initial_ticks=late_ticks)
-            self.subframe_count += 1
-            report.sbas_blocks.append((obs.prn, blk))
-        if block_ms > consumed:
-            self.world.handle_prn_observed(
-                obs.prn, cp_delay, count=block_ms - consumed, doppler_hz=doppler
-            )
-        if not obs.lost and float(obs.quality[-1]) >= self.config.tracking.rescue_quality_threshold:
-            pipe.last_good = (block_start + block_ms * 1e-3, cp_delay, doppler)
-        if obs.lost:
-            if self._enter_coast(obs, pipe, block_start + block_ms * 1e-3):
-                report.coasting_prns.append(obs.prn)
-            else:
-                self._drop_satellite(obs.prn, report)
-        elif self.bank.maybe_rescue(obs, block_start + block_ms * 1e-3):
-            report.rescued_prns.append(obs.prn)
-            _logger.info(
-                "rescued marginal SBAS PRN %d in place (quality %.2f)",
-                obs.prn, float(obs.quality[-1]),
-            )
-
     def _drop_satellite(self, prn: int, report: BlockReport) -> None:
         """reference: gypsum/receiver.py:259-267."""
         pipe = self.pipelines.pop(prn)
@@ -1209,92 +687,6 @@ class Receiver:
         _logger.info("dropped PRN %d (lost lock); returned to acquisition pool", prn)
 
 
-class DualBandReceiver:
-    """Two front ends, one navigation solution: a GPS L1 C/A receiver and a
-    GLONASS L1OF receiver stepping in lockstep over time-aligned captures,
-    feeding a SHARED WorldModel whose dual-constellation solve estimates the
-    inter-system clock bias (solve/world.py:_compute_position_dual).
-
-    The reference is single-band single-constellation by construction; real
-    dual-band hardware has two tuners on one clock, which is exactly the
-    model here (both streams' sample timestamps share the receiver's
-    timeline). Block cadence is in milliseconds, so the bands stay in step
-    at different sample rates as long as their block_size_ms agree.
-    """
-
-    def __init__(
-        self,
-        gps_source: SampleSource | None,
-        glonass_source: SampleSource,
-        config: ReceiverConfig | None = None,
-        glonass_config: ReceiverConfig | None = None,
-        eligible_prns: list[int] | None = None,
-        glonass_l2_source: SampleSource | None = None,
-        glonass_l2_config: ReceiverConfig | None = None,
-    ) -> None:
-        """``gps_source`` may be None for a GLONASS-only receiver pairing
-        L1OF with an L2OF band (``glonass_l2_source``): the GLONASS band
-        then owns the fix attempt. With three sources this is a tri-band
-        receiver (GPS L1 + GLONASS L1OF + GLONASS L2OF) — the L2 band is
-        measurement-only, feeding the dual-frequency iono difference."""
-        self.config = config or ReceiverConfig()
-        self.world = WorldModel(self.config.solver)
-        # Contributing bands step first each block; the fix owner (GPS when
-        # present, else GLONASS L1) steps LAST so its fix attempt sees every
-        # band's ticks for the epoch — see step_block().
-        self.glonass_l2 = (
-            Receiver(
-                glonass_l2_source, glonass_l2_config or glonass_config or config,
-                band="glonass_l2", world=self.world, attempt_fixes=False,
-            )
-            if glonass_l2_source is not None
-            else None
-        )
-        self.glonass = Receiver(
-            glonass_source, glonass_config or config, band="glonass",
-            world=self.world, attempt_fixes=gps_source is None,
-        )
-        self.gps = (
-            Receiver(
-                gps_source, config, eligible_prns=eligible_prns, world=self.world,
-            )
-            if gps_source is not None
-            else None
-        )
-        self._owner = self.gps if self.gps is not None else self.glonass
-        self._bands = [
-            r for r in (self.glonass_l2, self.glonass, self.gps) if r is not None
-        ]
-        if len({r.config.tracking.block_size_ms for r in self._bands}) != 1:
-            raise ValueError("all bands must use the same block_size_ms")
-
-    def step_block(self) -> BlockReport:
-        """One block of every band; the returned report is the fix owner's
-        with the contributing bands' strings/tracked sets merged in."""
-        reports = [band.step_block() for band in self._bands]
-        report = reports[-1]  # the owner steps last
-        for other in reports[:-1]:
-            report.glonass_strings.extend(other.glonass_strings)
-            report.tracked_prns.extend(other.tracked_prns)
-        return report
-
-    def run(
-        self, max_seconds: float | None = None, until_fix: bool = False
-    ) -> list[BlockReport]:
-        start = self._owner.stream_position_s
-        while True:
-            if (
-                max_seconds is not None
-                and self._owner.stream_position_s - start >= max_seconds
-            ):
-                break
-            try:
-                report = self.step_block()
-            except NoMoreSamplesError:
-                break
-            if until_fix and report.fix is not None:
-                break
-        for band in self._bands:
-            while band.bank.pending_blocks:
-                band._drain_one()
-        return self._owner.block_reports
+# Public API re-export (dualband imports Receiver from this module, so the
+# import must come after the class definition).
+from gypsum_tpu.runtime.dualband import DualBandReceiver  # noqa: E402,F401
