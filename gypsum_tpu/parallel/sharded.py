@@ -97,7 +97,10 @@ def shard_tracking_inputs(mesh: Mesh, state, samples_block, replicas_wide):
     )
 
 
-def make_sharded_track_block_fn(mesh: Mesh, config, samples_per_prn, sample_rate, n_channels):
+def make_sharded_track_block_fn(
+    mesh: Mesh, config, samples_per_prn, sample_rate, n_channels,
+    input_offset: float = 0.0,
+):
     """Channel-sharded tracking that KEEPS the fast per-device path.
 
     Round-1 weakness (VERDICT item 4): a pallas_call is opaque to GSPMD, so
@@ -120,7 +123,8 @@ def make_sharded_track_block_fn(mesh: Mesh, config, samples_per_prn, sample_rate
     if n_channels % n_shards:
         raise ValueError(f"{n_channels} channels not divisible by sat axis {n_shards}")
     local_fn = make_track_block_fn(
-        config, samples_per_prn, sample_rate, n_channels // n_shards
+        config, samples_per_prn, sample_rate, n_channels // n_shards,
+        input_offset=input_offset,
     )
 
     @functools.partial(

@@ -71,6 +71,7 @@ class Receiver(CoastMixin, BandProcessorsMixin):
         band: str = "gps",
         world: WorldModel | None = None,
         attempt_fixes: bool = True,
+        mesh=None,
     ) -> None:
         """``band``: "gps" (L1 C/A + SBAS family, the default), "glonass"
         (the L1OF FDMA band at 1602 MHz — its own source, acquisition
@@ -83,7 +84,14 @@ class Receiver(CoastMixin, BandProcessorsMixin):
         ``world``: share a WorldModel across receivers (DualBandReceiver
         runs one Receiver per band into one world model and one fix);
         ``attempt_fixes=False`` makes this receiver contribute observations
-        without racing the owner's fix attempts."""
+        without racing the owner's fix attempts.
+
+        ``mesh``: a jax.sharding.Mesh with a 'sat' axis — the tracking path
+        becomes the channel-sharded fast tracker (track/loop.py:TrackerBank
+        mesh mode); the complete receiver loop (acquisition -> sharded
+        tracking -> nav decode -> fix) then runs over the mesh with fix
+        parity against the single-device replay
+        (tests/test_multichip_receiver.py)."""
         if band not in ("gps", "glonass", "glonass_l2"):
             raise ValueError(f"unknown band {band!r} (gps | glonass | glonass_l2)")
         self.config = config or ReceiverConfig()
@@ -163,6 +171,7 @@ class Receiver(CoastMixin, BandProcessorsMixin):
             n_channels=self.config.max_channels,
             input_offset=self._input_offset,
             prns=self.prn_family,
+            mesh=mesh,
         )
         self.world = world if world is not None else WorldModel(self.config.solver)
         # Spoofing monitors (solve/spoofing.py): detection-only watchdogs.

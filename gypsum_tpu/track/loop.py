@@ -215,18 +215,38 @@ def _with_track_aot(fn, config, samples_per_prn, sample_rate, n_channels,
     t.start()
 
     def wrapper(state, samples, replicas):
+        # A call under an active trace (shard_map/jit/vmap of this fn —
+        # e.g. the sharded multi-chip path traces the SAME cached wrapper)
+        # can never use a serialized executable; route it to the jitted
+        # build WITHOUT touching the artifact. Round-4 weakness: the old
+        # wrapper treated the resulting exception as "artifact incompatible"
+        # and permanently disabled AOT for every later direct call in the
+        # process (_TRACK_FN_CACHE shares the wrapper).
+        if any(
+            isinstance(leaf, jax.core.Tracer)
+            for arg in (state, samples, replicas)
+            for leaf in jax.tree_util.tree_leaves(arg)
+        ):
+            return fn(state, samples, replicas)
         if "aot" not in holder:
             t.join()
         aot = holder.get("aot")
         if aot is not None:
             try:
                 return aot(state, samples, replicas)
-            except Exception:  # stale/mismatched artifact: recompile via jit
-                holder["aot"] = None
+            except Exception:
+                # Genuinely incompatible artifacts fail deterministically;
+                # transient backend errors (e.g. a tunnel FAILED_PRECONDITION)
+                # do not. Allow one strike before permanently falling back
+                # to the jitted build.
+                holder["strikes"] = holder.get("strikes", 0) + 1
+                if holder["strikes"] >= 2:
+                    holder["aot"] = None
         return fn(state, samples, replicas)
 
     wrapper._aot_tag = tag
     wrapper._jit_fn = fn
+    wrapper._aot_holder = holder  # test introspection (tests/test_aot.py)
     return wrapper
 
 
@@ -719,17 +739,36 @@ class TrackerBank:
         n_channels: int = 12,
         input_offset: float = 0.0,
         prns: tuple[int, ...] = ALL_PRN_IDS,
+        mesh=None,
     ) -> None:
+        """``mesh``: a jax.sharding.Mesh with a 'sat' axis — the bank's
+        block program becomes the channel-sharded fast tracker
+        (parallel/sharded.py:make_sharded_track_block_fn): each device runs
+        the full single-device program (matmul + Pallas fixup) on its
+        n_channels / n_shards slice; the host orchestration (assignment,
+        observation building, drop/rescue/coast) is unchanged. This is the
+        multi-chip FULL-RECEIVER path — a Receiver built over a sharded
+        bank runs acquisition -> sharded tracking -> nav decode -> fix with
+        no other code aware of the mesh."""
         self.config = config or TrackingConfig()
         self.sample_rate = float(sample_rate)
         self.samples_per_prn = int(samples_per_prn)
         self.n_channels = n_channels
         self.prns = tuple(prns)
         self._prn_row = {prn: i for i, prn in enumerate(self.prns)}
-        self._fn = make_track_block_fn(
-            self.config, self.samples_per_prn, self.sample_rate, n_channels,
-            input_offset=input_offset,
-        )
+        self.mesh = mesh
+        if mesh is not None:
+            from gypsum_tpu.parallel.sharded import make_sharded_track_block_fn
+
+            self._fn = make_sharded_track_block_fn(
+                mesh, self.config, self.samples_per_prn, self.sample_rate,
+                n_channels, input_offset=input_offset,
+            )
+        else:
+            self._fn = make_track_block_fn(
+                self.config, self.samples_per_prn, self.sample_rate, n_channels,
+                input_offset=input_offset,
+            )
         k = self.config.lag_window_half_width
         reps = replica_table(self.samples_per_prn, self.prns)  # [N, L]
         self._replicas_wide = np.concatenate(

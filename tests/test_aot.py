@@ -92,3 +92,65 @@ def test_track_fn_aot_gating_and_tag():
         TrackingConfig(block_size_ms=500), 2046, 2.046e6, 32
     )
     assert t32.startswith("track_")
+
+
+def test_track_aot_wrapper_trace_aware():
+    """Round-4 weakness: the AOT wrapper self-disabled permanently on ANY
+    exception — including a call under an active trace (the sharded
+    multi-chip path traces the SAME cached wrapper), which silently forfeited
+    the artifact for every later direct call in the process. The wrapper must
+    now (a) route traced calls to the jitted build without touching the
+    artifact, and (b) survive one transient AOT failure before falling back
+    permanently."""
+    import time
+
+    from gypsum_tpu.core.config import TrackingConfig
+    from gypsum_tpu.track.loop import _with_track_aot
+
+    calls = {"jit": 0}
+
+    def jit_fn(state, samples, replicas):
+        calls["jit"] += 1
+        return state, samples
+
+    wrapper = _with_track_aot(jit_fn, TrackingConfig(), 2046, 2.046e6, 8, 0.0)
+    holder = wrapper._aot_holder
+    for _ in range(500):  # join the loader thread (no artifact on CPU -> None)
+        if "aot" in holder:
+            break
+        time.sleep(0.01)
+    assert "aot" in holder
+
+    aot_calls = []
+
+    def fake_aot(state, samples, replicas):
+        aot_calls.append(1)
+        return state, samples
+
+    holder["aot"] = fake_aot
+    s = jnp.zeros((2,))
+    x = jnp.ones((4,))
+    r = jnp.ones((3,))
+
+    # 1. Trace through the shared wrapper (what shard_map/jit of the cached
+    # fn does): must go to the jitted build, artifact untouched, NOT disabled.
+    jax.jit(wrapper)(s, x, r)
+    assert not aot_calls
+    assert holder["aot"] is fake_aot
+    assert calls["jit"] >= 1
+
+    # 2. A direct call afterwards still uses the artifact.
+    wrapper(s, x, r)
+    assert len(aot_calls) == 1
+
+    # 3. Transient failure: the first strike keeps the artifact (retry next
+    # call), the second disables it permanently.
+    def boom(*a):
+        raise RuntimeError("transient backend error")
+
+    holder["aot"] = boom
+    holder.pop("strikes", None)
+    wrapper(s, x, r)
+    assert holder["aot"] is boom  # strike 1: retained for a retry
+    wrapper(s, x, r)
+    assert holder["aot"] is None  # strike 2: permanent fallback
