@@ -556,6 +556,150 @@ def _dist_worker(pid: int, n_procs: int, port: str) -> None:
         }), flush=True)
 
 
+_HLO_COLLECTIVES = (
+    "all-reduce", "collective-permute", "all-gather", "reduce-scatter",
+    "all-to-all",
+)
+
+
+def _hlo_collective_stats(hlo_text: str) -> dict:
+    """Collective op counts and total output bytes from optimized HLO.
+
+    Parses lines of the form ``%name = f32[8,2046]{1,0} all-reduce(...)``
+    (tuple-shaped outputs are summed element-wise). This is the
+    comm-centric measurement VERDICT r04 item 7 asked for: what the
+    COMPILED program moves through collectives is a property of the
+    partitioning — readable even on a box whose 1 physical CPU makes
+    multi-process wall-clock ratios meaningless."""
+    import re
+
+    dtype_bytes = {
+        "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+        "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+        "pred": 1, "c64": 8, "c128": 16,
+    }
+
+    def shape_bytes(shapes: str) -> int:
+        total = 0
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shapes):
+            if dt not in dtype_bytes:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * dtype_bytes[dt]
+        return total
+
+    counts: dict[str, int] = {}
+    bytes_total = 0
+    for m in re.finditer(
+        r"=\s*([^=\n]*?)\s+(" + "|".join(_HLO_COLLECTIVES) + r")(?:-(?:start|done))?\(",
+        hlo_text,
+    ):
+        shapes, op = m.group(1), m.group(2)
+        # -done ops repeat the -start payload; count starts & plain forms only.
+        if m.group(0).rstrip("(").endswith("-done"):
+            continue
+        counts[op] = counts.get(op, 0) + 1
+        bytes_total += shape_bytes(shapes)
+    return {"collective_ops": counts, "collective_bytes": bytes_total}
+
+
+def _comm_worker() -> None:
+    """Comm-centric multi-device measurement (VERDICT r04 item 7): the
+    N-process scaling efficiencies are pure process-sharing artifacts on a
+    1-CPU box, so additionally report what the sharded programs actually
+    COMMUNICATE — collective counts + bytes from their compiled HLO on the
+    8-device virtual mesh — alongside wall times for the identical program
+    on an 8-device vs 1-device mesh (same math, same code path)."""
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from gypsum_tpu.core.planes import to_planes
+    from gypsum_tpu.ops.correlate import replica_fft_conj_table
+    from gypsum_tpu.parallel.mesh import make_receiver_mesh
+    from gypsum_tpu.parallel.sharded import sharded_acquisition_sweep
+    from gypsum_tpu.parallel.streaming import time_sharded_correlation_power
+    from gypsum_tpu.signal.prn import replica_table, sampled_replica
+    from gypsum_tpu.signal.synth import SyntheticSatellite, synthesize_iq
+
+    out: dict = {
+        "devices": 8,
+        "platform": "cpu-virtual-mesh",
+        # SPMD: HLO is the per-device program, so collective_bytes is the
+        # payload each device moves per call (global traffic = x devices).
+        # Wall times share dist_host_cpus physical cores; the 8dev vs 1dev
+        # ratio is a scheduling artifact on this box, the collective
+        # inventory is not.
+        "note": "collective counts/bytes from compiled per-device HLO",
+    }
+    reps = replica_table(L)
+
+    # --- sharded acquisition sweep: 32 PRNs x 29 dopplers x 10 ms.
+    iq = synthesize_iq(
+        [SyntheticSatellite(prn=7, doppler_hz=900.0, delay_samples=77, amplitude=0.3)],
+        10 * L, FS, noise_sigma=0.3, seed=2,
+    ).reshape(10, L)
+    samples = jnp.asarray(to_planes(iq))
+    dops = jnp.asarray(np.arange(-7000.0, 7001.0, 500.0), dtype=jnp.float32)
+    pfc = jnp.asarray(to_planes(replica_fft_conj_table(reps)))
+
+    def measure(mesh_devices, key):
+        mesh = make_receiver_mesh(mesh_devices)
+        fn = jax.jit(
+            lambda s, d, p: sharded_acquisition_sweep(mesh, s, d, p, FS)
+        )
+        lowered = fn.lower(samples, dops, pfc)
+        stats = _hlo_collective_stats(lowered.compile().as_text())
+        fn(samples, dops, pfc)  # compile+warm
+        t0 = time.perf_counter()
+        n = 5
+        for _ in range(n):
+            r = fn(samples, dops, pfc)
+        jax.block_until_ready(r)
+        stats["wall_ms"] = (time.perf_counter() - t0) / n * 1e3
+        out[key] = stats
+
+    measure(jax.devices(), "acq_sweep_8dev")
+    measure(jax.devices()[:1], "acq_sweep_1dev")
+
+    # --- streaming correlation with ppermute overlap-save halos: 16 chunks.
+    n_chunks = 16
+    rng = np.random.default_rng(3)
+    stream = (
+        0.3 * (rng.standard_normal(n_chunks * L) + 1j * rng.standard_normal(n_chunks * L))
+    ).astype(np.complex64)
+    stream_planes = jnp.asarray(to_planes(stream))
+    rep = sampled_replica(5, L).real.astype(np.float32)
+
+    def measure_stream(mesh_devices, key):
+        mesh = make_receiver_mesh(mesh_devices)
+        fn = jax.jit(lambda s: time_sharded_correlation_power(mesh, s, rep))
+        stats = _hlo_collective_stats(fn.lower(stream_planes).compile().as_text())
+        fn(stream_planes)
+        t0 = time.perf_counter()
+        n = 5
+        for _ in range(n):
+            r = fn(stream_planes)
+        jax.block_until_ready(r)
+        stats["wall_ms"] = (time.perf_counter() - t0) / n * 1e3
+        out[key] = stats
+
+    measure_stream(jax.devices(), "streaming_8dev")
+    measure_stream(jax.devices()[:1], "streaming_1dev")
+
+    print("BENCH_RESULT " + json.dumps({"details": {"dist_comm": out}}), flush=True)
+
+
 def _hosts_result(n_hosts: int, timeout_s: float = 600) -> dict | None:
     """Spawn the N-process simulated-multi-host tracking bench (CPU) and
     return its result blob (None on failure)."""
@@ -712,16 +856,32 @@ def main() -> None:
     # attempt can still lose its budget to Mosaic compiles of the
     # receiver-only programs (that exact failure emptied r03's sync e2e
     # keys); the retry resumes from the cache and finishes fast.
-    e2e = _run_worker(device_platform, timeout_s=900, mode="--e2e-worker")
+    # Tunnel-warmup-aware budgets (round-4 fix: the async worker's single
+    # 900 s attempt died under a 195 s tunnel warmup): every e2e worker
+    # gets 900 s of useful budget ON TOP of the warmup the main worker
+    # actually measured on this run, and one retry resuming from the
+    # persistent cache the earlier workers populated.
+    warmup_s = float(details.get("tunnel_warmup_s", 0.0) or 0.0)
+    e2e_budget = 900.0 + min(600.0, 2.0 * warmup_s)
+    e2e = _run_worker(device_platform, timeout_s=e2e_budget, mode="--e2e-worker")
     if e2e is None:
-        e2e = _run_worker(device_platform, timeout_s=900, mode="--e2e-worker")
+        e2e = _run_worker(device_platform, timeout_s=e2e_budget, mode="--e2e-worker")
     if e2e is not None:
         details.update(e2e["details"])
     else:
         details["e2e_error"] = "e2e worker failed or timed out"
     # Async-upload variant in its OWN worker: a background-thread transfer
     # that misbehaves on this backend must not cost the baseline numbers.
-    e2e_async = _run_worker(device_platform, timeout_s=900, mode="--e2e-async-worker")
+    # Ordered after the sync worker (which fully warms the persistent cache
+    # for the replay programs) and retried once just like it — r03 lost the
+    # sync keys and r04 the async keys to the old single cold attempt.
+    e2e_async = _run_worker(
+        device_platform, timeout_s=e2e_budget, mode="--e2e-async-worker"
+    )
+    if e2e_async is None:
+        e2e_async = _run_worker(
+            device_platform, timeout_s=e2e_budget, mode="--e2e-async-worker"
+        )
     if e2e_async is not None:
         details.update(e2e_async["details"])
     else:
@@ -732,6 +892,14 @@ def main() -> None:
         details.update(_dist_scaling_details())
     except Exception as exc:
         details["dist_error"] = repr(exc)
+    # Comm-centric measurement: what the sharded programs actually MOVE
+    # (collective counts/bytes from compiled HLO) — interpretable without
+    # knowing how many physical cores backed the virtual mesh.
+    comm = _run_worker("cpu", timeout_s=600, mode="--comm-worker")
+    if comm is not None:
+        details.update(comm["details"])
+    else:
+        details["dist_comm_error"] = "comm worker failed or timed out"
     details["baseline_numpy_msps"] = baseline
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
@@ -752,6 +920,8 @@ if __name__ == "__main__":
         _e2e_worker(sys.argv[2])
     elif len(sys.argv) >= 3 and sys.argv[1] == "--e2e-async-worker":
         _e2e_worker(sys.argv[2], async_upload=True)
+    elif sys.argv[1:2] == ["--comm-worker"]:
+        _comm_worker()
     elif len(sys.argv) >= 5 and sys.argv[1] == "--dist-worker":
         _dist_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
     elif len(sys.argv) >= 3 and sys.argv[1] == "--hosts":
