@@ -371,6 +371,16 @@ def farm_throughput_details() -> dict:
             _log("farm sweep: <10% gain, saturated")
             break
     best = max(curve, key=_rate)
+    # Channel-axis slice at CONSTANT total channel count (VERDICT r04 item
+    # 8a): 32x8 / 16x16 / 8x32 all run 256 channels — if the ceiling is the
+    # per-block sequencing chain (fixup grid steps behind the einsum) and
+    # not per-stream work, the sustained rate should be roughly geometry-
+    # independent across them. 32x8 is already in the stream sweep above.
+    channel_axis = []
+    for n_streams, cps in ((16, 16), (8, 32)):
+        r = _farm_config_msps(n_streams, cps, sustain_s=10.0)
+        _log(f"farm channel-axis {n_streams}x{cps}: {_rate(r):.0f} Msps sustained")
+        channel_axis.append(r)
     sustained = _farm_config_msps(
         best["streams"], best["channels_per_stream"], sustain_s=60.0
     )
@@ -390,6 +400,7 @@ def farm_throughput_details() -> dict:
     )
     return {
         "farm_sweep": curve,
+        "farm_channel_axis": channel_axis,
         "farm_streams": best["streams"],
         "farm_channels_per_stream": best["channels_per_stream"],
         "farm_block_latency_ms": best["block_latency_ms"],

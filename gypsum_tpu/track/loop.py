@@ -180,9 +180,19 @@ def track_aot_tag(
     input_offset: float = 0.0,
 ) -> str:
     """In-repo AOT artifact name for the standard track-block program
-    (core/aot.py), keyed on everything that shapes it."""
+    (core/aot.py), keyed on everything that shapes it.
+
+    HOST-ONLY fields are normalized out of the key: pipeline_tracking and
+    async_upload change how the Receiver schedules dispatches, never the
+    lowered device program — round 4 shipped a track artifact that the
+    bench's pipeline_tracking=True config silently never loaded because
+    the raw dataclass repr keyed them in."""
+    import dataclasses
     import hashlib
 
+    config = dataclasses.replace(
+        config, pipeline_tracking=None, async_upload=False
+    )
     key = repr((
         "track", config, int(samples_per_prn), float(sample_rate),
         int(n_channels), float(input_offset),

@@ -154,3 +154,21 @@ def test_track_aot_wrapper_trace_aware():
     assert holder["aot"] is boom  # strike 1: retained for a retry
     wrapper(s, x, r)
     assert holder["aot"] is None  # strike 2: permanent fallback
+
+
+def test_track_aot_tag_ignores_host_only_fields():
+    """pipeline_tracking / async_upload schedule host dispatches and never
+    reach the lowered device program — they must not change the artifact
+    key (round 4 shipped an artifact the bench's pipeline_tracking=True
+    config silently never loaded)."""
+    from gypsum_tpu.core.config import TrackingConfig
+    from gypsum_tpu.track.loop import track_aot_tag
+
+    base = track_aot_tag(TrackingConfig(), 2046, 2.046e6, 32)
+    assert base == track_aot_tag(
+        TrackingConfig(pipeline_tracking=True, async_upload=True),
+        2046, 2.046e6, 32,
+    )
+    assert base != track_aot_tag(
+        TrackingConfig(block_size_ms=500), 2046, 2.046e6, 32
+    )

@@ -45,18 +45,25 @@ def main() -> None:
 
     cfg = TrackingConfig()
     n_channels, block_ms = 32, cfg.block_size_ms
-    fn = make_track_block_fn(cfg, length, fs, n_channels)
-    jit_fn = getattr(fn, "_jit_fn", fn)
-    tag = fn._aot_tag
-    state = fresh_state(n_channels)
-    planes = jnp.zeros((block_ms, length, 2), jnp.float32)
     k = cfg.lag_window_half_width
     reps = replica_table(length)
     wide = np.concatenate([reps, reps, reps[:, : 2 * k]], axis=1).astype(np.float32)
     replicas = jnp.asarray(np.tile(wide[0][None, :], (n_channels, 1)))
-    compiled = jax.jit(jit_fn).lower(state, planes, replicas).compile()
-    path = save_compiled(tag, compiled)
-    print(f"saved {path} for {runtime_meta()}")
+    state = fresh_state(n_channels)
+
+    # Two ingest variants: float32 planes (synthetic/f32 recordings,
+    # input_offset 0) and raw rtl_sdr uint8 words dequantized in-graph
+    # (input_offset 127.5 — io/sources.py rtl_sdr format). Each is its own
+    # program AND its own artifact tag; round 4 shipped only the f32 one,
+    # so the production-realistic u8 replay still paid a cold compile.
+    for dtype, offset in ((jnp.float32, 0.0), (jnp.uint8, 127.5)):
+        fn = make_track_block_fn(cfg, length, fs, n_channels, input_offset=offset)
+        jit_fn = getattr(fn, "_jit_fn", fn)
+        tag = fn._aot_tag
+        planes = jnp.zeros((block_ms, length, 2), dtype)
+        compiled = jax.jit(jit_fn).lower(state, planes, replicas).compile()
+        path = save_compiled(tag, compiled)
+        print(f"saved {path} ({np.dtype(dtype).name} ingest) for {runtime_meta()}")
 
 
 if __name__ == "__main__":

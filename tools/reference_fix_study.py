@@ -27,7 +27,16 @@ from tools.compare_vs_reference import run_reference  # noqa: E402  (stubs web_d
 
 
 def main():
+    import logging
+
     import numpy as np
+
+    # The reference narrates every lock loss and resync at INFO
+    # (satellite_signal_processing_pipeline.py:104-147) — that narration is
+    # the diagnosis this tool exists to capture.
+    logging.basicConfig(
+        level=logging.INFO, format="%(levelname).1s %(name)s: %(message)s"
+    )
 
     capture = Path(sys.argv[1])
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 90.0
