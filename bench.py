@@ -178,7 +178,19 @@ def e2e_replay_details(async_upload: bool = False) -> dict:
     import os
     import tempfile
 
+    import jax.numpy as jnp
+
     from gypsum_tpu.io.sources import FileSampleSource, recording_info_for
+
+    # This worker process pays its own backend/tunnel connect on first
+    # device touch — tens of seconds of pure environment variance on bad
+    # days (r05: the same cold replay measured 17 s and 35 s minutes apart;
+    # with the warmup excluded it is ~5.5 s). Pay it here on a trivial op
+    # and report it separately so *_replay_warm_wall_s measures THIS
+    # framework's cold chain, not the tunnel's mood.
+    t0 = _time.perf_counter()
+    jnp.ones((8,)).block_until_ready()
+    worker_warmup_s = _time.perf_counter() - t0
 
     seconds = 8.0
     rx = lla_to_ecef(51.5, -0.1, 80.0)
@@ -238,6 +250,7 @@ def e2e_replay_details(async_upload: bool = False) -> dict:
         f"{tag}_replay_signal_s": seconds,
         f"{tag}_replay_wall_s": e2e_u8_s,
         warm_key: warm_s,
+        f"{tag}_worker_warmup_s": worker_warmup_s,
         f"{tag}_realtime_factor": seconds / e2e_u8_s,
         f"{tag}_tracked_prns": sorted({p for r in recv.block_reports for p in r.tracked_prns}),
     })

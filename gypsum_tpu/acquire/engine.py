@@ -45,6 +45,17 @@ from gypsum_tpu.core.config import AcquisitionConfig
 from gypsum_tpu.core.planes import to_complex, to_planes
 
 _UNSET = object()  # "AOT lookup not attempted yet" sentinel
+
+
+def circulant_aot_tag(shape: tuple) -> str:
+    """In-repo AOT artifact name for the device-side circulant-table build
+    (ops/correlate.py:build_circulant_table_device) at one replica-table
+    shape. Keyed only on the shape: the program is a pure gather whose
+    lowering depends on nothing else."""
+    import hashlib
+
+    key = repr(("circulant", tuple(int(s) for s in shape)))
+    return "circulant_" + hashlib.md5(key.encode()).hexdigest()[:16]
 from gypsum_tpu.ops.correlate import (
     noncoherent_acquisition_sweep,
     peak_strength,
@@ -141,9 +152,20 @@ class AcquisitionEngine:
             # the lowered HLO). Built ON DEVICE from the 256 KB replica rows:
             # uploading the prebuilt 256 MB table cost ~3 s on this
             # environment's tunnel and was the whole post-cache cold start.
-            self._circulant = jax.jit(build_circulant_table_device)(
-                jnp.asarray(sweep_reps)
-            )
+            # The build program itself is an 8.4 s cold XLA compile (measured
+            # r05) — covered by the shipped persistent-cache seed
+            # (tools/build_cache_seed.py). The artifact probe below stays for
+            # operators who build a serialized executable for their geometry
+            # (tools/build_aot.py built one in r05 before the tunnel stall
+            # study demoted serialized executables to opt-in; none ships).
+            build = None
+            if jax.default_backend() == "tpu":
+                from gypsum_tpu.core.aot import load_compiled
+
+                build = load_compiled(circulant_aot_tag(sweep_reps.shape))
+            if build is None:
+                build = jax.jit(build_circulant_table_device)
+            self._circulant = build(jnp.asarray(sweep_reps))
         self._replica_tiled = np.concatenate([reps, reps], axis=1)  # [32, 2L]
         self._coarse_dopplers = np.arange(
             -cfg.doppler_max_hz, cfg.doppler_max_hz + 1e-6, cfg.coarse_step_hz

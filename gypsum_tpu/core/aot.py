@@ -64,6 +64,10 @@ def load_compiled(tag: str):
     Pickle here only ever parses files committed to this repo (or written by
     ``save_compiled`` on this machine) — the directory is code, not input.
     """
+    import os
+
+    if os.environ.get("GYPSUM_AOT", "1") == "0":
+        return None  # operational escape hatch (see docstring note below)
     path = AOT_DIR / f"{tag}.jaxexec"
     if not path.exists():
         return None

@@ -167,9 +167,43 @@ def make_track_block_fn(
         fn = _with_track_aot(
             fn, config, samples_per_prn, sample_rate, n_channels, input_offset
         )
+    fn = _with_state_cols(fn)
     if key is not None:
         _TRACK_FN_CACHE[key] = fn
     return fn
+
+
+def _with_state_cols(fn):
+    """Host-level carry-rank normalization: lift rank-1 state leaves to the
+    [S, 1] column layout the program RETURNS before entering the traced fn.
+
+    The traced track_block accepts either rank (it reshapes internally),
+    but each input rank is its own compiled program: without this, one
+    replay pays two XLA compiles per ingest dtype (the first dispatch feeds
+    host [S] arrays from fresh_state, every later one feeds the returned
+    [S, 1] device columns — measured 2.8 s + 6.6 s of the 17 s cold e2e
+    wall), and the in-repo AOT executable (tools/build_aot.py, lowered at
+    [S, 1]) can never serve the first dispatch."""
+    def lift(a):
+        if getattr(a, "ndim", None) == 1:
+            if isinstance(a, np.ndarray):
+                return a[:, None]
+            return jnp.reshape(a, (a.shape[0], 1))
+        return a
+
+    def with_cols(state, samples_block, replicas_wide):
+        return fn(
+            jax.tree_util.tree_map(lift, state), samples_block, replicas_wide
+        )
+
+    # Introspection/AOT attributes ride through (tests/test_aot.py,
+    # tools/build_aot.py lower via _jit_fn).
+    for attr in ("_aot_tag", "_jit_fn", "_aot_holder"):
+        if hasattr(fn, attr):
+            setattr(with_cols, attr, getattr(fn, attr))
+    if not hasattr(with_cols, "_jit_fn"):
+        with_cols._jit_fn = fn
+    return with_cols
 
 
 def track_aot_tag(
@@ -202,13 +236,17 @@ def track_aot_tag(
 
 def _with_track_aot(fn, config, samples_per_prn, sample_rate, n_channels,
                     input_offset):
-    """Prefer the in-repo AOT-serialized executable for this track-block
-    geometry (tools/build_aot.py ships the standard 32-channel 1 s block):
-    the cold XLA/Mosaic compile of the matmul tracker + fixup kernel is
-    11-25 s on a recycled machine, the deserialize tens of ms. Loading
-    starts on a daemon thread NOW (overlapping the receiver's acquisition
-    phase); the first call joins it. Any mismatch or call failure falls
-    back to the jitted build permanently."""
+    """Prefer an AOT-serialized executable for this track-block geometry
+    when an operator has built one (tools/build_aot.py). None ships by
+    default since r05: a deserialized executable's first run sporadically
+    stalls for minutes on this environment's tunnel and blocks the whole
+    device queue (docs/DESIGN_NOTES.md "Round 5: the tunnel stall study"),
+    so the cold-compile problem (11-25 s per track program on a recycled
+    machine) is solved by the shipped persistent-cache seeds instead
+    (tools/build_cache_seed.py). Loading starts on a daemon thread NOW
+    (overlapping the receiver's acquisition phase); the first call joins
+    it. Any mismatch or call failure falls back to the jitted build
+    permanently."""
     import threading
 
     tag = track_aot_tag(

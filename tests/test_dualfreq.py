@@ -233,6 +233,49 @@ def test_glonass_dual_frequency_end_to_end():
     )
 
 
+@pytest.mark.parametrize("seed", [1, 7])
+def test_degraded_seed_error_is_geometry_bound(seed):
+    """Round-4 VERDICT item 5: the two `--glonass-df` campaign seeds that
+    report `degraded_honest` are hard 4-SV geometries (GDOP > 15) whose
+    errors sit inside their published HPLs. These scenes synthesize only
+    four satellites on the air, so "recruit a fifth channel" is physically
+    impossible — instead this pins the quantified negative result
+    (tools/gdop_bound_study.py): with a 4-SV solve there are zero degrees
+    of freedom, so the position error must equal the least-squares image
+    (G^T G)^-1 G^T of the per-SV ranging errors. The study shows the
+    receiver's ranging is SUB-METER (all the information four rays carry);
+    the tens-of-meters miss is purely the geometry's amplification, and
+    the published HPL honestly bounds it (DO-229 availability semantics).
+    """
+    from tools.gdop_bound_study import geometry_bound_analysis, run_seed
+
+    dual, rx, scene = run_seed(seed)
+    assert scene["n_ch"] == 4
+    assert dual.world.position_fixes, f"seed {seed}: no fix"
+    r = geometry_bound_analysis(dual, rx)
+
+    # The degraded-honest contract: extreme geometry, error inside HPL.
+    assert r["gdop"] > 15.0, f"geometry not extreme: GDOP {r['gdop']:.1f}"
+    assert r["hpl_m"] is not None and r["err_actual_m"] <= r["hpl_m"], (
+        f"error {r['err_actual_m']:.1f} m outside HPL {r['hpl_m']:.1f} m"
+    )
+    # Ranging itself is sub-meter: the receiver extracted everything the
+    # four rays carry (dual-frequency iono applied, sub-sample delays).
+    assert r["range_err_rms_m"] < 1.0, (
+        f"ranging degraded: RMS {r['range_err_rms_m']:.2f} m"
+    )
+    # The miss is the exact noise image through the geometry: predicted
+    # and achieved errors agree in direction and magnitude (zero-DOF
+    # identity — any mismatch would mean a modeling error on top of noise).
+    assert r["direction_cosine"] > 0.999, (
+        f"error not geometry-aligned: cos {r['direction_cosine']:.3f}"
+    )
+    assert r["err_predicted_m"] == pytest.approx(r["err_actual_m"], rel=0.01), (
+        f"predicted {r['err_predicted_m']:.2f} m vs achieved "
+        f"{r['err_actual_m']:.2f} m"
+    )
+
+
 def test_cross_constellation_iono_corrects_gps_rows():
     """Tri-band (GPS L1 + GLONASS L1OF + L2OF) with iono injected but NO
     page-18 on the GPS side (the page recurs only every 12.5 min — a cold
